@@ -1,0 +1,21 @@
+"""TPU-native neural style transfer visualizer.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+``bjg-gh/style_transfer_visualizer`` (Gatys-style neural style transfer
+with rich timelapse/gallery visualization artifacts), designed TPU-first:
+
+- the VGG19 feature extractor is a pure-JAX pytree model running in NHWC
+  layout so convolutions tile directly onto the MXU,
+- the per-step optimization loop (L-BFGS or Adam on the image pixels) is a
+  single jitted update with donated buffers so the image never leaves HBM,
+- Gram matrices are computed by a fused Pallas kernel (matmul + clamp +
+  scale in one VMEM-resident pass) with a spatially-tiled variant for 4K
+  inputs sharded over a device mesh,
+- timelapse frames are packed to uint8 on-device and streamed to the host
+  encoder asynchronously so TPU steps never block on video encoding.
+
+Reference behavior contract: /root/reference/src/style_transfer_visualizer
+(see SURVEY.md for the component-by-component map).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,241 @@
+"""Configuration schema, TOML loader, and CLI-override merge.
+
+Pydantic v2 models with the same sections, field names, bounds, and merge
+precedence (CLI > TOML > defaults) as the reference (config.py:53-309).
+TOML parsing uses the stdlib ``tomllib``. New TPU-specific fields:
+``optimization.optimizer``, ``optimization.lbfgs_history_size``, and
+``hardware.precision``.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from pathlib import Path
+from typing import Any
+
+import tomllib
+from pydantic import BaseModel, Field
+
+from style_transfer_visualizer_tpu import config_defaults as d
+from style_transfer_visualizer_tpu.constants import (
+    VIDEO_QUALITY_MAX,
+    VIDEO_QUALITY_MIN,
+)
+from style_transfer_visualizer_tpu.type_defs import (
+    InitMethod,
+    OptimizerName,
+    PrecisionName,
+    VideoMode,
+)
+from style_transfer_visualizer_tpu.utils.logging import logger
+
+
+class OptimizationConfig(BaseModel):
+    """Optimization-loop settings."""
+
+    steps: int = Field(d.DEFAULT_STEPS, ge=1)
+    style_w: float = Field(d.DEFAULT_STYLE_WEIGHT, ge=0)
+    content_w: float = Field(d.DEFAULT_CONTENT_WEIGHT, ge=0)
+    lr: float = Field(d.DEFAULT_LEARNING_RATE, gt=0)
+    init_method: InitMethod = Field(d.DEFAULT_INIT_METHOD)
+    seed: int = Field(d.DEFAULT_SEED, ge=0)
+    normalize: bool = d.DEFAULT_NORMALIZE
+    lbfgs_max_iter: int = Field(d.DEFAULT_LBFGS_MAX_ITER, ge=1)
+    lbfgs_max_eval: int = Field(d.DEFAULT_LBFGS_MAX_EVAL, ge=1)
+    style_layers: list[int] = Field(
+        default_factory=lambda: list(d.DEFAULT_STYLE_LAYERS),
+    )
+    content_layers: list[int] = Field(
+        default_factory=lambda: list(d.DEFAULT_CONTENT_LAYERS),
+    )
+    # TPU-framework additions:
+    optimizer: OptimizerName = Field(d.DEFAULT_OPTIMIZER)
+    lbfgs_history_size: int = Field(d.DEFAULT_LBFGS_HISTORY_SIZE, ge=1)
+
+
+class VideoConfig(BaseModel):
+    """Timelapse video/GIF output settings."""
+
+    save_every: int = Field(d.DEFAULT_SAVE_EVERY, ge=1)
+    fps: int = Field(d.DEFAULT_FPS, ge=1, le=60)
+    quality: int = Field(
+        d.DEFAULT_VIDEO_QUALITY, ge=VIDEO_QUALITY_MIN, le=VIDEO_QUALITY_MAX,
+    )
+    create_video: bool = d.DEFAULT_CREATE_VIDEO
+    final_only: bool = d.DEFAULT_FINAL_ONLY
+    intro_enabled: bool = d.DEFAULT_VIDEO_INTRO_ENABLED
+    intro_duration_seconds: float = Field(
+        d.DEFAULT_VIDEO_INTRO_DURATION, ge=0.0,
+    )
+    metadata_title: str | None = None
+    metadata_artist: str | None = None
+    final_frame_compare: bool = d.DEFAULT_VIDEO_FINAL_FRAME_COMPARE
+    outro_duration_seconds: float = Field(
+        d.DEFAULT_VIDEO_OUTRO_DURATION, ge=0.0,
+    )
+    mode: VideoMode = Field(d.DEFAULT_VIDEO_MODE)
+    create_gif: bool = d.DEFAULT_CREATE_GIF
+    gif_include_intro: bool = d.DEFAULT_GIF_INCLUDE_INTRO
+    gif_include_outro: bool = d.DEFAULT_GIF_INCLUDE_OUTRO
+    # Set (not serialized) when the user picked the mode explicitly, which
+    # disables the auto realtime->postprocess promotion heuristic.
+    mode_override: bool = Field(default=False, exclude=True, repr=False)
+
+
+class HardwareConfig(BaseModel):
+    """Accelerator selection."""
+
+    device: str = Field(d.DEFAULT_DEVICE)
+    precision: PrecisionName = Field(d.DEFAULT_PRECISION)
+
+
+class OutputConfig(BaseModel):
+    """Output directory and loss-logging settings."""
+
+    output: str = Field(d.DEFAULT_OUTPUT_DIR)
+    log_every: int = Field(d.DEFAULT_LOG_EVERY, ge=1)
+    log_loss: str | None = None
+    plot_losses: bool = True
+
+
+class StyleTransferConfig(BaseModel):
+    """Root config grouping all sections (mirrors config.toml layout)."""
+
+    output: OutputConfig = Field(
+        default_factory=lambda: OutputConfig.model_validate({}),
+    )
+    optimization: OptimizationConfig = Field(
+        default_factory=lambda: OptimizationConfig.model_validate({}),
+    )
+    video: VideoConfig = Field(
+        default_factory=lambda: VideoConfig.model_validate({}),
+    )
+    hardware: HardwareConfig = Field(
+        default_factory=lambda: HardwareConfig.model_validate({}),
+    )
+
+
+class ConfigLoader:
+    """Load and validate a TOML config file."""
+
+    @staticmethod
+    def load(path: str) -> StyleTransferConfig:
+        """Parse ``path`` as TOML and validate into a typed config."""
+        config_path = Path(path)
+        if not config_path.is_file():
+            msg = f"Config file not found: {path}"
+            raise FileNotFoundError(msg)
+        with config_path.open("rb") as fh:
+            doc = tomllib.load(fh)
+        return StyleTransferConfig.model_validate(doc)
+
+
+def parse_int_list(value: str | list[int]) -> list[int]:
+    """Accept "0,5,10" or an int list; return a list of ints."""
+    if isinstance(value, list):
+        return value
+    return [int(part) for part in value.split(",")]
+
+
+def build_config_from_cli(
+    cli_args: Mapping[str, Any],
+    *,
+    loader: Callable[[str], StyleTransferConfig] | None = None,
+    base_config: StyleTransferConfig | None = None,
+) -> StyleTransferConfig:
+    """Merge CLI args over a base (TOML or default) config.
+
+    Only keys present in ``cli_args`` override — the CLI uses
+    ``argparse.SUPPRESS`` defaults so untouched flags are absent.
+    """
+    args = dict(cli_args)
+    if base_config is not None:
+        cfg = base_config.model_copy(deep=True)
+    elif (config_path := args.get("config")):
+        cfg = (loader or ConfigLoader.load)(config_path)
+    else:
+        cfg = StyleTransferConfig.model_validate({})
+
+    _merge_output(cfg, args)
+    _merge_optimization(cfg, args)
+    _merge_video(cfg, args)
+    _merge_hardware(cfg, args)
+    _enforce_csv_plot_rule(cfg)
+    return cfg
+
+
+def _merge_output(cfg: StyleTransferConfig, args: Mapping[str, Any]) -> None:
+    for key in ("output", "log_every", "log_loss"):
+        if key in args:
+            setattr(cfg.output, key, args[key])
+    if args.get("no_plot"):
+        cfg.output.plot_losses = False
+
+
+def _merge_optimization(
+    cfg: StyleTransferConfig,
+    args: Mapping[str, Any],
+) -> None:
+    opt = cfg.optimization
+    for key in (
+        "steps", "style_w", "content_w", "lr", "init_method", "seed",
+        "optimizer", "lbfgs_max_iter", "lbfgs_max_eval",
+        "lbfgs_history_size",
+    ):
+        if key in args:
+            setattr(opt, key, args[key])
+    if args.get("no_normalize"):
+        opt.normalize = False
+    if (style_layers := args.get("style_layers")):
+        opt.style_layers = parse_int_list(style_layers)
+    if (content_layers := args.get("content_layers")):
+        opt.content_layers = parse_int_list(content_layers)
+
+
+def _merge_video(cfg: StyleTransferConfig, args: Mapping[str, Any]) -> None:
+    vid = cfg.video
+    for key in (
+        "save_every", "fps", "quality", "metadata_title", "metadata_artist",
+        "create_gif", "gif_include_intro", "gif_include_outro",
+        "final_frame_compare",
+    ):
+        if key in args:
+            setattr(vid, key, args[key])
+
+    if args.get("no_video"):
+        vid.create_video = False
+    if args.get("no_intro"):
+        vid.intro_enabled = False
+    if args.get("final_only"):
+        vid.final_only = True
+
+    if "intro_duration" in args:
+        vid.intro_duration_seconds = max(args["intro_duration"], 0.0)
+    if "outro_duration" in args:
+        vid.outro_duration_seconds = max(args["outro_duration"], 0.0)
+
+    if "video_mode" in args:
+        vid.mode = args["video_mode"]
+        vid.mode_override = True
+    # A non-default mode coming from TOML also counts as explicit intent.
+    if not vid.mode_override and vid.mode != d.DEFAULT_VIDEO_MODE:
+        vid.mode_override = True
+
+
+def _merge_hardware(
+    cfg: StyleTransferConfig,
+    args: Mapping[str, Any],
+) -> None:
+    if "device" in args:
+        cfg.hardware.device = args["device"]
+    if "precision" in args:
+        cfg.hardware.precision = args["precision"]
+
+
+def _enforce_csv_plot_rule(cfg: StyleTransferConfig) -> None:
+    """CSV loss logging supersedes in-memory plotting."""
+    if getattr(cfg.output, "log_loss", None) and cfg.output.plot_losses:
+        logger.warning(
+            "Loss plotting is disabled because CSV logging is enabled. "
+            "Only loss CSV will be created.",
+        )
+        cfg.output.plot_losses = False

@@ -1,0 +1,53 @@
+"""User-facing configuration defaults.
+
+Values match the reference defaults (config_defaults.py:5-41) so a config
+written for the reference produces the same behavior here. TPU-specific
+knobs (optimizer choice, matmul precision, L-BFGS history size) are new.
+"""
+from __future__ import annotations
+
+from style_transfer_visualizer_tpu.type_defs import (
+    InitMethod,
+    OptimizerName,
+    PrecisionName,
+)
+
+# Optimization ---------------------------------------------------------
+DEFAULT_STEPS = 1500
+DEFAULT_STYLE_WEIGHT = 1e5
+DEFAULT_CONTENT_WEIGHT = 1.0
+DEFAULT_LEARNING_RATE = 1.0
+DEFAULT_INIT_METHOD: InitMethod = "random"
+DEFAULT_SEED = 0
+DEFAULT_NORMALIZE = True
+DEFAULT_LBFGS_MAX_ITER = 1
+DEFAULT_LBFGS_MAX_EVAL = 1
+# Indices into the VGG19 feature stack (torchvision layer numbering).
+DEFAULT_STYLE_LAYERS: tuple[int, ...] = (0, 5, 10, 19, 28)
+DEFAULT_CONTENT_LAYERS: tuple[int, ...] = (21,)
+# New in the TPU framework:
+DEFAULT_OPTIMIZER: OptimizerName = "lbfgs"
+DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default
+
+# Video ---------------------------------------------------------------
+DEFAULT_SAVE_EVERY = 20
+DEFAULT_FPS = 10
+DEFAULT_VIDEO_QUALITY = 10
+DEFAULT_CREATE_VIDEO = True
+DEFAULT_FINAL_ONLY = False
+DEFAULT_VIDEO_INTRO_ENABLED = True
+DEFAULT_VIDEO_INTRO_DURATION = 10.0
+DEFAULT_VIDEO_OUTRO_DURATION = 10.0
+DEFAULT_VIDEO_FINAL_FRAME_COMPARE = True
+DEFAULT_VIDEO_MODE = "realtime"
+DEFAULT_CREATE_GIF = False
+DEFAULT_GIF_INCLUDE_INTRO = False
+DEFAULT_GIF_INCLUDE_OUTRO = False
+
+# Hardware --------------------------------------------------------------
+DEFAULT_DEVICE = "tpu"
+DEFAULT_PRECISION: PrecisionName = "highest"
+
+# Output ----------------------------------------------------------------
+DEFAULT_LOG_EVERY = 10
+DEFAULT_OUTPUT_DIR = "out"

@@ -1,0 +1,57 @@
+"""Implementation-level constants shared across the framework.
+
+Behavioral constants (normalization statistics, clamp thresholds, size
+limits, encoder settings, auto-video-mode thresholds) mirror the reference
+implementation so outputs match; TPU-specific constants (layouts, precision,
+mesh axis names) are new to this framework.
+
+Reference parity: constants.py:11-43 in
+/root/reference/src/style_transfer_visualizer/.
+"""
+from __future__ import annotations
+
+# --- Normalization (torchvision ImageNet statistics) ---------------------
+IMAGENET_MEAN: tuple[float, float, float] = (0.485, 0.456, 0.406)
+IMAGENET_STD: tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+# --- Numerical stability --------------------------------------------------
+# Per-element ceiling applied to the raw (un-normalized) Gram matrix before
+# dividing by the element count; keeps style gradients from exploding.
+GRAM_MATRIX_CLAMP_MAX = 5e5
+
+# --- Image size limits ------------------------------------------------
+MIN_DIMENSION = 64       # hard error below this
+MAX_DIMENSION = 3000     # soft warning above this
+
+# --- Video encoding ---------------------------------------------------
+VIDEO_CODEC = "libx264"
+ENCODING_BLOCK_SIZE = 16         # output dims padded to this macroblock size
+VIDEO_QUALITY_MIN = 1
+VIDEO_QUALITY_MAX = 10
+
+# --- Palette ----------------------------------------------------------
+COLOR_MODE_RGB = "RGB"
+COLOR_BLACK = (0, 0, 0)
+COLOR_WHITE = (255, 255, 255)
+COLOR_BEIGE = (240, 236, 226)
+COLOR_GREY = (60, 67, 74)
+
+# --- Loss logging -----------------------------------------------------
+CSV_LOGGING_RECOMMENDED_STEPS = 2000
+
+# --- Canvas -----------------------------------------------------------
+RESOLUTION_FULL_HD = (1920, 1080)
+
+# --- TPU-specific -----------------------------------------------------
+# Device arrays are NHWC so convolutions map directly onto the MXU; the
+# reference's NCHW view shape has no equivalent here.
+IMAGE_LAYOUT = "NHWC"
+
+# Mesh axis names used by the parallel subsystem.
+MESH_AXIS_STYLE = "style"    # data parallelism over style images
+MESH_AXIS_SPACE = "space"    # spatial sharding of feature maps (tiled Gram)
+
+# Default matmul precision: "highest" keeps f32 accumulation on the MXU so
+# loss curves match the f32 reference within 1e-3; "default" allows bf16
+# passes for maximum throughput.
+DEFAULT_MATMUL_PRECISION = "highest"

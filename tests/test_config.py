@@ -1,0 +1,222 @@
+"""Config schema, TOML loading, and CLI merge tests."""
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pydantic import ValidationError
+
+from style_transfer_visualizer_tpu import config_defaults as d
+from style_transfer_visualizer_tpu.config import (
+    ConfigLoader,
+    OptimizationConfig,
+    StyleTransferConfig,
+    VideoConfig,
+    build_config_from_cli,
+    parse_int_list,
+)
+
+
+class TestDefaults:
+    def test_root_defaults(self) -> None:
+        cfg = StyleTransferConfig.model_validate({})
+        assert cfg.optimization.steps == d.DEFAULT_STEPS
+        assert cfg.optimization.style_w == d.DEFAULT_STYLE_WEIGHT
+        assert cfg.optimization.optimizer == "lbfgs"
+        assert cfg.video.save_every == d.DEFAULT_SAVE_EVERY
+        assert cfg.video.mode == "realtime"
+        assert cfg.video.mode_override is False
+        assert cfg.hardware.device == "tpu"
+        assert cfg.hardware.precision == "highest"
+        assert cfg.output.output == "out"
+        assert cfg.output.plot_losses is True
+
+    def test_style_layers_default(self) -> None:
+        cfg = OptimizationConfig.model_validate({})
+        assert cfg.style_layers == [0, 5, 10, 19, 28]
+        assert cfg.content_layers == [21]
+
+    def test_mode_override_excluded_from_dump(self) -> None:
+        dump = VideoConfig.model_validate({}).model_dump()
+        assert "mode_override" not in dump
+
+
+class TestValidationBounds:
+    @pytest.mark.parametrize(
+        ("field", "value"),
+        [
+            ("steps", 0),
+            ("style_w", -1.0),
+            ("content_w", -0.5),
+            ("lr", 0.0),
+            ("seed", -1),
+            ("lbfgs_max_iter", 0),
+            ("lbfgs_max_eval", 0),
+            ("lbfgs_history_size", 0),
+        ],
+    )
+    def test_optimization_bounds(self, field: str, value: float) -> None:
+        with pytest.raises(ValidationError):
+            OptimizationConfig.model_validate({field: value})
+
+    @pytest.mark.parametrize(
+        ("field", "value"),
+        [
+            ("save_every", 0),
+            ("fps", 0),
+            ("fps", 61),
+            ("quality", 0),
+            ("quality", 11),
+            ("intro_duration_seconds", -1.0),
+            ("outro_duration_seconds", -0.1),
+        ],
+    )
+    def test_video_bounds(self, field: str, value: float) -> None:
+        with pytest.raises(ValidationError):
+            VideoConfig.model_validate({field: value})
+
+    def test_bad_init_method(self) -> None:
+        with pytest.raises(ValidationError):
+            OptimizationConfig.model_validate({"init_method": "zeros"})
+
+    def test_bad_video_mode(self) -> None:
+        with pytest.raises(ValidationError):
+            VideoConfig.model_validate({"mode": "streaming"})
+
+    def test_bad_optimizer(self) -> None:
+        with pytest.raises(ValidationError):
+            OptimizationConfig.model_validate({"optimizer": "sgd"})
+
+
+class TestTomlLoader:
+    def test_load_missing_file(self) -> None:
+        with pytest.raises(FileNotFoundError):
+            ConfigLoader.load("/nonexistent/config.toml")
+
+    def test_load_sections(self, tmp_path: Path) -> None:
+        toml = tmp_path / "config.toml"
+        toml.write_text(
+            "[optimization]\nsteps = 42\nstyle_w = 2.5\n"
+            "[video]\nfps = 24\nmode = \"postprocess\"\n"
+            "[hardware]\ndevice = \"cpu\"\n"
+            "[output]\noutput = \"myout\"\n",
+        )
+        cfg = ConfigLoader.load(str(toml))
+        assert cfg.optimization.steps == 42
+        assert cfg.optimization.style_w == 2.5
+        assert cfg.video.fps == 24
+        assert cfg.video.mode == "postprocess"
+        assert cfg.hardware.device == "cpu"
+        assert cfg.output.output == "myout"
+
+    def test_partial_file_fills_defaults(self, tmp_path: Path) -> None:
+        toml = tmp_path / "config.toml"
+        toml.write_text("[optimization]\nsteps = 7\n")
+        cfg = ConfigLoader.load(str(toml))
+        assert cfg.optimization.steps == 7
+        assert cfg.video.fps == d.DEFAULT_FPS
+
+    def test_reference_config_toml_parses(self) -> None:
+        ref = Path("/root/reference/config.toml")
+        if not ref.is_file():
+            pytest.skip("reference config not mounted")
+        cfg = ConfigLoader.load(str(ref))
+        assert cfg.optimization.steps >= 1
+
+
+class TestParseIntList:
+    def test_string(self) -> None:
+        assert parse_int_list("0,5,10") == [0, 5, 10]
+
+    def test_list_passthrough(self) -> None:
+        assert parse_int_list([1, 2]) == [1, 2]
+
+    def test_invalid(self) -> None:
+        with pytest.raises(ValueError, match="invalid literal"):
+            parse_int_list("a,b")
+
+
+class TestCliMerge:
+    def test_cli_overrides_defaults(self) -> None:
+        cfg = build_config_from_cli({"steps": 10, "fps": 30, "device": "cpu"})
+        assert cfg.optimization.steps == 10
+        assert cfg.video.fps == 30
+        assert cfg.hardware.device == "cpu"
+
+    def test_cli_overrides_toml(self, tmp_path: Path) -> None:
+        toml = tmp_path / "c.toml"
+        toml.write_text("[optimization]\nsteps = 5\nlr = 0.5\n")
+        base = ConfigLoader.load(str(toml))
+        cfg = build_config_from_cli({"steps": 99}, base_config=base)
+        assert cfg.optimization.steps == 99
+        assert cfg.optimization.lr == 0.5  # TOML value survives
+
+    def test_absent_keys_do_not_override(self) -> None:
+        cfg = build_config_from_cli({})
+        assert cfg.optimization.steps == d.DEFAULT_STEPS
+
+    def test_flag_overrides(self) -> None:
+        cfg = build_config_from_cli(
+            {"no_video": True, "no_intro": True, "final_only": True,
+             "no_normalize": True, "no_plot": True},
+        )
+        assert cfg.video.create_video is False
+        assert cfg.video.intro_enabled is False
+        assert cfg.video.final_only is True
+        assert cfg.optimization.normalize is False
+        assert cfg.output.plot_losses is False
+
+    def test_durations_clamped_nonnegative(self) -> None:
+        cfg = build_config_from_cli(
+            {"intro_duration": -3.0, "outro_duration": 2.0},
+        )
+        assert cfg.video.intro_duration_seconds == 0.0
+        assert cfg.video.outro_duration_seconds == 2.0
+
+    def test_video_mode_sets_override(self) -> None:
+        cfg = build_config_from_cli({"video_mode": "postprocess"})
+        assert cfg.video.mode == "postprocess"
+        assert cfg.video.mode_override is True
+
+    def test_toml_nondefault_mode_counts_as_override(
+        self, tmp_path: Path,
+    ) -> None:
+        toml = tmp_path / "c.toml"
+        toml.write_text("[video]\nmode = \"postprocess\"\n")
+        cfg = build_config_from_cli(
+            {}, base_config=ConfigLoader.load(str(toml)),
+        )
+        assert cfg.video.mode_override is True
+
+    def test_layer_lists_parsed(self) -> None:
+        cfg = build_config_from_cli(
+            {"style_layers": "1,2,3", "content_layers": "4"},
+        )
+        assert cfg.optimization.style_layers == [1, 2, 3]
+        assert cfg.optimization.content_layers == [4]
+
+    def test_csv_disables_plot(self, caplog: pytest.LogCaptureFixture) -> None:
+        cfg = build_config_from_cli({"log_loss": "loss.csv"})
+        assert cfg.output.plot_losses is False
+        assert "disabled" in caplog.text
+
+    def test_loader_callable_used(self, tmp_path: Path) -> None:
+        toml = tmp_path / "c.toml"
+        toml.write_text("[optimization]\nsteps = 3\n")
+        calls: list[str] = []
+
+        def spy_loader(path: str) -> StyleTransferConfig:
+            calls.append(path)
+            return ConfigLoader.load(path)
+
+        cfg = build_config_from_cli({"config": str(toml)}, loader=spy_loader)
+        assert calls == [str(toml)]
+        assert cfg.optimization.steps == 3
+
+    def test_optimizer_override(self) -> None:
+        cfg = build_config_from_cli({"optimizer": "adam", "lr": 0.05})
+        assert cfg.optimization.optimizer == "adam"
+
+    def test_precision_override(self) -> None:
+        cfg = build_config_from_cli({"precision": "default"})
+        assert cfg.hardware.precision == "default"
