@@ -9,12 +9,20 @@ from __future__ import annotations
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (e.g. "axon" on TPU hosts).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# TPU hosts may inject a platform plugin that overrides JAX_PLATFORMS at
+# import time; the config update below wins as long as no backend has been
+# initialized yet (conftest runs before any test imports).
+jax.config.update("jax_platforms", "cpu")
 
 import logging  # noqa: E402
 from pathlib import Path  # noqa: E402
