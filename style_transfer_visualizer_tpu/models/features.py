@@ -1,0 +1,235 @@
+"""Feature extraction taps and style/content losses (pure functions).
+
+Equivalent in capability to the reference's ``StyleContentModel``
+(core_model.py:149-328) but organized for XLA: instead of a module that
+mutates target state, targets are a pytree computed once and closed over
+by a jitted loss function. A tap at layer index *i* is the activation
+*after* layer *i* runs — identical to the reference's block slicing, where
+a block ends at (and includes) each tapped layer.
+
+MaxPool uses 2x2/stride-2 floor semantics (torch ``ceil_mode=False``) and
+convolutions are 3x3 stride-1 SAME, matching torchvision VGG19.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+
+from style_transfer_visualizer_tpu.models.vgg19 import (
+    CONV,
+    LAYER_TABLE,
+    POOL,
+    RELU,
+    Params,
+)
+from style_transfer_visualizer_tpu.ops.gram import gram_matrix
+
+if TYPE_CHECKING:
+    from style_transfer_visualizer_tpu.type_defs import InitMethod
+
+_CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+@dataclass(frozen=True)
+class Targets:
+    """Precomputed optimization targets (detached by construction).
+
+    ``style_grams`` maps layer index -> (C, C) Gram matrix of the style
+    image; ``content_feats`` maps layer index -> raw activation of the
+    content image.
+    """
+
+    style_grams: dict[int, jax.Array]
+    content_feats: dict[int, jax.Array]
+
+
+def _validate_layers(indices: tuple[int, ...]) -> None:
+    for idx in indices:
+        if not 0 <= idx < len(LAYER_TABLE):
+            msg = (
+                f"Layer index {idx} out of range 0..{len(LAYER_TABLE) - 1}"
+            )
+            raise ValueError(msg)
+
+
+def extract_features(
+    params: Params,
+    x: jax.Array,
+    taps: tuple[int, ...],
+    *,
+    precision: jax.lax.Precision | None = None,
+) -> dict[int, jax.Array]:
+    """Run the feature stack up to the deepest tap, recording activations.
+
+    Layers beyond the last tap are never traced, so XLA compiles exactly
+    the work required (the reference likewise drops trailing layers,
+    core_model.py:120-146).
+    """
+    if not taps:
+        return {}
+    _validate_layers(taps)
+    tap_set = frozenset(taps)
+    last = max(taps)
+    acts: dict[int, jax.Array] = {}
+    for idx, (kind, _, _) in enumerate(LAYER_TABLE):
+        if kind == CONV:
+            layer = params[idx]
+            x = jax.lax.conv_general_dilated(
+                x,
+                layer["w"],
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=_CONV_DIMS,
+                precision=precision,
+            ) + layer["b"]
+        elif kind == RELU:
+            x = jnp.maximum(x, 0.0)
+        elif kind == POOL:
+            x = jax.lax.reduce_window(
+                x,
+                -jnp.inf,
+                jax.lax.max,
+                window_dimensions=(1, 2, 2, 1),
+                window_strides=(1, 2, 2, 1),
+                padding="VALID",
+            )
+        if idx in tap_set:
+            acts[idx] = x
+        if idx >= last:
+            break
+    return acts
+
+
+def compute_targets(
+    params: Params,
+    style_img: jax.Array,
+    content_img: jax.Array,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    *,
+    precision: jax.lax.Precision | None = None,
+) -> Targets:
+    """Precompute style Gram targets and content activation targets."""
+    style_acts = extract_features(
+        params, style_img, style_layers, precision=precision,
+    )
+    content_acts = extract_features(
+        params, content_img, content_layers, precision=precision,
+    )
+    style_grams = {
+        idx: jax.lax.stop_gradient(
+            gram_matrix(act, precision=precision),
+        )
+        for idx, act in style_acts.items()
+    }
+    content_feats = {
+        idx: jax.lax.stop_gradient(act)
+        for idx, act in content_acts.items()
+    }
+    return Targets(style_grams=style_grams, content_feats=content_feats)
+
+
+def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.square(a - b))
+
+
+def style_content_losses(
+    params: Params,
+    x: jax.Array,
+    targets: Targets,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    *,
+    precision: jax.lax.Precision | None = None,
+) -> tuple[list[jax.Array], list[jax.Array]]:
+    """Per-layer style (Gram MSE) and content (feature MSE) losses."""
+    taps = tuple(sorted(set(style_layers) | set(content_layers)))
+    acts = extract_features(params, x, taps, precision=precision)
+    style_losses = [
+        _mse(
+            gram_matrix(acts[idx], precision=precision),
+            targets.style_grams[idx],
+        )
+        for idx in style_layers
+    ]
+    content_losses = [
+        _mse(acts[idx], targets.content_feats[idx])
+        for idx in content_layers
+    ]
+    return style_losses, content_losses
+
+
+@partial(
+    jax.jit,
+    static_argnames=("style_layers", "content_layers", "precision"),
+)
+def total_loss(
+    params: Params,
+    x: jax.Array,
+    targets: Targets,
+    style_w: jax.Array | float,
+    content_w: jax.Array | float,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    precision: jax.lax.Precision | None = None,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Weighted total loss plus (style_score, content_score) aux.
+
+    Empty layer lists contribute a zero scalar, mirroring the reference's
+    zero-fallback (optimization.py:296-307).
+    """
+    style_losses, content_losses = style_content_losses(
+        params, x, targets, style_layers, content_layers,
+        precision=precision,
+    )
+    zero = jnp.zeros((), dtype=x.dtype)
+    style_score = (
+        jnp.sum(jnp.stack(style_losses)) if style_losses else zero
+    )
+    content_score = (
+        jnp.sum(jnp.stack(content_losses)) if content_losses else zero
+    )
+    total = style_w * style_score + content_w * content_score
+    return total, (style_score, content_score)
+
+
+def initialize_input(
+    content_img: jax.Array,
+    method: InitMethod,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Build the optimization starting image.
+
+    "content" clones the content image, "random" draws standard-normal
+    noise, "white" is all-ones (reference core_model.py:66-100). JAX has
+    no requires_grad; the caller differentiates with respect to this
+    array explicitly.
+    """
+    if method == "content":
+        return jnp.array(content_img)
+    if method == "random":
+        if key is None:
+            msg = "random init requires a PRNG key"
+            raise ValueError(msg)
+        return jax.random.normal(
+            key, content_img.shape, dtype=content_img.dtype,
+        )
+    if method == "white":
+        return jnp.ones_like(content_img)
+    msg = f"Unsupported initialization method: {method}"
+    raise ValueError(msg)
+
+
+# Register Targets as a pytree so it can cross jit boundaries.
+jax.tree_util.register_pytree_node(
+    Targets,
+    lambda t: (
+        (t.style_grams, t.content_feats),
+        None,
+    ),
+    lambda _, children: Targets(*children),
+)

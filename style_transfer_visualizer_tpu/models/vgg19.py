@@ -1,0 +1,220 @@
+"""Pure-JAX VGG19 feature stack with torchvision-compatible numbering.
+
+The network is a flat table of (conv | relu | pool) layers whose indices
+match ``torchvision.models.vgg19().features``, so the reference's layer
+selections — style (0, 5, 10, 19, 28), content (21,) — address the same
+activations (reference core_model.py:103-146).
+
+TPU-first choices:
+- NHWC activations and HWIO kernels: convolutions lower directly onto the
+  MXU without layout transposes.
+- The forward pass is a pure function of a params pytree; no module state.
+- Weights come from a one-time torchvision-checkpoint conversion cached as
+  ``.npz`` (same cache-hit/download logging contract as the reference's
+  ``initialize_vgg``, core_model.py:103-117), with a seeded-random
+  fallback for air-gapped environments.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_transfer_visualizer_tpu.utils.logging import logger
+
+# Layer-type tags.
+CONV = "conv"
+RELU = "relu"
+POOL = "pool"
+
+# VGG-19 configuration "E": conv channel widths with 'M' max-pool markers.
+_VGG19_CFG: tuple[int | str, ...] = (
+    64, 64, "M",
+    128, 128, "M",
+    256, 256, 256, 256, "M",
+    512, 512, 512, 512, "M",
+    512, 512, 512, 512, "M",
+)
+
+
+def _build_layer_table() -> tuple[tuple[str, int, int], ...]:
+    """Expand the config into (kind, in_ch, out_ch) rows, one per index."""
+    rows: list[tuple[str, int, int]] = []
+    in_ch = 3
+    for item in _VGG19_CFG:
+        if item == "M":
+            rows.append((POOL, in_ch, in_ch))
+        else:
+            out_ch = int(item)
+            rows.append((CONV, in_ch, out_ch))
+            rows.append((RELU, out_ch, out_ch))
+            in_ch = out_ch
+    return tuple(rows)
+
+
+LAYER_TABLE = _build_layer_table()
+NUM_LAYERS = len(LAYER_TABLE)  # 37, matching torchvision indices 0..36
+CONV_INDICES = tuple(
+    i for i, (kind, _, _) in enumerate(LAYER_TABLE) if kind == CONV
+)
+
+# Params: {layer_index: {"w": (3,3,in,out) f32, "b": (out,) f32}}
+Params = dict[int, dict[str, jax.Array]]
+
+_DEFAULT_CACHE_DIR = Path(
+    os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"),
+) / "style_transfer_visualizer_tpu"
+CACHE_FILENAME = "vgg19_imagenet.npz"
+
+# Known torchvision checkpoint locations to convert from, in order.
+_TORCH_CHECKPOINT_GLOBS = ("vgg19-*.pth", "vgg19.pth")
+
+
+def init_random_params(
+    key: jax.Array,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """He-normal random conv weights (air-gapped / testing fallback)."""
+    params: Params = {}
+    for idx in CONV_INDICES:
+        _, in_ch, out_ch = LAYER_TABLE[idx]
+        key, wkey = jax.random.split(key)
+        fan_in = 3 * 3 * in_ch
+        w = jax.random.normal(wkey, (3, 3, in_ch, out_ch), dtype)
+        params[idx] = {
+            "w": w * jnp.sqrt(2.0 / fan_in).astype(dtype),
+            "b": jnp.zeros((out_ch,), dtype),
+        }
+    return params
+
+
+def convert_torch_state_dict(state_dict: dict[str, Any]) -> Params:
+    """Convert a torchvision VGG19 ``features`` state dict to our pytree.
+
+    Accepts either bare ``{i}.weight`` keys (a ``.features`` submodule dump)
+    or full-model ``features.{i}.weight`` keys. OIHW kernels are transposed
+    to HWIO for NHWC convolution.
+    """
+    params: Params = {}
+    for idx in CONV_INDICES:
+        found = None
+        for prefix in (f"features.{idx}", f"{idx}"):
+            wkey, bkey = f"{prefix}.weight", f"{prefix}.bias"
+            if wkey in state_dict and bkey in state_dict:
+                found = (state_dict[wkey], state_dict[bkey])
+                break
+        if found is None:
+            msg = f"State dict is missing conv layer {idx}"
+            raise KeyError(msg)
+        w_oihw, b = (np.asarray(t, dtype=np.float32) for t in found)
+        _, in_ch, out_ch = LAYER_TABLE[idx]
+        if w_oihw.shape != (out_ch, in_ch, 3, 3):
+            msg = (
+                f"Layer {idx}: expected OIHW {(out_ch, in_ch, 3, 3)}, "
+                f"got {w_oihw.shape}"
+            )
+            raise ValueError(msg)
+        params[idx] = {
+            "w": jnp.asarray(w_oihw.transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(b),
+        }
+    return params
+
+
+def save_params_npz(params: Params, path: Path) -> None:
+    """Persist a params pytree as a flat .npz archive."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = {}
+    for idx, layer in params.items():
+        flat[f"w{idx}"] = np.asarray(layer["w"])
+        flat[f"b{idx}"] = np.asarray(layer["b"])
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: Path) -> Params:
+    """Load a params pytree from a flat .npz archive."""
+    with np.load(path) as data:
+        return {
+            idx: {
+                "w": jnp.asarray(data[f"w{idx}"]),
+                "b": jnp.asarray(data[f"b{idx}"]),
+            }
+            for idx in CONV_INDICES
+        }
+
+
+def _find_torch_checkpoint() -> Path | None:
+    """Look for a torchvision VGG19 checkpoint in conventional cache dirs."""
+    candidates = []
+    hub_dir = os.environ.get("TORCH_HOME")
+    if hub_dir:
+        candidates.append(Path(hub_dir) / "hub" / "checkpoints")
+    candidates.append(Path.home() / ".cache" / "torch" / "hub" / "checkpoints")
+    for directory in candidates:
+        if not directory.is_dir():
+            continue
+        for pattern in _TORCH_CHECKPOINT_GLOBS:
+            for hit in sorted(directory.glob(pattern)):
+                return hit
+    return None
+
+
+def _convert_checkpoint(checkpoint: Path) -> Params:
+    """Convert a torch .pth checkpoint (requires torch on the host)."""
+    import torch  # noqa: PLC0415 - optional heavy dep, host-side only
+
+    state = torch.load(checkpoint, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):  # pragma: no cover - full-model file
+        state = state.state_dict()
+    return convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()},
+    )
+
+
+def load_vgg19_params(
+    cache_dir: Path | None = None,
+    *,
+    allow_random: bool = False,
+    seed: int = 0,
+) -> Params:
+    """Load pretrained VGG19 feature weights, converting and caching.
+
+    Order: .npz cache hit -> torchvision checkpoint conversion -> seeded
+    random init (only with ``allow_random=True``; logged loudly since
+    stylization quality depends on pretrained features).
+    """
+    cache_dir = cache_dir or _DEFAULT_CACHE_DIR
+    cache_path = cache_dir / CACHE_FILENAME
+
+    if cache_path.exists():
+        logger.info("Using cached VGG19 weights at %s", cache_path)
+        return load_params_npz(cache_path)
+
+    checkpoint = _find_torch_checkpoint()
+    if checkpoint is not None:
+        logger.info(
+            "Converting VGG19 weights from %s to %s", checkpoint, cache_path,
+        )
+        params = _convert_checkpoint(checkpoint)
+        save_params_npz(params, cache_path)
+        return params
+
+    if allow_random:
+        logger.warning(
+            "Pretrained VGG19 weights unavailable (no cache at %s, no torch "
+            "checkpoint found); using seeded random weights. Stylization "
+            "quality will be poor.",
+            cache_path,
+        )
+        return init_random_params(jax.random.key(seed))
+
+    msg = (
+        f"VGG19 weights not found. Place a torchvision checkpoint under "
+        f"~/.cache/torch/hub/checkpoints/ or a converted archive at "
+        f"{cache_path}, or pass allow_random=True."
+    )
+    raise FileNotFoundError(msg)
