@@ -1,0 +1,303 @@
+"""Jittable optimizers for pixel-space optimization: L-BFGS and Adam.
+
+The L-BFGS here reproduces ``torch.optim.LBFGS`` semantics (no line
+search) so loss curves match the reference: one ``step()`` runs up to
+``max_iter`` inner iterations bounded by ``max_eval`` function
+evaluations, the first-ever iteration uses steepest descent with step
+``min(1, 1/|g|_1) * lr``, curvature pairs are kept in a ring of
+``history_size`` entries with the standard two-loop recursion, and the
+direction/step/history persist across ``step()`` calls (reference uses
+torch.optim.LBFGS at core_model.py:344-349 with lr/max_iter/max_eval
+from config).
+
+Everything is a ``lax.while_loop`` / ``fori_loop`` over fixed-shape
+arrays, so a whole optimizer step — including any inner re-evaluations —
+compiles to a single XLA computation with donated buffers. No Python-level
+closure churn, no host syncs.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TOLERANCE_GRAD = 1e-7
+TOLERANCE_CHANGE = 1e-9
+_CURVATURE_EPS = 1e-10
+
+# value_and_grad over flattened pixels:
+# x (N,) -> ((loss, (style_score, content_score)), grad (N,))
+ValueAndGrad = Callable[
+    [jax.Array], tuple[tuple[jax.Array, tuple[jax.Array, jax.Array]],
+                       jax.Array],
+]
+
+
+class LbfgsState(NamedTuple):
+    """Persistent L-BFGS state (survives across outer steps)."""
+
+    s_hist: jax.Array        # (m, N) parameter deltas
+    y_hist: jax.Array        # (m, N) gradient deltas
+    rho: jax.Array           # (m,) 1/(y.s)
+    hist_len: jax.Array      # int32, number of valid pairs
+    hist_pos: jax.Array      # int32, ring insertion slot
+    h_diag: jax.Array        # f32, initial Hessian scaling
+    prev_grad: jax.Array     # (N,)
+    direction: jax.Array     # (N,) last search direction
+    step_size: jax.Array     # f32, last step length t
+    prev_loss: jax.Array     # f32
+    n_total_iters: jax.Array  # int32, across the whole run
+    func_evals: jax.Array    # int32, across the whole run
+
+
+class StepAux(NamedTuple):
+    """Device-side metrics produced by one optimizer step."""
+
+    loss: jax.Array           # total loss at the last evaluation
+    style_score: jax.Array
+    content_score: jax.Array
+    n_evals: jax.Array        # evaluations consumed by this step (int32)
+
+
+def lbfgs_init(n: int, history_size: int) -> LbfgsState:
+    """Zero-initialized state for an ``n``-parameter problem."""
+    m = history_size
+    f32, i32 = jnp.float32, jnp.int32
+    return LbfgsState(
+        s_hist=jnp.zeros((m, n), f32),
+        y_hist=jnp.zeros((m, n), f32),
+        rho=jnp.zeros((m,), f32),
+        hist_len=jnp.zeros((), i32),
+        hist_pos=jnp.zeros((), i32),
+        h_diag=jnp.ones((), f32),
+        prev_grad=jnp.zeros((n,), f32),
+        direction=jnp.zeros((n,), f32),
+        step_size=jnp.zeros((), f32),
+        prev_loss=jnp.zeros((), f32),
+        n_total_iters=jnp.zeros((), i32),
+        func_evals=jnp.zeros((), i32),
+    )
+
+
+def _two_loop(
+    grad: jax.Array,
+    state: LbfgsState,
+    history_size: int,
+) -> jax.Array:
+    """Two-loop recursion: approximate -H^{-1} g from curvature pairs."""
+    m = history_size
+    num = state.hist_len
+
+    def slot(i: jax.Array) -> jax.Array:
+        # i-th oldest valid pair lives at ring slot (pos - len + i) mod m.
+        return (state.hist_pos - num + i) % m
+
+    q = -grad
+    alphas = jnp.zeros((m,), jnp.float32)
+
+    def backward(i: jax.Array, carry):
+        q, alphas = carry
+        j = slot(num - 1 - i)  # newest to oldest
+        alpha = state.rho[j] * jnp.dot(state.s_hist[j], q)
+        q = q - alpha * state.y_hist[j]
+        return q, alphas.at[j].set(alpha)
+
+    q, alphas = jax.lax.fori_loop(0, num, backward, (q, alphas))
+    r = q * state.h_diag
+
+    def forward(i: jax.Array, r):
+        j = slot(i)  # oldest to newest
+        beta = state.rho[j] * jnp.dot(state.y_hist[j], r)
+        return r + state.s_hist[j] * (alphas[j] - beta)
+
+    return jax.lax.fori_loop(0, num, forward, r)
+
+
+class _Carry(NamedTuple):
+    x: jax.Array
+    loss: jax.Array
+    style: jax.Array
+    content: jax.Array
+    grad: jax.Array
+    state: LbfgsState
+    n_iter: jax.Array
+    evals: jax.Array
+    done: jax.Array
+
+
+def lbfgs_step(
+    vag: ValueAndGrad,
+    x: jax.Array,
+    state: LbfgsState,
+    lr: float | jax.Array,
+    *,
+    max_iter: int,
+    max_eval: int,
+    history_size: int,
+) -> tuple[jax.Array, LbfgsState, StepAux]:
+    """One outer L-BFGS step (torch semantics, fixed-step strategy).
+
+    ``x`` is the flattened parameter vector. Returns the updated vector,
+    persistent state, and device-side metrics from the *last* function
+    evaluation of the step (which is what the reference's re-entrant
+    closure records, optimization.py:274-284).
+    """
+    (loss0, (style0, content0)), grad0 = vag(x)
+    opt_cond0 = jnp.max(jnp.abs(grad0)) <= TOLERANCE_GRAD
+
+    init = _Carry(
+        x=x, loss=loss0, style=style0, content=content0, grad=grad0,
+        state=state,
+        n_iter=jnp.zeros((), jnp.int32),
+        evals=jnp.ones((), jnp.int32),
+        done=opt_cond0,
+    )
+
+    def cond(c: _Carry) -> jax.Array:
+        return jnp.logical_and(~c.done, c.n_iter < max_iter)
+
+    def body(c: _Carry) -> _Carry:
+        st = c.state
+        n_iter = c.n_iter + 1
+        n_total = st.n_total_iters + 1
+        first = n_total == 1
+
+        # --- curvature-pair insertion (skipped on the first-ever iter
+        # or when the curvature condition y.s > eps fails) ---
+        y = c.grad - st.prev_grad
+        s = st.direction * st.step_size
+        ys = jnp.dot(y, s)
+        do_insert = jnp.logical_and(~first, ys > _CURVATURE_EPS)
+
+        def insert(st: LbfgsState) -> LbfgsState:
+            pos = st.hist_pos
+            return st._replace(
+                s_hist=st.s_hist.at[pos].set(s),
+                y_hist=st.y_hist.at[pos].set(y),
+                rho=st.rho.at[pos].set(1.0 / ys),
+                hist_pos=(pos + 1) % history_size,
+                hist_len=jnp.minimum(st.hist_len + 1, history_size),
+                h_diag=ys / jnp.dot(y, y),
+            )
+
+        st = jax.lax.cond(do_insert, insert, lambda s: s, st)
+
+        direction = jnp.where(
+            first,
+            -c.grad,
+            _two_loop(c.grad, st, history_size),
+        )
+        t = jnp.where(
+            first,
+            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(c.grad))) * lr,
+            jnp.asarray(lr, jnp.float32),
+        )
+
+        gtd = jnp.dot(c.grad, direction)
+        break_gtd = gtd > -TOLERANCE_CHANGE
+
+        x_new = jnp.where(break_gtd, c.x, c.x + t * direction)
+
+        # Re-evaluate unless this inner iteration is the last or we broke.
+        reeval = jnp.logical_and(~break_gtd, n_iter < max_iter)
+
+        def do_eval(x_in):
+            (loss, (sty, con)), g = vag(x_in)
+            return loss, sty, con, g
+
+        loss, style, content, grad = jax.lax.cond(
+            reeval,
+            do_eval,
+            lambda _: (c.loss, c.style, c.content, c.grad),
+            x_new,
+        )
+        evals = c.evals + reeval.astype(jnp.int32)
+
+        opt_cond = jnp.max(jnp.abs(grad)) <= TOLERANCE_GRAD
+        small_step = jnp.max(jnp.abs(t * direction)) <= TOLERANCE_CHANGE
+        flat_loss = jnp.abs(loss - c.loss) < TOLERANCE_CHANGE
+        done = (
+            break_gtd
+            | (evals >= max_eval)
+            | opt_cond
+            | small_step
+            | flat_loss
+        )
+
+        st = st._replace(
+            prev_grad=c.grad,
+            direction=direction,
+            step_size=t,
+            prev_loss=c.loss,
+            n_total_iters=n_total,
+            func_evals=st.func_evals + reeval.astype(jnp.int32),
+        )
+        return _Carry(
+            x=x_new, loss=loss, style=style, content=content, grad=grad,
+            state=st, n_iter=n_iter, evals=evals, done=done,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    st = final.state._replace(func_evals=final.state.func_evals + 1)
+    aux = StepAux(
+        loss=final.loss,
+        style_score=final.style,
+        content_score=final.content,
+        n_evals=final.evals,
+    )
+    return final.x, st, aux
+
+
+class AdamState(NamedTuple):
+    """Adam moment estimates (torch-default hyperparameters)."""
+
+    mu: jax.Array
+    nu: jax.Array
+    count: jax.Array
+
+
+def adam_init(n: int) -> AdamState:
+    """Zero moments for an ``n``-parameter problem."""
+    return AdamState(
+        mu=jnp.zeros((n,), jnp.float32),
+        nu=jnp.zeros((n,), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=(), donate_argnums=())
+def _adam_update_math(
+    grad: jax.Array,
+    state: AdamState,
+    lr: jax.Array,
+) -> tuple[jax.Array, AdamState]:
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    count = state.count + 1
+    mu = b1 * state.mu + (1 - b1) * grad
+    nu = b2 * state.nu + (1 - b2) * jnp.square(grad)
+    mu_hat = mu / (1 - b1 ** count.astype(jnp.float32))
+    nu_hat = nu / (1 - b2 ** count.astype(jnp.float32))
+    delta = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+    return delta, AdamState(mu=mu, nu=nu, count=count)
+
+
+def adam_step(
+    vag: ValueAndGrad,
+    x: jax.Array,
+    state: AdamState,
+    lr: float | jax.Array,
+) -> tuple[jax.Array, AdamState, StepAux]:
+    """One Adam step (matches torch.optim.Adam defaults: eps outside sqrt)."""
+    (loss, (style, content)), grad = vag(x)
+    delta, state = _adam_update_math(
+        grad, state, jnp.asarray(lr, jnp.float32),
+    )
+    aux = StepAux(
+        loss=loss,
+        style_score=style,
+        content_score=content,
+        n_evals=jnp.ones((), jnp.int32),
+    )
+    return x + delta, state, aux

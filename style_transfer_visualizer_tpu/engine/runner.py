@@ -1,0 +1,378 @@
+"""Optimization loop orchestration: dispatch, metrics, frames, callbacks.
+
+The reference drives a re-entrant torch closure per step
+(optimization.py:162-327); here each step is one dispatch of a pre-built
+jitted update with donated buffers. The host thread never blocks on the
+device except at the ``log_every`` metrics cadence and at ``save_every``
+frame extractions, so TPU steps pipeline back-to-back.
+
+Behavioral contracts kept from the reference:
+- metrics/frames/callbacks fire once per *accepted* step regardless of how
+  many function evaluations L-BFGS consumed internally,
+- the one-shot intro crossfade precedes the first saved stylized frame,
+- closure-evaluation telemetry is reported at the end of the run,
+- non-finite losses produce warnings (checked at sync cadence rather than
+  every step, so the hot loop stays sync-free),
+- CSV logging failures degrade to in-memory history via the error callback.
+"""
+from __future__ import annotations
+
+import math
+import time
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Protocol
+
+import jax
+import numpy as np
+from tqdm import tqdm
+
+import style_transfer_visualizer_tpu.image_io as stv_image_io
+from style_transfer_visualizer_tpu.constants import (
+    CSV_LOGGING_RECOMMENDED_STEPS,
+)
+from style_transfer_visualizer_tpu.engine.loss_accumulator import (
+    DEFAULT_HISTORY_CAPACITY,
+    LoggedLoss,
+    LossAccumulator,
+)
+from style_transfer_visualizer_tpu.engine.loss_logger import LossCSVLogger
+from style_transfer_visualizer_tpu.utils.logging import logger
+
+if TYPE_CHECKING:
+    from style_transfer_visualizer_tpu.config import StyleTransferConfig
+    from style_transfer_visualizer_tpu.engine.optimizers import StepAux
+    from style_transfer_visualizer_tpu.engine.step import OptState, UpdateFn
+    from style_transfer_visualizer_tpu.media.sinks import VideoFrameSink
+    from style_transfer_visualizer_tpu.type_defs import LossHistory
+
+
+class ProgressReporter(Protocol):
+    """The slice of tqdm's interface the runner relies on."""
+
+    def update(self, n: float | None = 1) -> bool | None:
+        """Advance the display."""
+
+    def set_postfix(
+        self,
+        ordered_dict: Mapping[str, object] | None = None,
+        refresh: bool | None = True,
+        **kwargs: object,
+    ) -> None:
+        """Show supplementary values."""
+
+    def close(self) -> None:
+        """Release display resources."""
+
+
+@dataclass(slots=True)
+class StepMetrics:
+    """Host-synced scalars surfaced to callbacks (may be empty off-cadence)."""
+
+    step: int
+    style_loss: float | None = None
+    content_loss: float | None = None
+    total_loss: float | None = None
+
+    @property
+    def has_values(self) -> bool:
+        """True when all three loss values are populated."""
+        return (
+            self.style_loss is not None
+            and self.content_loss is not None
+            and self.total_loss is not None
+        )
+
+
+@dataclass(slots=True)
+class OptimizationCallbacks:
+    """Optional hooks around optimization events."""
+
+    on_step_start: Callable[[int], None] | None = None
+    on_step_end: Callable[[StepMetrics], None] | None = None
+    on_video_frame: Callable[[np.ndarray, int], None] | None = None
+    on_logging_error: Callable[[Exception], None] | None = None
+
+
+class OptimizationRunner:
+    """Run the jitted update loop with logging, frames, and callbacks."""
+
+    def __init__(
+        self,
+        update_fn: UpdateFn,
+        opt_state: OptState,
+        input_img: jax.Array,
+        config: StyleTransferConfig,
+        *,
+        progress_bar: ProgressReporter | None = None,
+        callbacks: OptimizationCallbacks | None = None,
+        video_writer: VideoFrameSink | None = None,
+        gif_collector: VideoFrameSink | None = None,
+        intro_last_frame: np.ndarray | None = None,
+        intro_crossfade_frames: int = 0,
+        frame_fetcher: Callable[[jax.Array], np.ndarray] | None = None,
+    ) -> None:
+        self.update_fn = update_fn
+        self.opt_state = opt_state
+        self.input_img = input_img
+        self.config = config
+
+        self._progress_bar = progress_bar
+        self._owns_progress_bar = False
+        self.callbacks = callbacks or OptimizationCallbacks()
+
+        self.video_writer = video_writer
+        self.gif_collector = gif_collector
+        self.intro_last_frame = intro_last_frame
+        self.intro_crossfade_frames = intro_crossfade_frames
+        self.intro_transition_done = intro_last_frame is None
+
+        self._frame_fetcher = frame_fetcher or self._default_frame_fetcher
+
+        self.loss_logger: LossCSVLogger | None = None
+        self._accumulator: LossAccumulator | None = None
+        self._latest_logged: LoggedLoss | None = None
+        self._configure_logging()
+
+        self._step_index = 0
+        self._eval_counts: list[jax.Array] = []
+
+    @property
+    def progress_bar(self) -> ProgressReporter:
+        """The active progress reporter (run() must have started)."""
+        if self._progress_bar is None:
+            msg = "Progress bar not initialized. Call run() before use."
+            raise RuntimeError(msg)
+        return self._progress_bar
+
+    @property
+    def total_steps(self) -> int:
+        """Configured step count."""
+        return self.config.optimization.steps
+
+    def run(self) -> tuple[jax.Array, LossHistory, float]:
+        """Execute the loop; return (image, loss history, elapsed seconds)."""
+        if self._progress_bar is None:
+            self._progress_bar = tqdm(
+                total=self.total_steps, desc="Style Transfer",
+            )
+            self._owns_progress_bar = True
+
+        start_time = time.time()
+        try:
+            while self._step_index < self.total_steps:
+                step_idx = self._step_index + 1
+                if self.callbacks.on_step_start is not None:
+                    self.callbacks.on_step_start(step_idx)
+
+                self.input_img, self.opt_state, aux = self.update_fn(
+                    self.input_img, self.opt_state,
+                )
+                self._finalize_step(step_idx, aux)
+        finally:
+            self._cleanup()
+
+        jax.block_until_ready(self.input_img)
+        elapsed = time.time() - start_time
+        self._log_summary()
+
+        history: LossHistory
+        if self._accumulator is not None and self._accumulator.tracks_history:
+            history = self._accumulator.export_history()
+        else:
+            history = {}
+        return self.input_img, history, elapsed
+
+    # ------------------------------------------------------------------
+    # internals
+
+    def _default_frame_fetcher(self, image: jax.Array) -> np.ndarray:
+        return stv_image_io.array_to_uint8_frame(
+            image, normalize=self.config.optimization.normalize,
+        )
+
+    def _configure_logging(self) -> None:
+        out_cfg = self.config.output
+        steps = self.total_steps
+        track_history = True
+        self.loss_logger = None
+
+        if out_cfg.log_loss:
+            try:
+                self.loss_logger = LossCSVLogger(
+                    out_cfg.log_loss, out_cfg.log_every,
+                )
+                logger.info(
+                    "Loss CSV logging enabled: %s", out_cfg.log_loss,
+                )
+                track_history = False
+            except OSError as exc:
+                logger.error("Failed to initialize CSV logging: %s", exc)
+                if self.callbacks.on_logging_error is not None:
+                    self.callbacks.on_logging_error(exc)
+                track_history = True
+
+        capacity = min(steps, DEFAULT_HISTORY_CAPACITY)
+        self._accumulator = LossAccumulator(
+            log_every=out_cfg.log_every,
+            history_capacity=capacity,
+            track_history=track_history,
+        )
+
+        if track_history and steps > capacity:
+            logger.warning(
+                "Long run detected (%d steps). In-memory loss history is "
+                "capped at %d entries; enable --log-loss for a full CSV.",
+                steps, capacity,
+            )
+        elif track_history and steps > CSV_LOGGING_RECOMMENDED_STEPS:
+            logger.warning(
+                "Long run detected (%d steps). Consider enabling "
+                "--log-loss to capture every step.",
+                steps,
+            )
+
+    def _finalize_step(self, step_idx: int, aux: StepAux) -> None:
+        self._step_index = step_idx
+        self._eval_counts.append(aux.n_evals)
+
+        logged = self._record_losses(step_idx, aux)
+        if logged is not None:
+            self._latest_logged = logged
+            self._warn_nonfinite(logged)
+            metrics = StepMetrics(
+                step=logged.step,
+                style_loss=logged.style_loss,
+                content_loss=logged.content_loss,
+                total_loss=logged.total_loss,
+            )
+        else:
+            metrics = StepMetrics(step=step_idx)
+
+        self._maybe_write_video_frame(metrics)
+        self.progress_bar.update(1)
+        if self.callbacks.on_step_end is not None:
+            self.callbacks.on_step_end(metrics)
+
+    def _record_losses(
+        self, step_idx: int, aux: StepAux,
+    ) -> LoggedLoss | None:
+        if self._accumulator is None:
+            return None
+        logged = self._accumulator.accumulate(
+            step_idx, aux.style_score, aux.content_score, aux.loss,
+        )
+        if logged is not None and self.loss_logger is not None:
+            self.loss_logger.log(
+                logged.step,
+                logged.style_loss,
+                logged.content_loss,
+                logged.total_loss,
+            )
+        return logged
+
+    def _warn_nonfinite(self, logged: LoggedLoss) -> None:
+        # Checked at the sync cadence so the hot loop stays async; the
+        # reference checks every step at the cost of a device sync
+        # (optimization.py:375-400).
+        if not math.isfinite(logged.style_loss):
+            logger.warning(
+                "Non-finite style score at step %d", logged.step,
+            )
+        if not math.isfinite(logged.content_loss):
+            logger.warning(
+                "Non-finite content score at step %d", logged.step,
+            )
+        if not math.isfinite(logged.total_loss):
+            logger.warning(
+                "Non-finite total loss at step %d, using previous loss",
+                logged.step,
+            )
+
+    def _maybe_write_video_frame(self, metrics: StepMetrics) -> None:
+        save_every = self.config.video.save_every
+        step_idx = metrics.step
+        if (
+            not save_every
+            or step_idx % save_every != 0
+            or (self.video_writer is None and self.gif_collector is None)
+        ):
+            return
+
+        img_np = self._frame_fetcher(self.input_img)
+
+        if self.intro_last_frame is not None and not self.intro_transition_done:
+            from style_transfer_visualizer_tpu.media.segments import (  # noqa: PLC0415
+                append_crossfade,
+            )
+
+            if (
+                self.video_writer is not None
+                and self.config.video.intro_enabled
+            ):
+                append_crossfade(
+                    self.video_writer,
+                    self.intro_last_frame,
+                    img_np,
+                    self.intro_crossfade_frames,
+                )
+            if (
+                self.gif_collector is not None
+                and self.config.video.gif_include_intro
+            ):
+                append_crossfade(
+                    self.gif_collector,
+                    self.intro_last_frame,
+                    img_np,
+                    self.intro_crossfade_frames,
+                )
+            self.intro_transition_done = True
+            self.intro_last_frame = None
+
+        if self.video_writer is not None:
+            self.video_writer.append_data(img_np)
+        if self.gif_collector is not None:
+            self.gif_collector.append_data(img_np)
+
+        self._update_progress_postfix(metrics)
+
+        if self.callbacks.on_video_frame is not None:
+            self.callbacks.on_video_frame(img_np, step_idx)
+
+    def _update_progress_postfix(self, metrics: StepMetrics) -> None:
+        display = metrics
+        if not metrics.has_values and self._latest_logged is not None:
+            display = StepMetrics(
+                step=self._latest_logged.step,
+                style_loss=self._latest_logged.style_loss,
+                content_loss=self._latest_logged.content_loss,
+                total_loss=self._latest_logged.total_loss,
+            )
+        postfix: dict[str, str] = {}
+        if display.style_loss is not None:
+            postfix["style"] = f"{display.style_loss:.4f}"
+        if display.content_loss is not None:
+            postfix["content"] = f"{display.content_loss:.4f}"
+        if display.total_loss is not None:
+            postfix["loss"] = f"{display.total_loss:.4f}"
+        if postfix:
+            self.progress_bar.set_postfix(postfix)
+
+    def _log_summary(self) -> None:
+        if self._step_index <= 0:
+            return
+        # Single host sync for the whole run's evaluation telemetry.
+        total_evals = int(np.sum(np.asarray(self._eval_counts)))
+        logger.info(
+            "Optimization finished with %d accepted steps and %d closure "
+            "evaluations (%.2f closures/step).",
+            self._step_index,
+            total_evals,
+            total_evals / self._step_index,
+        )
+
+    def _cleanup(self) -> None:
+        if self.loss_logger is not None:
+            self.loss_logger.close()
+        if self._owns_progress_bar and self._progress_bar is not None:
+            self._progress_bar.close()

@@ -1,0 +1,124 @@
+"""Builds the single jitted update step for a style-transfer run.
+
+The whole hot loop of the reference — closure forward, backward, optimizer
+update (optimization.py:162-327) — compiles here into ONE XLA computation
+per step with the image and optimizer state donated, so pixels never leave
+HBM and the host only dispatches. Metrics come back as device scalars; the
+caller decides when to sync them.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from style_transfer_visualizer_tpu.engine.optimizers import (
+    AdamState,
+    LbfgsState,
+    StepAux,
+    adam_init,
+    adam_step,
+    lbfgs_init,
+    lbfgs_step,
+)
+from style_transfer_visualizer_tpu.models.features import (
+    Targets,
+    total_loss,
+)
+from style_transfer_visualizer_tpu.models.vgg19 import Params
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+OptState = LbfgsState | AdamState
+
+# update(image, opt_state) -> (image, opt_state, StepAux)
+UpdateFn = Callable[
+    [jax.Array, OptState], tuple[jax.Array, OptState, StepAux],
+]
+
+
+class StepBundle(NamedTuple):
+    """A compiled update function with its initial optimizer state."""
+
+    update_fn: UpdateFn
+    opt_state: OptState
+
+
+def resolve_precision(name: str) -> jax.lax.Precision:
+    """Map a config precision name to a lax.Precision."""
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        msg = f"Unknown precision: {name!r}"
+        raise ValueError(msg) from None
+
+
+def build_update_step(
+    params: Params,
+    targets: Targets,
+    image_shape: tuple[int, ...],
+    *,
+    optimizer: str,
+    lr: float,
+    style_w: float,
+    content_w: float,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    precision: str = "highest",
+    lbfgs_max_iter: int = 1,
+    lbfgs_max_eval: int = 1,
+    lbfgs_history_size: int = 100,
+) -> StepBundle:
+    """Compile the per-step update for the given problem.
+
+    The returned function has signature ``(image, opt_state) -> (image,
+    opt_state, StepAux)`` with both carried buffers donated. ``image`` is
+    the working (1, H, W, 3) array in (possibly normalized) model space.
+    """
+    prec = resolve_precision(precision)
+    n = 1
+    for dim in image_shape:
+        n *= int(dim)
+
+    def vag(flat: jax.Array):
+        def loss_of(flat_x: jax.Array):
+            img = flat_x.reshape(image_shape)
+            return total_loss(
+                params, img, targets, style_w, content_w,
+                tuple(style_layers), tuple(content_layers), prec,
+            )
+
+        return jax.value_and_grad(loss_of, has_aux=True)(flat)
+
+    if optimizer == "lbfgs":
+        opt_state: OptState = lbfgs_init(n, lbfgs_history_size)
+
+        def update(image: jax.Array, state: LbfgsState):
+            flat = image.reshape(n)
+            new_flat, new_state, aux = lbfgs_step(
+                vag, flat, state, lr,
+                max_iter=lbfgs_max_iter,
+                max_eval=lbfgs_max_eval,
+                history_size=lbfgs_history_size,
+            )
+            return new_flat.reshape(image_shape), new_state, aux
+
+    elif optimizer == "adam":
+        opt_state = adam_init(n)
+
+        def update(image: jax.Array, state: AdamState):
+            flat = image.reshape(n)
+            new_flat, new_state, aux = adam_step(vag, flat, state, lr)
+            return new_flat.reshape(image_shape), new_state, aux
+
+    else:
+        msg = f"Unknown optimizer: {optimizer!r}"
+        raise ValueError(msg)
+
+    jitted = jax.jit(update, donate_argnums=(0, 1))
+    return StepBundle(update_fn=jitted, opt_state=opt_state)

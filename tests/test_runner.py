@@ -1,0 +1,282 @@
+"""OptimizationRunner orchestration with fake update functions and sinks."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_visualizer_tpu.engine.optimizers import StepAux
+from style_transfer_visualizer_tpu.engine.runner import (
+    OptimizationCallbacks,
+    OptimizationRunner,
+    StepMetrics,
+)
+
+
+class MemorySink:
+    """In-memory VideoFrameSink for orchestration tests."""
+
+    def __init__(self) -> None:
+        self.frames: list[np.ndarray] = []
+        self.closed = False
+        self._size: tuple[int, int] | None = None
+
+    def append_data(self, frame: np.ndarray) -> None:
+        self.frames.append(np.array(frame))
+        self._size = (frame.shape[1], frame.shape[0])
+
+    def close(self) -> None:
+        self.closed = True
+
+
+class NullBar:
+    """Progress reporter spy."""
+
+    def __init__(self) -> None:
+        self.updates = 0
+        self.postfixes: list[dict] = []
+        self.closed = False
+
+    def update(self, n=1):
+        self.updates += n
+
+    def set_postfix(self, ordered_dict=None, refresh=True, **kw):
+        self.postfixes.append(dict(ordered_dict or {}))
+
+    def close(self):
+        self.closed = True
+
+
+def fake_update(step_value: float = 1.0):
+    """Update fn writing a recognizable, decreasing loss per step."""
+    counter = {"n": 0}
+
+    def update(img, state):
+        counter["n"] += 1
+        loss = jnp.asarray(10.0 / counter["n"])
+        aux = StepAux(
+            loss=loss,
+            style_score=loss * 0.6,
+            content_score=loss * 0.4,
+            n_evals=jnp.asarray(2, jnp.int32),
+        )
+        return img + step_value, state, aux
+
+    return update
+
+
+@pytest.fixture
+def runner_factory(make_style_transfer_config):
+    def _make(*, steps=4, video=None, output=None, **runner_kw):
+        cfg = make_style_transfer_config(
+            optimization={"steps": steps},
+            video=video or {},
+            output=output or {},
+        )
+        img = jnp.zeros((1, 8, 8, 3), jnp.float32)
+        bar = runner_kw.pop("progress_bar", NullBar())
+        runner = OptimizationRunner(
+            runner_kw.pop("update_fn", fake_update()),
+            opt_state=None,
+            input_img=img,
+            config=cfg,
+            progress_bar=bar,
+            **runner_kw,
+        )
+        return runner, bar
+
+    return _make
+
+
+class TestRunLoop:
+    def test_runs_all_steps(self, runner_factory) -> None:
+        runner, bar = runner_factory(steps=5)
+        img, history, elapsed = runner.run()
+        assert bar.updates == 5
+        assert elapsed >= 0
+        assert float(np.asarray(img)[0, 0, 0, 0]) == 5.0
+
+    def test_history_recorded(self, runner_factory) -> None:
+        runner, _ = runner_factory(steps=4, output={"log_every": 1})
+        _, history, _ = runner.run()
+        assert len(history["total_loss"]) == 4
+        np.testing.assert_allclose(
+            history["total_loss"], [10.0, 5.0, 10 / 3, 2.5], rtol=1e-5,
+        )
+
+    def test_closure_telemetry_logged(self, runner_factory, caplog) -> None:
+        runner, _ = runner_factory(steps=3)
+        runner.run()
+        assert "6 closure" in caplog.text
+        assert "2.00 closures/step" in caplog.text
+
+    def test_callbacks_fire_per_step(self, runner_factory) -> None:
+        starts, ends = [], []
+        cb = OptimizationCallbacks(
+            on_step_start=starts.append,
+            on_step_end=lambda m: ends.append(m.step),
+        )
+        runner, _ = runner_factory(steps=3, callbacks=cb)
+        runner.run()
+        assert starts == [1, 2, 3]
+        assert ends == [1, 2, 3]
+
+    def test_metrics_values_on_cadence(self, runner_factory) -> None:
+        seen: list[StepMetrics] = []
+        cb = OptimizationCallbacks(on_step_end=seen.append)
+        runner, _ = runner_factory(
+            steps=4, callbacks=cb, output={"log_every": 2},
+        )
+        runner.run()
+        assert [m.has_values for m in seen] == [False, True, False, True]
+
+
+class TestFrames:
+    def test_frames_on_save_every(self, runner_factory) -> None:
+        sink = MemorySink()
+        runner, _ = runner_factory(
+            steps=6, video={"save_every": 2}, video_writer=sink,
+        )
+        runner.run()
+        assert len(sink.frames) == 3
+        assert sink.frames[0].dtype == np.uint8
+        assert sink.frames[0].shape == (8, 8, 3)
+
+    def test_gif_receives_frames_too(self, runner_factory) -> None:
+        vid, gif = MemorySink(), MemorySink()
+        runner, _ = runner_factory(
+            steps=4, video={"save_every": 2},
+            video_writer=vid, gif_collector=gif,
+        )
+        runner.run()
+        assert len(vid.frames) == len(gif.frames) == 2
+
+    def test_no_sinks_no_fetch(self, runner_factory) -> None:
+        fetches = {"n": 0}
+
+        def fetcher(img):
+            fetches["n"] += 1
+            return np.zeros((8, 8, 3), np.uint8)
+
+        runner, _ = runner_factory(
+            steps=4, video={"save_every": 1}, frame_fetcher=fetcher,
+        )
+        runner.run()
+        assert fetches["n"] == 0
+
+    def test_intro_crossfade_once_before_first_frame(
+        self, runner_factory,
+    ) -> None:
+        sink = MemorySink()
+        intro = np.full((8, 8, 3), 200, np.uint8)
+        runner, _ = runner_factory(
+            steps=4, video={"save_every": 2},
+            video_writer=sink,
+            intro_last_frame=intro,
+            intro_crossfade_frames=3,
+        )
+        runner.run()
+        # 3 crossfade frames + 2 stylized frames
+        assert len(sink.frames) == 5
+        assert runner.intro_transition_done is True
+        assert runner.intro_last_frame is None
+
+    def test_on_video_frame_callback(self, runner_factory) -> None:
+        frames = []
+        cb = OptimizationCallbacks(
+            on_video_frame=lambda f, s: frames.append(s),
+        )
+        sink = MemorySink()
+        runner, _ = runner_factory(
+            steps=4, video={"save_every": 2},
+            video_writer=sink, callbacks=cb,
+        )
+        runner.run()
+        assert frames == [2, 4]
+
+    def test_postfix_updates_with_latest_losses(self, runner_factory) -> None:
+        sink = MemorySink()
+        runner, bar = runner_factory(
+            steps=4, video={"save_every": 2}, video_writer=sink,
+            output={"log_every": 2},
+        )
+        runner.run()
+        assert bar.postfixes  # set at frame steps that land on cadence
+        assert "loss" in bar.postfixes[-1]
+
+
+class TestLoggingConfig:
+    def test_csv_logging_disables_history(
+        self, runner_factory, tmp_path,
+    ) -> None:
+        csv_path = tmp_path / "loss.csv"
+        runner, _ = runner_factory(
+            steps=4,
+            output={"log_loss": str(csv_path), "log_every": 1},
+        )
+        _, history, _ = runner.run()
+        assert history == {}
+        lines = csv_path.read_text().strip().splitlines()
+        assert len(lines) == 5  # header + 4 rows
+
+    def test_csv_failure_falls_back_to_memory(
+        self, runner_factory, caplog,
+    ) -> None:
+        errors = []
+        cb = OptimizationCallbacks(on_logging_error=errors.append)
+        runner, _ = runner_factory(
+            steps=2,
+            output={"log_loss": "/proc/definitely/not/writable.csv",
+                    "log_every": 1},
+            callbacks=cb,
+        )
+        _, history, _ = runner.run()
+        assert len(errors) == 1
+        assert "Failed to initialize CSV logging" in caplog.text
+        assert len(history["total_loss"]) == 2
+
+    def test_long_run_capacity_warning(
+        self, make_style_transfer_config, caplog,
+    ) -> None:
+        cfg = make_style_transfer_config(optimization={"steps": 5000})
+        OptimizationRunner(
+            fake_update(), None, jnp.zeros((1, 4, 4, 3)), cfg,
+            progress_bar=NullBar(),
+        )
+        assert "capped at 2048" in caplog.text
+
+    def test_nonfinite_warning(self, runner_factory, caplog) -> None:
+        def nan_update(img, state):
+            nan = jnp.asarray(float("nan"))
+            return img, state, StepAux(
+                loss=nan, style_score=nan, content_score=nan,
+                n_evals=jnp.asarray(1, jnp.int32),
+            )
+
+        runner, _ = runner_factory(
+            steps=1, update_fn=nan_update, output={"log_every": 1},
+        )
+        runner.run()
+        assert "Non-finite style score at step 1" in caplog.text
+        assert "Non-finite total loss at step 1" in caplog.text
+
+
+class TestProgressBar:
+    def test_owned_bar_created_and_closed(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = make_style_transfer_config(optimization={"steps": 2})
+        runner = OptimizationRunner(
+            fake_update(), None, jnp.zeros((1, 4, 4, 3)), cfg,
+        )
+        runner.run()  # creates its own tqdm and closes it
+
+    def test_bar_access_before_run_raises(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = make_style_transfer_config()
+        runner = OptimizationRunner(
+            fake_update(), None, jnp.zeros((1, 4, 4, 3)), cfg,
+        )
+        with pytest.raises(RuntimeError, match="Progress bar"):
+            _ = runner.progress_bar
