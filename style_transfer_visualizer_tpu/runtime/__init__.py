@@ -1,5 +1,11 @@
 """Runtime services: device, validation, output, comparison, checkpoint."""
 
+from style_transfer_visualizer_tpu.runtime.comparison import (
+    ComparisonRequest,
+    comparison_output_path,
+    render_comparison_image,
+    render_requested_comparisons,
+)
 from style_transfer_visualizer_tpu.runtime.device import (
     setup_device,
     setup_random_seed,
@@ -16,6 +22,10 @@ from style_transfer_visualizer_tpu.runtime.validation import (
 )
 
 __all__ = [
+    "ComparisonRequest",
+    "comparison_output_path",
+    "render_comparison_image",
+    "render_requested_comparisons",
     "save_outputs",
     "setup_device",
     "setup_output_directory",
