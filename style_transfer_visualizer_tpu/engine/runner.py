@@ -110,7 +110,8 @@ class OptimizationRunner:
         gif_collector: VideoFrameSink | None = None,
         intro_last_frame: np.ndarray | None = None,
         intro_crossfade_frames: int = 0,
-        frame_fetcher: Callable[[jax.Array], np.ndarray] | None = None,
+        frame_fetcher: Callable[[jax.Array], object] | None = None,
+        async_frames: bool = True,
     ) -> None:
         self.update_fn = update_fn
         self.opt_state = opt_state
@@ -128,6 +129,8 @@ class OptimizationRunner:
         self.intro_transition_done = intro_last_frame is None
 
         self._frame_fetcher = frame_fetcher or self._default_frame_fetcher
+        self._async_frames = async_frames
+        self._frame_stream = None
 
         self.loss_logger: LossCSVLogger | None = None
         self._accumulator: LossAccumulator | None = None
@@ -186,10 +189,14 @@ class OptimizationRunner:
     # ------------------------------------------------------------------
     # internals
 
-    def _default_frame_fetcher(self, image: jax.Array) -> np.ndarray:
-        return stv_image_io.array_to_uint8_frame(
+    def _default_frame_fetcher(self, image: jax.Array) -> jax.Array:
+        # Denorm + scrub + uint8 packing stay on the device; only H*W*3
+        # bytes cross the host boundary, and (in async mode) on a worker
+        # thread that never stalls step dispatch.
+        prepared = stv_image_io.prepare_image_for_output(
             image, normalize=self.config.optimization.normalize,
         )
+        return stv_image_io.pack_uint8_frame(prepared)
 
     def _configure_logging(self) -> None:
         out_cfg = self.config.output
@@ -299,7 +306,23 @@ class OptimizationRunner:
         ):
             return
 
-        img_np = self._frame_fetcher(self.input_img)
+        device_frame = self._frame_fetcher(self.input_img)
+        if self._async_frames:
+            if self._frame_stream is None:
+                from style_transfer_visualizer_tpu.media.stream import (  # noqa: PLC0415
+                    AsyncFrameStream,
+                )
+
+                self._frame_stream = AsyncFrameStream()
+            self._frame_stream.submit(
+                device_frame,
+                lambda frame, m=metrics: self._deliver_frame(frame, m),
+            )
+        else:
+            self._deliver_frame(np.asarray(device_frame), metrics)
+
+    def _deliver_frame(self, img_np: np.ndarray, metrics: StepMetrics) -> None:
+        step_idx = metrics.step
 
         if self.intro_last_frame is not None and not self.intro_transition_done:
             from style_transfer_visualizer_tpu.media.segments import (  # noqa: PLC0415
@@ -372,6 +395,11 @@ class OptimizationRunner:
         )
 
     def _cleanup(self) -> None:
+        if self._frame_stream is not None:
+            try:
+                self._frame_stream.close()
+            finally:
+                self._frame_stream = None
         if self.loss_logger is not None:
             self.loss_logger.close()
         if self._owns_progress_bar and self._progress_bar is not None:
