@@ -50,6 +50,9 @@ class OptimizationConfig(BaseModel):
     # TPU-framework additions:
     optimizer: OptimizerName = Field(d.DEFAULT_OPTIMIZER)
     lbfgs_history_size: int = Field(d.DEFAULT_LBFGS_HISTORY_SIZE, ge=1)
+    # Permit seeded-random VGG19 weights when no pretrained checkpoint is
+    # reachable (air-gapped hosts); stylization quality will be poor.
+    allow_random_weights: bool = False
 
 
 class VideoConfig(BaseModel):
@@ -183,6 +186,8 @@ def _merge_optimization(
     ):
         if key in args:
             setattr(opt, key, args[key])
+    if args.get("allow_random_weights"):
+        opt.allow_random_weights = True
     if args.get("no_normalize"):
         opt.normalize = False
     if (style_layers := args.get("style_layers")):

@@ -1,0 +1,259 @@
+"""Top-level style-transfer orchestration.
+
+Preserves the reference's ``style_transfer(paths, config)`` contract and
+ordering (main.py:20-167): validate -> final-only cascade -> seed/device
+-> load images -> auto video mode -> model/targets/optimizer -> sinks and
+intro -> optimization -> outro -> close sinks -> persist outputs ->
+return the clipped result image ((1, H, W, 3) NHWC in [0, 1]).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import jax
+import numpy as np
+
+import style_transfer_visualizer_tpu.image_io as stv_image_io
+import style_transfer_visualizer_tpu.runtime as stv_runtime
+from style_transfer_visualizer_tpu.engine.runner import OptimizationRunner
+from style_transfer_visualizer_tpu.engine.step import build_update_step
+from style_transfer_visualizer_tpu.media import encode as stv_encode
+from style_transfer_visualizer_tpu.media import segments as stv_segments
+from style_transfer_visualizer_tpu.media.modes import select_video_mode
+from style_transfer_visualizer_tpu.models.features import (
+    compute_targets,
+    initialize_input,
+)
+from style_transfer_visualizer_tpu.models.vgg19 import load_vgg19_params
+from style_transfer_visualizer_tpu.type_defs import InputPaths, SaveOptions
+from style_transfer_visualizer_tpu.utils.logging import logger
+
+if TYPE_CHECKING:
+    from style_transfer_visualizer_tpu.config import (
+        StyleTransferConfig,
+        VideoConfig,
+    )
+    from style_transfer_visualizer_tpu.engine.step import StepBundle
+    from style_transfer_visualizer_tpu.media.sinks import VideoFrameSink
+
+
+def style_transfer(
+    paths: InputPaths,
+    config: StyleTransferConfig,
+) -> jax.Array:
+    """Run the full pipeline; return the final image in [0, 1]."""
+    stv_runtime.validate_input_paths(paths.content_path, paths.style_path)
+    stv_runtime.validate_parameters(config.video.quality)
+
+    # Final-only mode disables all timelapse outputs.
+    if config.video.final_only:
+        config.video.create_video = False
+        config.video.create_gif = False
+        config.video.save_every = config.optimization.steps + 1
+
+    key = stv_runtime.setup_random_seed(config.optimization.seed)
+    device = stv_runtime.setup_device(config.hardware.device)
+
+    with jax.default_device(device):
+        return _run_on_device(paths, config, key)
+
+
+def _run_on_device(
+    paths: InputPaths,
+    config: StyleTransferConfig,
+    key: jax.Array,
+) -> jax.Array:
+    opt_cfg = config.optimization
+
+    content_img = stv_image_io.load_image_to_array(
+        paths.content_path, normalize=opt_cfg.normalize,
+    )
+    style_img = stv_image_io.load_image_to_array(
+        paths.style_path, normalize=opt_cfg.normalize,
+    )
+
+    if config.video.create_video:
+        height, width = content_img.shape[1:3]
+        effective_mode, reason, frame_estimate = select_video_mode(
+            config.video,
+            frame_size=(int(width), int(height)),
+            total_steps=opt_cfg.steps,
+        )
+        if effective_mode != config.video.mode:
+            config.video.mode = effective_mode
+        if reason is not None:
+            logger.info(
+                "Auto-selected postprocess video mode (%s). "
+                "Estimated frames: %d.",
+                reason,
+                frame_estimate,
+            )
+
+    bundle, input_img = _prepare_model_and_input(
+        content_img, style_img, config, key,
+    )
+
+    output_path = stv_runtime.setup_output_directory(config.output.output)
+    content_path = Path(paths.content_path)
+    style_path = Path(paths.style_path)
+    content_name = content_path.stem
+    style_name = style_path.stem
+    video_name = f"timelapse_{content_name}_x_{style_name}.mp4"
+    gif_name = f"timelapse_{content_name}_x_{style_name}.gif"
+
+    video_writer = stv_encode.setup_video_writer(
+        config.video, output_path, video_name,
+    )
+    gif_collector = stv_encode.setup_gif_collector(
+        config.video, output_path, gif_name,
+    )
+    gif_segment_options = stv_segments.GifSegmentOptions(
+        sink=gif_collector,
+        include_intro=config.video.gif_include_intro,
+        include_outro=config.video.gif_include_outro,
+    )
+
+    intro_last_frame = None
+    intro_crossfade_frames = 0
+    gif_intro_requested = (
+        gif_segment_options.sink is not None
+        and gif_segment_options.include_intro
+    )
+    if video_writer is not None or gif_intro_requested:
+        intro_info = stv_segments.prepare_intro_segment(
+            config.video,
+            video_writer,
+            (content_path, style_path),
+            gif_options=gif_segment_options,
+        )
+        if intro_info is not None:
+            intro_last_frame, intro_crossfade_frames = intro_info
+
+    runner = OptimizationRunner(
+        bundle.update_fn,
+        bundle.opt_state,
+        input_img,
+        config,
+        video_writer=video_writer,
+        gif_collector=gif_collector,
+        intro_last_frame=intro_last_frame,
+        intro_crossfade_frames=intro_crossfade_frames,
+    )
+    input_img, loss_metrics, elapsed = runner.run()
+
+    _maybe_append_final_segments(
+        config.video,
+        video_writer,
+        gif_segment_options,
+        content_path,
+        style_path,
+        input_img,
+        normalize=opt_cfg.normalize,
+    )
+
+    for sink in (video_writer, gif_collector):
+        if sink:
+            sink.close()
+
+    save_opts = SaveOptions(
+        content_name=content_name,
+        style_name=style_name,
+        video_name=video_name if video_writer else None,
+        gif_name=gif_name if gif_collector else None,
+        normalize=opt_cfg.normalize,
+        video_created=video_writer is not None,
+        gif_created=gif_collector is not None,
+        plot_losses=config.output.plot_losses,
+    )
+    stv_runtime.save_outputs(
+        input_img, loss_metrics, output_path, elapsed, save_opts,
+    )
+
+    return stv_image_io.prepare_image_for_output(
+        input_img, normalize=opt_cfg.normalize,
+    )
+
+
+def _prepare_model_and_input(
+    content_img: jax.Array,
+    style_img: jax.Array,
+    config: StyleTransferConfig,
+    key: jax.Array,
+) -> tuple[StepBundle, jax.Array]:
+    """Load weights, precompute targets, build the jitted step, init image."""
+    opt_cfg = config.optimization
+    params = load_vgg19_params(
+        allow_random=opt_cfg.allow_random_weights,
+        seed=opt_cfg.seed,
+    )
+    precision_name = config.hardware.precision
+    targets = compute_targets(
+        params,
+        style_img,
+        content_img,
+        tuple(opt_cfg.style_layers),
+        tuple(opt_cfg.content_layers),
+        precision=_precision(precision_name),
+    )
+    bundle = build_update_step(
+        params,
+        targets,
+        tuple(content_img.shape),
+        optimizer=opt_cfg.optimizer,
+        lr=opt_cfg.lr,
+        style_w=opt_cfg.style_w,
+        content_w=opt_cfg.content_w,
+        style_layers=tuple(opt_cfg.style_layers),
+        content_layers=tuple(opt_cfg.content_layers),
+        precision=precision_name,
+        lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
+        lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
+        lbfgs_history_size=opt_cfg.lbfgs_history_size,
+    )
+    input_img = initialize_input(content_img, opt_cfg.init_method, key)
+    return bundle, input_img
+
+
+def _precision(name: str) -> jax.lax.Precision:
+    from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
+        resolve_precision,
+    )
+
+    return resolve_precision(name)
+
+
+def _maybe_append_final_segments(
+    video_config: VideoConfig,
+    video_writer: VideoFrameSink | None,
+    gif_options: stv_segments.GifSegmentOptions | None,
+    content_path: Path,
+    style_path: Path,
+    input_img: jax.Array,
+    *,
+    normalize: bool,
+) -> None:
+    """Append outro comparison frames to active sinks when configured."""
+    gif_outro_requested = bool(
+        gif_options and gif_options.sink and gif_options.include_outro,
+    )
+    if not video_config.final_frame_compare:
+        return
+    if video_writer is None and not gif_outro_requested:
+        return
+
+    final_frame = stv_image_io.array_to_uint8_frame(
+        input_img, normalize=normalize,
+    )
+    final_frame = np.ascontiguousarray(final_frame)
+
+    kwargs = {}
+    if gif_options is not None and gif_options.sink is not None:
+        kwargs["gif_options"] = gif_options
+    stv_segments.append_final_comparison_frame(
+        video_config,
+        video_writer,
+        (content_path, style_path),
+        final_frame,
+        **kwargs,
+    )

@@ -1,0 +1,187 @@
+"""Main CLI: parser contract, merge behavior, end-to-end subprocess run."""
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+import style_transfer_visualizer_tpu.cli as stv_cli
+from style_transfer_visualizer_tpu.config import StyleTransferConfig
+
+
+def _parse(argv: list[str]) -> argparse.Namespace:
+    return stv_cli.build_arg_parser().parse_args(argv)
+
+
+class TestParser:
+    def test_suppress_defaults(self) -> None:
+        args = _parse(["--content", "c.png", "--style", "s.png"])
+        assert not hasattr(args, "steps")
+        assert not hasattr(args, "output")
+        assert not hasattr(args, "video_mode")
+        assert args.log_every == 10  # real default (not suppressed)
+
+    def test_all_groups_parse(self) -> None:
+        args = _parse([
+            "--content", "c.png", "--style", "s.png",
+            "--output", "o", "--no-plot", "--log-loss", "l.csv",
+            "--log-every", "5", "--compare-inputs", "--compare-result",
+            "--steps", "10", "--style-w", "2.0", "--content-w", "3.0",
+            "--lr", "0.5", "--init-method", "white", "--seed", "7",
+            "--no-normalize", "--style-layers", "0,5",
+            "--content-layers", "21", "--optimizer", "adam",
+            "--allow-random-weights",
+            "--save-every", "4", "--fps", "24", "--quality", "7",
+            "--no-video", "--final-only", "--no-intro",
+            "--intro-duration", "3", "--no-final-frame-compare",
+            "--outro-duration", "4", "--metadata-title", "T",
+            "--metadata-artist", "A", "--gif", "--gif-include-intro",
+            "--gif-include-outro", "--video-mode", "postprocess",
+            "--device", "cpu", "--precision", "default",
+        ])
+        assert args.steps == 10
+        assert args.optimizer == "adam"
+        assert args.create_gif is True
+        assert args.final_frame_compare is False
+        assert args.video_mode == "postprocess"
+        assert args.precision == "default"
+
+    def test_gif_flag_conflict_last_wins(self) -> None:
+        args = _parse([
+            "--content", "c", "--style", "s", "--gif", "--no-gif",
+        ])
+        assert args.create_gif is False
+
+    def test_invalid_choice_rejected(self) -> None:
+        with pytest.raises(SystemExit):
+            _parse([
+                "--content", "c", "--style", "s",
+                "--init-method", "zeros",
+            ])
+
+
+class TestMainEntry:
+    def test_requires_content_and_style(self, monkeypatch, capsys) -> None:
+        monkeypatch.setattr(sys, "argv", ["style-visualizer"])
+        with pytest.raises(SystemExit) as exc:
+            stv_cli.main()
+        assert exc.value.code == 2
+        assert "--content" in capsys.readouterr().err
+
+    def test_validate_config_only_exits_zero(
+        self, monkeypatch, tmp_path, caplog,
+    ) -> None:
+        toml = tmp_path / "c.toml"
+        toml.write_text("[optimization]\nsteps = 2\n")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["style-visualizer", "--config", str(toml),
+             "--validate-config-only"],
+        )
+        with pytest.raises(SystemExit) as exc:
+            stv_cli.main()
+        assert exc.value.code == 0
+        assert "validated successfully" in caplog.text
+
+    def test_run_from_args_invokes_pipeline(
+        self, monkeypatch, content_image, style_image, caplog,
+    ) -> None:
+        called = {}
+
+        def fake_style_transfer(paths, cfg):
+            called["paths"] = paths
+            called["cfg"] = cfg
+
+        monkeypatch.setattr(
+            stv_cli.stv_main, "style_transfer", fake_style_transfer,
+        )
+        args = _parse([
+            "--content", str(content_image), "--style", str(style_image),
+            "--steps", "3", "--device", "cpu",
+        ])
+        stv_cli.run_from_args(args)
+        assert called["cfg"].optimization.steps == 3
+        assert called["paths"].content_path == str(content_image)
+        assert "Steps: 3" in caplog.text
+        assert "Optimizer: lbfgs" in caplog.text
+
+    def test_comparisons_requested(
+        self, monkeypatch, content_image, style_image, tmp_path,
+    ) -> None:
+        monkeypatch.setattr(
+            stv_cli.stv_main, "style_transfer", lambda p, c: None,
+        )
+        recorded = {}
+
+        def fake_render(**kwargs):
+            recorded.update(kwargs)
+            return []
+
+        monkeypatch.setattr(
+            stv_cli, "render_requested_comparisons", fake_render,
+        )
+        args = _parse([
+            "--content", str(content_image), "--style", str(style_image),
+            "--output", str(tmp_path), "--compare-inputs",
+        ])
+        stv_cli.run_from_args(args)
+        assert recorded["request"].include_inputs is True
+        assert recorded["request"].include_result is False
+
+
+@pytest.mark.integration
+class TestEndToEnd:
+    def test_subprocess_final_only_run(self, tmp_path: Path) -> None:
+        """The real CLI binary on tiny images must exit 0 in <180s."""
+        from PIL import Image
+
+        content = tmp_path / "c.png"
+        style = tmp_path / "s.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(style)
+        out_dir = tmp_path / "out"
+
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv=["
+            f"'style-visualizer','--content',r'{content}',"
+            f"'--style',r'{style}','--steps','2','--final-only',"
+            f"'--device','cpu','--allow-random-weights',"
+            f"'--output',r'{out_dir}','--no-plot'];"
+            "from style_transfer_visualizer_tpu.cli import main; main()"
+        )
+        result = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=180,
+            check=False,
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert "Style transfer completed" in result.stderr
+        assert (out_dir / "stylized_c_x_s.png").exists()
+
+
+class TestParseIntListExport:
+    def test_reexport(self) -> None:
+        assert stv_cli.parse_int_list("1,2") == [1, 2]
+
+
+class TestLogParameters:
+    def test_gif_details_logged_when_enabled(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate(
+            {"video": {"create_gif": True, "gif_include_intro": True}},
+        )
+        args = argparse.Namespace(config=None)
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)), cfg, args,
+        )
+        assert "GIF Intro Included: Yes" in caplog.text
+        assert "GIF Outro Included: No" in caplog.text
