@@ -1,0 +1,212 @@
+"""Multi-style data parallelism: 1 content x S styles across the mesh.
+
+Each style target defines an independent optimization of its own image;
+the S problems are vmapped into one stacked update and sharded over the
+``style`` mesh axis (BASELINE.json configs[2]). VGG19 weights are
+replicated; per-style Gram targets, images, and optimizer states are
+sharded. No collectives are needed in the step — the problems are
+independent — so scaling is embarrassingly linear over ICI-connected
+chips.
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from style_transfer_visualizer_tpu.constants import MESH_AXIS_STYLE
+from style_transfer_visualizer_tpu.engine.optimizers import (
+    StepAux,
+    adam_init,
+    adam_step,
+    lbfgs_init,
+    lbfgs_step,
+)
+from style_transfer_visualizer_tpu.engine.step import resolve_precision
+from style_transfer_visualizer_tpu.models.features import (
+    Targets,
+    compute_targets,
+    total_loss,
+)
+
+if TYPE_CHECKING:
+    from collections.abc import Sequence
+
+    from jax.sharding import Mesh
+
+    from style_transfer_visualizer_tpu.models.vgg19 import Params
+
+
+class MultiStyleBundle(NamedTuple):
+    """Stacked update function with initial stacked optimizer state."""
+
+    update_fn: object       # (images (S,*shape), opt_state) -> ...
+    opt_state: object
+    targets: Targets        # stacked along a leading style axis
+
+
+def multi_style_targets(
+    params: Params,
+    content_img: jax.Array,
+    style_imgs: Sequence[jax.Array],
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    *,
+    precision: jax.lax.Precision | None = None,
+) -> Targets:
+    """Per-style targets stacked along a leading style axis.
+
+    Style images may have different sizes (Grams are size-independent
+    C x C); content targets are identical across styles and broadcast.
+    """
+    per_style = [
+        compute_targets(
+            params, style, content_img, style_layers, content_layers,
+            precision=precision,
+        )
+        for style in style_imgs
+    ]
+    stacked_grams = {
+        idx: jnp.stack([t.style_grams[idx] for t in per_style])
+        for idx in style_layers
+    }
+    stacked_feats = {
+        idx: jnp.stack([t.content_feats[idx] for t in per_style])
+        for idx in content_layers
+    }
+    return Targets(style_grams=stacked_grams, content_feats=stacked_feats)
+
+
+def initialize_multi_inputs(
+    content_img: jax.Array,
+    method: str,
+    key: jax.Array,
+    n_styles: int,
+) -> jax.Array:
+    """(S, 1, H, W, 3) starting images, one independent draw per style."""
+    if method == "content":
+        return jnp.broadcast_to(
+            content_img, (n_styles, *content_img.shape),
+        ).copy()
+    if method == "white":
+        return jnp.ones((n_styles, *content_img.shape), content_img.dtype)
+    if method == "random":
+        return jax.random.normal(
+            key, (n_styles, *content_img.shape), content_img.dtype,
+        )
+    msg = f"Unsupported initialization method: {method}"
+    raise ValueError(msg)
+
+
+def build_multi_style_update(
+    mesh: Mesh,
+    params: Params,
+    targets: Targets,
+    image_shape: tuple[int, ...],
+    n_styles: int,
+    *,
+    optimizer: str = "lbfgs",
+    lr: float = 1.0,
+    style_w: float = 1e5,
+    content_w: float = 1.0,
+    style_layers: tuple[int, ...] = (),
+    content_layers: tuple[int, ...] = (),
+    precision: str = "highest",
+    lbfgs_max_iter: int = 1,
+    lbfgs_max_eval: int = 1,
+    lbfgs_history_size: int = 10,
+) -> MultiStyleBundle:
+    """Compile the stacked multi-style step sharded over the mesh.
+
+    The returned ``update_fn(images, opt_state)`` expects images of
+    shape ``(S, *image_shape)`` sharded on the style axis; both carried
+    buffers are donated.
+    """
+    prec = resolve_precision(precision)
+    n = 1
+    for dim in image_shape:
+        n *= int(dim)
+
+    def single_vag(flat: jax.Array, style_targets: Targets):
+        def loss_of(flat_x: jax.Array):
+            img = flat_x.reshape(image_shape)
+            return total_loss(
+                params, img, style_targets, style_w, content_w,
+                tuple(style_layers), tuple(content_layers), prec,
+            )
+
+        return jax.value_and_grad(loss_of, has_aux=True)(flat)
+
+    if optimizer == "lbfgs":
+        def single_update(flat, state, style_targets):
+            return lbfgs_step(
+                lambda f: single_vag(f, style_targets),
+                flat, state, lr,
+                max_iter=lbfgs_max_iter,
+                max_eval=lbfgs_max_eval,
+                history_size=lbfgs_history_size,
+            )
+
+        opt_state = jax.vmap(
+            lambda _: lbfgs_init(n, lbfgs_history_size),
+        )(jnp.arange(n_styles))
+    elif optimizer == "adam":
+        def single_update(flat, state, style_targets):
+            return adam_step(
+                lambda f: single_vag(f, style_targets), flat, state, lr,
+            )
+
+        opt_state = jax.vmap(lambda _: adam_init(n))(
+            jnp.arange(n_styles),
+        )
+    else:
+        msg = f"Unknown optimizer: {optimizer!r}"
+        raise ValueError(msg)
+
+    def update(images: jax.Array, state, step_targets: Targets):
+        flats = images.reshape(n_styles, n)
+        new_flats, new_state, aux = jax.vmap(single_update)(
+            flats, state, step_targets,
+        )
+        return (
+            new_flats.reshape(n_styles, *image_shape),
+            new_state,
+            aux,
+        )
+
+    def style_shard(leaf: jax.Array) -> NamedSharding:
+        return NamedSharding(
+            mesh, P(MESH_AXIS_STYLE, *([None] * (leaf.ndim - 1))),
+        )
+
+    style_sharding = NamedSharding(mesh, P(MESH_AXIS_STYLE))
+    images_sharding = NamedSharding(
+        mesh, P(MESH_AXIS_STYLE, *([None] * len(image_shape))),
+    )
+    state_shardings = jax.tree.map(style_shard, opt_state)
+    target_shardings = jax.tree.map(style_shard, targets)
+    aux_shardings = StepAux(
+        loss=style_sharding,
+        style_score=style_sharding,
+        content_score=style_sharding,
+        n_evals=style_sharding,
+    )
+    jitted = jax.jit(
+        update,
+        donate_argnums=(0, 1),
+        in_shardings=(
+            images_sharding, state_shardings, target_shardings,
+        ),
+        out_shardings=(images_sharding, state_shardings, aux_shardings),
+    )
+    targets = jax.device_put(targets, target_shardings)
+
+    def update_fn(images: jax.Array, state):
+        return jitted(images, state, targets)
+
+    return MultiStyleBundle(
+        update_fn=update_fn, opt_state=opt_state, targets=targets,
+    )

@@ -1,0 +1,427 @@
+"""Spatially-sharded feature extraction and Gram evaluation (shard_map).
+
+Image rows are sharded across the ``space`` mesh axis. Each 3x3 SAME
+convolution exchanges one-row halos with its mesh neighbors via
+``ppermute`` (edge shards receive zeros — exactly SAME padding at the
+global border), 2x2 pools stay shard-local because per-shard heights are
+kept even, and each style-layer Gram is an ``psum`` of per-shard C x C
+partials — the Gram is a position-independent pixel sum, so tiles reduce
+with one add (SURVEY §5 "long-context" analog; the collective rides
+ICI). Content losses reduce the same way. The whole loss is therefore
+computed without any device ever holding a full feature map, which is
+what lets 4K-class inputs fit HBM.
+
+``shard_map`` is differentiable (``ppermute``/``psum`` have transpose
+rules), so ``jax.grad`` through ``sharded_total_loss`` yields a
+correctly-sharded pixel gradient.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from style_transfer_visualizer_tpu.constants import (
+    GRAM_MATRIX_CLAMP_MAX,
+    MESH_AXIS_SPACE,
+    MESH_AXIS_STYLE,
+)
+from style_transfer_visualizer_tpu.models.vgg19 import (
+    CONV,
+    LAYER_TABLE,
+    POOL,
+    RELU,
+)
+
+if TYPE_CHECKING:
+    from jax.sharding import Mesh
+
+    from style_transfer_visualizer_tpu.models.features import Targets
+    from style_transfer_visualizer_tpu.models.vgg19 import Params
+
+_CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _exchange_halos(x: jax.Array, axis_name: str) -> jax.Array:
+    """Concatenate one-row halos from both mesh neighbors onto x.
+
+    Devices at the global edges receive zeros, matching SAME padding.
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # Shard i's bottom row becomes shard i+1's top halo, and vice versa.
+    top_halo = jax.lax.ppermute(
+        x[:, -1:],
+        axis_name,
+        perm=[(i, i + 1) for i in range(n - 1)],
+    )
+    bottom_halo = jax.lax.ppermute(
+        x[:, :1],
+        axis_name,
+        perm=[(i + 1, i) for i in range(n - 1)],
+    )
+    return jnp.concatenate([top_halo, x, bottom_halo], axis=1)
+
+
+def _sharded_conv(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    axis_name: str,
+    precision: jax.lax.Precision | None,
+) -> jax.Array:
+    """3x3 stride-1 SAME conv over row-sharded activations."""
+    padded = _exchange_halos(x, axis_name)
+    return jax.lax.conv_general_dilated(
+        padded,
+        w,
+        window_strides=(1, 1),
+        padding=((0, 0), (1, 1)),  # H handled by halos, W by zero pad
+        dimension_numbers=_CONV_DIMS,
+        precision=precision,
+    ) + b
+
+
+def sharded_extract_features(
+    params: Params,
+    x: jax.Array,
+    taps: tuple[int, ...],
+    *,
+    axis_name: str = MESH_AXIS_SPACE,
+    precision: jax.lax.Precision | None = None,
+) -> dict[int, jax.Array]:
+    """Per-shard activations at each tap (rows stay sharded throughout)."""
+    if not taps:
+        return {}
+    tap_set = frozenset(taps)
+    last = max(taps)
+    acts: dict[int, jax.Array] = {}
+    for idx, (kind, _, _) in enumerate(LAYER_TABLE):
+        if kind == CONV:
+            layer = params[idx]
+            x = _sharded_conv(
+                x, layer["w"], layer["b"], axis_name, precision,
+            )
+        elif kind == RELU:
+            x = jnp.maximum(x, 0.0)
+        elif kind == POOL:
+            x = jax.lax.reduce_window(
+                x,
+                -jnp.inf,
+                jax.lax.max,
+                window_dimensions=(1, 2, 2, 1),
+                window_strides=(1, 2, 2, 1),
+                padding="VALID",
+            )
+        if idx in tap_set:
+            acts[idx] = x
+        if idx >= last:
+            break
+    return acts
+
+
+def sharded_gram(
+    features: jax.Array,
+    global_pixels: int,
+    *,
+    axis_name: str = MESH_AXIS_SPACE,
+    clamp_max: float = GRAM_MATRIX_CLAMP_MAX,
+    precision: jax.lax.Precision | None = None,
+) -> jax.Array:
+    """Global Gram from a row-sharded feature map: psum of partials.
+
+    ``global_pixels`` is B*H_global*W (the normalization denominator
+    also multiplies C). Clamp applies to the *global* raw sum, after the
+    psum — identical semantics to the single-device op.
+    """
+    b, h, w, c = features.shape
+    flat = features.reshape(b * h * w, c)
+    partial_gram = jax.lax.dot_general(
+        flat, flat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    raw = jax.lax.psum(partial_gram, axis_name)
+    raw = jnp.minimum(raw, clamp_max)
+    return raw / (global_pixels * c)
+
+
+def _sharded_loss_shard_fn(
+    params: Params,
+    x: jax.Array,
+    targets: Targets,
+    style_w: float,
+    content_w: float,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    global_shape: tuple[int, ...],
+    axis_name: str,
+    precision: jax.lax.Precision | None,
+) -> jax.Array:
+    """Per-shard loss body; returns the replicated global total loss."""
+    taps = tuple(sorted(set(style_layers) | set(content_layers)))
+    acts = sharded_extract_features(
+        params, x, taps, axis_name=axis_name, precision=precision,
+    )
+
+    total = jnp.zeros((), jnp.float32)
+    b, gh, gw, _ = global_shape
+    for idx in taps:
+        # Spatial dims halve at each pool crossed before this tap.
+        pools_before = sum(
+            1
+            for j, (kind, _, _) in enumerate(LAYER_TABLE)
+            if j <= idx and kind == POOL
+        )
+        layer_h = gh // (2**pools_before)
+        layer_w = gw // (2**pools_before)
+        if idx in style_layers:
+            gram = sharded_gram(
+                acts[idx],
+                b * layer_h * layer_w,
+                axis_name=axis_name,
+                precision=precision,
+            )
+            total += style_w * jnp.mean(
+                jnp.square(gram - targets.style_grams[idx]),
+            )
+        if idx in content_layers:
+            # Targets are sharded the same way; each shard contributes
+            # its share of the global squared-error mean.
+            local_sq = jnp.sum(
+                jnp.square(acts[idx] - targets.content_feats[idx]),
+            )
+            global_sq = jax.lax.psum(local_sq, axis_name)
+            n_elems = b * layer_h * layer_w * acts[idx].shape[-1]
+            total += content_w * global_sq / n_elems
+    return total
+
+
+def build_sharded_loss(
+    mesh: Mesh,
+    params: Params,
+    targets: Targets,
+    global_shape: tuple[int, ...],
+    *,
+    style_w: float,
+    content_w: float,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    precision: jax.lax.Precision | None = None,
+    axis_name: str = MESH_AXIS_SPACE,
+):
+    """Return loss_fn(image) computed with rows sharded over ``axis_name``.
+
+    ``image`` must be sharded ``P(None, axis_name, None, None)`` on the
+    mesh; ``targets.content_feats`` shard the same way, ``style_grams``
+    and ``params`` are replicated. The returned scalar is replicated.
+    """
+    row_spec = P(None, axis_name, None, None)
+    # Style Grams replicate; content activations row-shard like the image.
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+
+    target_specs = Targets(
+        style_grams={k: P() for k in targets.style_grams},
+        content_feats={k: row_spec for k in targets.content_feats},
+    )
+
+    shard_fn = partial(
+        _sharded_loss_shard_fn,
+        style_w=style_w,
+        content_w=content_w,
+        style_layers=tuple(style_layers),
+        content_layers=tuple(content_layers),
+        global_shape=tuple(global_shape),
+        axis_name=axis_name,
+        precision=precision,
+    )
+
+    mapped = jax.shard_map(
+        lambda p, x, t: shard_fn(p, x, t),
+        mesh=mesh,
+        in_specs=(P(), row_spec, target_specs),
+        out_specs=P(),
+    )
+
+    def loss_fn(image: jax.Array) -> jax.Array:
+        return mapped(params, image, targets)
+
+    return loss_fn
+
+
+def compute_sharded_targets(
+    mesh: Mesh,
+    params: Params,
+    style_img: jax.Array,
+    content_img: jax.Array,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    *,
+    precision: jax.lax.Precision | None = None,
+    axis_name: str = MESH_AXIS_SPACE,
+):
+    """Targets for the sharded loss: replicated Grams, sharded content."""
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+
+    row_spec = P(None, axis_name, None, None)
+    b, gh, gw, _ = content_img.shape
+
+    def shard_fn(params, style, content):
+        style_acts = sharded_extract_features(
+            params, style, tuple(style_layers),
+            axis_name=axis_name, precision=precision,
+        )
+        content_acts = sharded_extract_features(
+            params, content, tuple(content_layers),
+            axis_name=axis_name, precision=precision,
+        )
+        sb, sh, sw, _ = style.shape
+        n_space = jax.lax.axis_size(axis_name)
+        grams = {}
+        for idx, act in style_acts.items():
+            pools_before = sum(
+                1
+                for j, (kind, _, _) in enumerate(LAYER_TABLE)
+                if j <= idx and kind == POOL
+            )
+            layer_h = (sh * n_space) // (2**pools_before)
+            layer_w = sw // (2**pools_before)
+            grams[idx] = jax.lax.stop_gradient(
+                sharded_gram(
+                    act, sb * layer_h * layer_w,
+                    axis_name=axis_name, precision=precision,
+                ),
+            )
+        feats = {
+            idx: jax.lax.stop_gradient(act)
+            for idx, act in content_acts.items()
+        }
+        return Targets(style_grams=grams, content_feats=feats)
+
+    out_specs = Targets(
+        style_grams={k: P() for k in style_layers},
+        content_feats={k: row_spec for k in content_layers},
+    )
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), row_spec, row_spec),
+        out_specs=out_specs,
+    )
+    return mapped(params, style_img, content_img)
+
+
+def build_dp_sp_update(
+    mesh: Mesh,
+    params: Params,
+    stacked_targets,
+    image_shape: tuple[int, ...],
+    n_styles: int,
+    *,
+    lr: float = 0.05,
+    style_w: float = 1e4,
+    content_w: float = 1.0,
+    style_layers: tuple[int, ...] = (0, 5),
+    content_layers: tuple[int, ...] = (2,),
+    precision: jax.lax.Precision | None = None,
+):
+    """Full training step sharded over BOTH mesh axes (dp x sp).
+
+    Images are stacked ``(S, 1, H, W, 3)`` with styles sharded over the
+    ``style`` axis (data parallelism) and rows over the ``space`` axis
+    (spatial/sequence parallelism): each device holds a row-block of its
+    styles' images, halo-exchanges with its spatial neighbors inside the
+    convolutions, and psums Gram partials over ICI. The Adam update then
+    runs shard-locally on each device's own pixel block — no gradient
+    collective is needed because the problems are style-independent and
+    pixel gradients are row-local.
+
+    Returns ``(update_fn, initial_state)`` where ``update_fn(images,
+    state) -> (images, state, per_style_losses)`` is jitted with donated
+    carries.
+    """
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+
+    image_specs = P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None)
+    target_specs = Targets(
+        style_grams={k: P(MESH_AXIS_STYLE) for k in style_layers},
+        content_feats={
+            k: P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None)
+            for k in content_layers
+        },
+    )
+
+    def block_fn(params, x_blk, targets_blk, mu_blk, nu_blk, count):
+        def loss_of(xb):
+            def one_style(x_s, grams, feats):
+                return _sharded_loss_shard_fn(
+                    params,
+                    x_s,
+                    Targets(style_grams=grams, content_feats=feats),
+                    style_w=style_w,
+                    content_w=content_w,
+                    style_layers=tuple(style_layers),
+                    content_layers=tuple(content_layers),
+                    global_shape=tuple(image_shape),
+                    axis_name=MESH_AXIS_SPACE,
+                    precision=precision,
+                )
+
+            per_style = jax.vmap(one_style)(
+                xb, targets_blk.style_grams, targets_blk.content_feats,
+            )
+            return jnp.sum(per_style), per_style
+
+        (_, per_style), grad = jax.value_and_grad(
+            loss_of, has_aux=True,
+        )(x_blk)
+
+        # Shard-local Adam on this device's pixel block.
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        new_count = count + 1
+        t = new_count.astype(jnp.float32)
+        mu = b1 * mu_blk + (1 - b1) * grad
+        nu = b2 * nu_blk + (1 - b2) * jnp.square(grad)
+        mu_hat = mu / (1 - b1**t)
+        nu_hat = nu / (1 - b2**t)
+        x_new = x_blk - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        return x_new, mu, nu, new_count, per_style
+
+    mapped = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), image_specs, target_specs, image_specs, image_specs,
+            P(),
+        ),
+        out_specs=(
+            image_specs, image_specs, image_specs, P(),
+            P(MESH_AXIS_STYLE),
+        ),
+    )
+
+    def update(images, state):
+        mu, nu, count = state
+        x_new, mu, nu, count, per_style = mapped(
+            params, images, stacked_targets, mu, nu, count,
+        )
+        return x_new, (mu, nu, count), per_style
+
+    zeros = jnp.zeros((n_styles, *image_shape), jnp.float32)
+    init_state = (
+        zeros,
+        jnp.zeros_like(zeros),
+        jnp.zeros((), jnp.int32),
+    )
+    return jax.jit(update, donate_argnums=(0, 1)), init_state

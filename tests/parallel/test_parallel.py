@@ -1,0 +1,342 @@
+"""Mesh, multi-style DP, and spatially-sharded loss on 8 virtual devices.
+
+The CPU backend is forced with xla_force_host_platform_device_count=8
+(conftest), so shardings and collectives execute exactly as they would
+across 8 TPU chips.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_visualizer_tpu.constants import (
+    MESH_AXIS_SPACE,
+    MESH_AXIS_STYLE,
+)
+from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.models.features import (
+    compute_targets,
+    total_loss,
+)
+from style_transfer_visualizer_tpu.parallel.mesh import (
+    create_mesh,
+    single_device_mesh,
+)
+from style_transfer_visualizer_tpu.parallel.multistyle import (
+    build_multi_style_update,
+    initialize_multi_inputs,
+    multi_style_targets,
+)
+from style_transfer_visualizer_tpu.parallel.spatial import (
+    build_sharded_loss,
+    compute_sharded_targets,
+)
+
+HIGH = jax.lax.Precision.HIGHEST
+STYLE_LAYERS = (0, 5)
+CONTENT_LAYERS = (2,)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return vgg19.init_random_params(jax.random.key(0))
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    content = jnp.asarray(
+        rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
+    )
+    styles = [
+        jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        for _ in range(4)
+    ]
+    return content, styles
+
+
+class TestMesh:
+    def test_full_style_mesh(self) -> None:
+        mesh = create_mesh()
+        assert mesh.shape[MESH_AXIS_STYLE] == 8
+        assert mesh.shape[MESH_AXIS_SPACE] == 1
+
+    def test_2d_mesh(self) -> None:
+        mesh = create_mesh(n_style=4, n_space=2)
+        assert mesh.shape == {
+            MESH_AXIS_STYLE: 4, MESH_AXIS_SPACE: 2,
+        }
+
+    def test_indivisible_raises(self) -> None:
+        with pytest.raises(ValueError, match="not divisible"):
+            create_mesh(n_space=3)
+
+    def test_oversubscribed_raises(self) -> None:
+        with pytest.raises(ValueError, match="needs"):
+            create_mesh(n_style=8, n_space=2)
+
+    def test_single_device_mesh(self) -> None:
+        mesh = single_device_mesh()
+        assert mesh.shape == {
+            MESH_AXIS_STYLE: 1, MESH_AXIS_SPACE: 1,
+        }
+
+
+class TestMultiStyle:
+    def test_stacked_targets_shapes(self, tiny_params, images) -> None:
+        content, styles = images
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        assert targets.style_grams[0].shape == (4, 64, 64)
+        assert targets.content_feats[2].shape == (4, 1, 32, 32, 64)
+
+    @pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
+    def test_stacked_update_matches_single(
+        self, tiny_params, images, optimizer,
+    ) -> None:
+        """One sharded multi-style step == S independent single steps."""
+        content, styles = images
+        mesh = create_mesh(n_style=4, n_space=1)
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        kwargs = dict(
+            optimizer=optimizer, lr=0.1, style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest", lbfgs_history_size=4,
+        )
+        bundle = build_multi_style_update(
+            mesh, tiny_params, targets, tuple(content.shape), 4, **kwargs,
+        )
+        images0 = initialize_multi_inputs(
+            content, "content", jax.random.key(1), 4,
+        )
+        stacked1, _, aux = bundle.update_fn(images0, bundle.opt_state)
+
+        # Reference: each style independently through the single-problem
+        # builder.
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+
+        for s in range(4):
+            single_targets = compute_targets(
+                tiny_params, styles[s], content,
+                STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+            )
+            single = build_update_step(
+                tiny_params, single_targets, tuple(content.shape),
+                lbfgs_max_iter=1, lbfgs_max_eval=1, **kwargs,
+            )
+            x1, _, aux_s = single.update_fn(
+                jnp.array(content), single.opt_state,
+            )
+            np.testing.assert_allclose(
+                np.asarray(stacked1[s]), np.asarray(x1),
+                rtol=2e-4, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                float(aux.loss[s]), float(aux_s.loss), rtol=1e-4,
+            )
+
+    def test_sharding_layout(self, tiny_params, images) -> None:
+        content, styles = images
+        mesh = create_mesh(n_style=4, n_space=1)
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+        )
+        bundle = build_multi_style_update(
+            mesh, tiny_params, targets, tuple(content.shape), 4,
+            optimizer="adam", lr=0.1,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+        )
+        images0 = initialize_multi_inputs(
+            content, "random", jax.random.key(0), 4,
+        )
+        out, _, _ = bundle.update_fn(images0, bundle.opt_state)
+        # Each of the 4 styles lives on a distinct pair of devices.
+        assert len(out.sharding.device_set) == 4
+
+    def test_init_methods(self, images) -> None:
+        content, _ = images
+        white = initialize_multi_inputs(
+            content, "white", jax.random.key(0), 3,
+        )
+        assert float(white.min()) == 1.0
+        cloned = initialize_multi_inputs(
+            content, "content", jax.random.key(0), 3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cloned[1]), np.asarray(content),
+        )
+        with pytest.raises(ValueError, match="Unsupported"):
+            initialize_multi_inputs(content, "zeros", jax.random.key(0), 2)
+
+
+class TestSpatialSharding:
+    def test_sharded_loss_matches_single_device(
+        self, tiny_params, images,
+    ) -> None:
+        """Row-sharded loss over 4 shards == unsharded loss."""
+        content, styles = images
+        style = styles[0]
+        mesh = create_mesh(n_style=1, n_space=4)
+
+        ref_targets = compute_targets(
+            tiny_params, style, content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        ref_loss, _ = total_loss(
+            tiny_params, content * 0.5, ref_targets, 10.0, 1.0,
+            STYLE_LAYERS, CONTENT_LAYERS, HIGH,
+        )
+
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, style, content,
+            STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+        )
+        # Replicated gram targets must equal the single-device ones.
+        np.testing.assert_allclose(
+            np.asarray(sharded_targets.style_grams[0]),
+            np.asarray(ref_targets.style_grams[0]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+        loss_fn = build_sharded_loss(
+            mesh, tiny_params, sharded_targets, tuple(content.shape),
+            style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        sharded_loss = jax.jit(loss_fn)(content * 0.5)
+        np.testing.assert_allclose(
+            float(sharded_loss), float(ref_loss), rtol=1e-5,
+        )
+
+    def test_sharded_gradient_matches(self, tiny_params, images) -> None:
+        content, styles = images
+        mesh = create_mesh(n_style=1, n_space=2)
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, styles[0], content,
+            STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+        )
+        loss_fn = build_sharded_loss(
+            mesh, tiny_params, sharded_targets, tuple(content.shape),
+            style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        g_sharded = jax.jit(jax.grad(loss_fn))(content * 0.5)
+
+        ref_targets = compute_targets(
+            tiny_params, styles[0], content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+
+        def ref_loss_fn(x):
+            loss, _ = total_loss(
+                tiny_params, x, ref_targets, 10.0, 1.0,
+                STYLE_LAYERS, CONTENT_LAYERS, HIGH,
+            )
+            return loss
+
+        g_ref = jax.grad(ref_loss_fn)(content * 0.5)
+        np.testing.assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_ref),
+            rtol=1e-4, atol=1e-7,
+        )
+
+    def test_deep_taps_through_pools(self, tiny_params) -> None:
+        """Sharding survives all five pools (default layer set, 64px)."""
+        rng = np.random.default_rng(3)
+        content = jnp.asarray(
+            rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+        )
+        style = jnp.asarray(
+            rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+        )
+        mesh = create_mesh(n_style=1, n_space=2)
+        style_layers = (0, 5, 10, 19, 28)
+        content_layers = (21,)
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, style, content,
+            style_layers, content_layers, precision=HIGH,
+        )
+        loss_fn = build_sharded_loss(
+            mesh, tiny_params, sharded_targets, tuple(content.shape),
+            style_w=1e5, content_w=1.0,
+            style_layers=style_layers, content_layers=content_layers,
+            precision=HIGH,
+        )
+        ref_targets = compute_targets(
+            tiny_params, style, content, style_layers, content_layers,
+            precision=HIGH,
+        )
+        ref, _ = total_loss(
+            tiny_params, content, ref_targets, 1e5, 1.0,
+            style_layers, content_layers, HIGH,
+        )
+        got = jax.jit(loss_fn)(content)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+
+
+class TestDpSpCombined:
+    def test_full_step_runs_and_decreases_loss(self, tiny_params) -> None:
+        """2x2 mesh: styles x row-shards, one full Adam training step."""
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            build_dp_sp_update,
+            compute_sharded_targets,
+        )
+
+        rng = np.random.default_rng(5)
+        content = jnp.asarray(
+            rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
+        )
+        styles = [
+            jnp.asarray(
+                rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
+            )
+            for _ in range(2)
+        ]
+        mesh = create_mesh(n_style=2, n_space=2)
+
+        per_style_targets = [
+            compute_sharded_targets(
+                mesh, tiny_params, s, content, STYLE_LAYERS, CONTENT_LAYERS,
+                precision=HIGH,
+            )
+            for s in styles
+        ]
+        from style_transfer_visualizer_tpu.models.features import Targets
+
+        stacked = Targets(
+            style_grams={
+                k: jnp.stack([t.style_grams[k] for t in per_style_targets])
+                for k in STYLE_LAYERS
+            },
+            content_feats={
+                k: jnp.stack(
+                    [t.content_feats[k] for t in per_style_targets],
+                )
+                for k in CONTENT_LAYERS
+            },
+        )
+        update_fn, state = build_dp_sp_update(
+            mesh, tiny_params, stacked, tuple(content.shape), 2,
+            lr=0.05, style_w=100.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        images = jnp.stack([content * 0.5, content * 0.2])
+        losses = []
+        for _ in range(3):
+            images, state, per_style = update_fn(images, state)
+            losses.append(np.asarray(per_style))
+        assert losses[0].shape == (2,)
+        assert np.all(losses[-1] < losses[0])
+        assert images.shape == (2, 1, 32, 32, 3)
