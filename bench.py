@@ -1,0 +1,91 @@
+"""Headline benchmark: optimizer steps/sec at 512px on the local device.
+
+Runs the BASELINE.json configs[0] workload — full VGG19 feature stack,
+style layers (0,5,10,19,28), content layer 21, Adam on the pixels
+(exactly one fused forward+backward+update per step) — on a 512x512
+image and reports steady-state steps/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+``vs_baseline`` is relative to the reference implementation's hot loop
+on CPU (measured by benchmarks/reference_cpu_baseline.py on this
+machine; see BASELINE.md). L-BFGS throughput is within noise of Adam
+here — both cost one forward+backward per accepted step — but Adam is
+the benchmark workload because it compiles once (the L-BFGS while_loop
+roughly doubles compile time on backends where the VGG19 backward graph
+is slow to build).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference (torch CPU, identical workload: VGG19 taps, Gram+MSE loss,
+# Adam) measured on this host; LBFGS variant measured at 0.1351.
+# See BASELINE.md.
+REFERENCE_CPU_STEPS_PER_SEC = 0.137  # steps/s, 512px, torch 2.13 CPU
+
+SIZE = 512
+WARMUP_STEPS = 3
+TIMED_STEPS = 60
+
+
+def main() -> None:
+    from style_transfer_visualizer_tpu.engine.step import build_update_step
+    from style_transfer_visualizer_tpu.models import vgg19
+    from style_transfer_visualizer_tpu.models.features import (
+        compute_targets,
+        initialize_input,
+    )
+
+    params = vgg19.init_random_params(jax.random.key(0))
+    style_layers = (0, 5, 10, 19, 28)
+    content_layers = (21,)
+
+    key = jax.random.key(1)
+    content = jax.random.uniform(key, (1, SIZE, SIZE, 3), jnp.float32)
+    style = jax.random.uniform(
+        jax.random.fold_in(key, 1), (1, SIZE, SIZE, 3), jnp.float32,
+    )
+    targets = compute_targets(
+        params, style, content, style_layers, content_layers,
+    )
+    bundle = build_update_step(
+        params, targets, tuple(content.shape),
+        optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
+        style_layers=style_layers, content_layers=content_layers,
+        precision="highest",
+    )
+
+    x = initialize_input(content, "random", jax.random.key(2))
+    state = bundle.opt_state
+    for _ in range(WARMUP_STEPS):
+        x, state, aux = bundle.update_fn(x, state)
+    jax.block_until_ready(x)
+
+    start = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        x, state, aux = bundle.update_fn(x, state)
+    jax.block_until_ready(x)
+    elapsed = time.perf_counter() - start
+
+    steps_per_sec = TIMED_STEPS / elapsed
+    baseline = REFERENCE_CPU_STEPS_PER_SEC
+    print(
+        json.dumps(
+            {
+                "metric": "adam_steps_per_sec_512px",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / baseline, 2),
+            },
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     output.add_argument(
+        "--checkpoint-every", type=int, default=argparse.SUPPRESS,
+        help=(
+            "Save a resumable checkpoint (image + optimizer state) every "
+            "N steps (0 disables; default 0)."
+        ),
+    )
+    output.add_argument(
+        "--checkpoint-path", type=str, default=argparse.SUPPRESS,
+        help="Checkpoint file path (default: <output>/checkpoint.npz).",
+    )
+    output.add_argument(
+        "--resume-from", type=str, default=argparse.SUPPRESS,
+        help="Resume optimization from a saved checkpoint file.",
+    )
+    output.add_argument(
         "--compare-inputs", action="store_true",
         help=(
             "Save a labeled comparison image of content and style to the "

@@ -92,12 +92,16 @@ class HardwareConfig(BaseModel):
 
 
 class OutputConfig(BaseModel):
-    """Output directory and loss-logging settings."""
+    """Output directory, loss-logging, and checkpoint settings."""
 
     output: str = Field(d.DEFAULT_OUTPUT_DIR)
     log_every: int = Field(d.DEFAULT_LOG_EVERY, ge=1)
     log_loss: str | None = None
     plot_losses: bool = True
+    # Checkpoint/resume (new capability; the reference has none):
+    checkpoint_every: int = Field(0, ge=0)   # 0 disables
+    checkpoint_path: str | None = None       # default: <output>/checkpoint.npz
+    resume_from: str | None = None
 
 
 class StyleTransferConfig(BaseModel):
@@ -167,7 +171,10 @@ def build_config_from_cli(
 
 
 def _merge_output(cfg: StyleTransferConfig, args: Mapping[str, Any]) -> None:
-    for key in ("output", "log_every", "log_loss"):
+    for key in (
+        "output", "log_every", "log_loss",
+        "checkpoint_every", "checkpoint_path", "resume_from",
+    ):
         if key in args:
             setattr(cfg.output, key, args[key])
     if args.get("no_plot"):

@@ -267,7 +267,6 @@ def adam_init(n: int) -> AdamState:
     )
 
 
-@partial(jax.jit, static_argnames=(), donate_argnums=())
 def _adam_update_math(
     grad: jax.Array,
     state: AdamState,

@@ -112,6 +112,8 @@ class OptimizationRunner:
         intro_crossfade_frames: int = 0,
         frame_fetcher: Callable[[jax.Array], object] | None = None,
         async_frames: bool = True,
+        start_step: int = 0,
+        checkpoint_path: object | None = None,
     ) -> None:
         self.update_fn = update_fn
         self.opt_state = opt_state
@@ -137,7 +139,9 @@ class OptimizationRunner:
         self._latest_logged: LoggedLoss | None = None
         self._configure_logging()
 
-        self._step_index = 0
+        self._step_index = start_step
+        self._start_step = start_step
+        self._checkpoint_path = checkpoint_path
         self._eval_counts: list[jax.Array] = []
 
     @property
@@ -157,7 +161,9 @@ class OptimizationRunner:
         """Execute the loop; return (image, loss history, elapsed seconds)."""
         if self._progress_bar is None:
             self._progress_bar = tqdm(
-                total=self.total_steps, desc="Style Transfer",
+                total=self.total_steps,
+                initial=self._start_step,
+                desc="Style Transfer",
             )
             self._owns_progress_bar = True
 
@@ -257,9 +263,26 @@ class OptimizationRunner:
             metrics = StepMetrics(step=step_idx)
 
         self._maybe_write_video_frame(metrics)
+        self._maybe_save_checkpoint(step_idx)
         self.progress_bar.update(1)
         if self.callbacks.on_step_end is not None:
             self.callbacks.on_step_end(metrics)
+
+    def _maybe_save_checkpoint(self, step_idx: int) -> None:
+        cadence = self.config.output.checkpoint_every
+        if (
+            not cadence
+            or self._checkpoint_path is None
+            or step_idx % cadence != 0
+        ):
+            return
+        from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
+            save_checkpoint,
+        )
+
+        save_checkpoint(
+            self._checkpoint_path, step_idx, self.input_img, self.opt_state,
+        )
 
     def _record_losses(
         self, step_idx: int, aux: StepAux,
@@ -382,16 +405,17 @@ class OptimizationRunner:
             self.progress_bar.set_postfix(postfix)
 
     def _log_summary(self) -> None:
-        if self._step_index <= 0:
+        steps_run = self._step_index - self._start_step
+        if steps_run <= 0:
             return
         # Single host sync for the whole run's evaluation telemetry.
         total_evals = int(np.sum(np.asarray(self._eval_counts)))
         logger.info(
             "Optimization finished with %d accepted steps and %d closure "
             "evaluations (%.2f closures/step).",
-            self._step_index,
+            steps_run,
             total_evals,
-            total_evals / self._step_index,
+            total_evals / steps_run,
         )
 
     def _cleanup(self) -> None:

@@ -52,6 +52,11 @@ def style_transfer(
         config.video.create_gif = False
         config.video.save_every = config.optimization.steps + 1
 
+    from style_transfer_visualizer_tpu.utils.cache import (  # noqa: PLC0415
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     key = stv_runtime.setup_random_seed(config.optimization.seed)
     device = stv_runtime.setup_device(config.hardware.device)
 
@@ -130,15 +135,36 @@ def _run_on_device(
         if intro_info is not None:
             intro_last_frame, intro_crossfade_frames = intro_info
 
+    opt_state = bundle.opt_state
+    start_step = 0
+    if config.output.resume_from:
+        from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
+            load_checkpoint,
+        )
+
+        ckpt = load_checkpoint(config.output.resume_from, opt_state)
+        input_img, opt_state = ckpt.image, ckpt.opt_state
+        start_step = min(ckpt.step, opt_cfg.steps)
+
+    checkpoint_path = None
+    if config.output.checkpoint_every > 0:
+        checkpoint_path = (
+            Path(config.output.checkpoint_path)
+            if config.output.checkpoint_path
+            else output_path / "checkpoint.npz"
+        )
+
     runner = OptimizationRunner(
         bundle.update_fn,
-        bundle.opt_state,
+        opt_state,
         input_img,
         config,
         video_writer=video_writer,
         gif_collector=gif_collector,
         intro_last_frame=intro_last_frame,
         intro_crossfade_frames=intro_crossfade_frames,
+        start_step=start_step,
+        checkpoint_path=checkpoint_path,
     )
     input_img, loss_metrics, elapsed = runner.run()
 

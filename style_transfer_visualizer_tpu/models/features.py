@@ -104,16 +104,24 @@ def extract_features(
     return acts
 
 
+@partial(
+    jax.jit,
+    static_argnames=("style_layers", "content_layers", "precision"),
+)
 def compute_targets(
     params: Params,
     style_img: jax.Array,
     content_img: jax.Array,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
-    *,
     precision: jax.lax.Precision | None = None,
 ) -> Targets:
-    """Precompute style Gram targets and content activation targets."""
+    """Precompute style Gram targets and content activation targets.
+
+    Jitted: the whole two-image feature sweep is one compiled
+    computation (eager per-layer dispatch costs a compile + device
+    roundtrip per op on remote-attached TPUs).
+    """
     style_acts = extract_features(
         params, style_img, style_layers, precision=precision,
     )

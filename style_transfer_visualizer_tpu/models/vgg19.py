@@ -75,21 +75,32 @@ _TORCH_CHECKPOINT_GLOBS = ("vgg19-*.pth", "vgg19.pth")
 
 
 def init_random_params(
-    key: jax.Array,
+    key: jax.Array | int,
     dtype: jnp.dtype = jnp.float32,
 ) -> Params:
-    """He-normal random conv weights (air-gapped / testing fallback)."""
-    params: Params = {}
+    """He-normal random conv weights (air-gapped / testing fallback).
+
+    Weights are drawn host-side (numpy) and placed on device as one
+    pytree transfer — per-layer device RNG calls would cost one compile
+    + roundtrip each, which is prohibitive over remote-attached TPUs.
+    """
+    if isinstance(key, jax.Array):
+        seed = int(jax.random.key_data(key)[-1])
+    else:
+        seed = int(key)
+    rng = np.random.default_rng(seed)
+    host: dict[int, dict[str, np.ndarray]] = {}
     for idx in CONV_INDICES:
         _, in_ch, out_ch = LAYER_TABLE[idx]
-        key, wkey = jax.random.split(key)
         fan_in = 3 * 3 * in_ch
-        w = jax.random.normal(wkey, (3, 3, in_ch, out_ch), dtype)
-        params[idx] = {
-            "w": w * jnp.sqrt(2.0 / fan_in).astype(dtype),
-            "b": jnp.zeros((out_ch,), dtype),
+        host[idx] = {
+            "w": (
+                rng.standard_normal((3, 3, in_ch, out_ch))
+                * np.sqrt(2.0 / fan_in)
+            ).astype(dtype),
+            "b": np.zeros((out_ch,), dtype),
         }
-    return params
+    return jax.device_put(host)
 
 
 def convert_torch_state_dict(state_dict: dict[str, Any]) -> Params:

@@ -1,0 +1,91 @@
+"""Resumable checkpoints for long optimization runs.
+
+The reference has no checkpoint/resume (SURVEY §5); for multi-hour 4K
+runs this is a cheap, worthwhile addition. A checkpoint is one ``.npz``
+holding the working image, the flattened optimizer-state pytree, and the
+step index; writes go through a temp file + atomic rename so an
+interrupted save never corrupts the previous checkpoint.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import numpy as np
+
+from style_transfer_visualizer_tpu.utils.logging import logger
+
+_META_KEY = "__meta__"
+_IMAGE_KEY = "image"
+_STATE_PREFIX = "state_"
+
+
+class Checkpoint(NamedTuple):
+    """A restored checkpoint."""
+
+    step: int
+    image: jax.Array
+    opt_state: Any
+
+
+def save_checkpoint(
+    path: str | Path,
+    step: int,
+    image: jax.Array,
+    opt_state: Any,
+) -> Path:
+    """Atomically persist (step, image, optimizer state) to ``path``."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    payload: dict[str, np.ndarray] = {
+        _IMAGE_KEY: np.asarray(image),
+        _META_KEY: np.frombuffer(
+            json.dumps(
+                {"step": step, "n_leaves": len(leaves)},
+            ).encode(),
+            dtype=np.uint8,
+        ),
+    }
+    for i, leaf in enumerate(leaves):
+        payload[f"{_STATE_PREFIX}{i}"] = np.asarray(leaf)
+
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    np.savez(tmp, **payload)
+    # np.savez appends .npz to names without it.
+    produced = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    produced.replace(path)
+    logger.info("Checkpoint saved at step %d: %s", step, path)
+    return path
+
+
+def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
+    """Restore a checkpoint; ``opt_state_like`` supplies the pytree shape."""
+    path = Path(path)
+    if not path.is_file():
+        msg = f"Checkpoint not found: {path}"
+        raise FileNotFoundError(msg)
+
+    with np.load(path) as data:
+        meta = json.loads(bytes(data[_META_KEY].tobytes()).decode())
+        image = jax.numpy.asarray(data[_IMAGE_KEY])
+        leaves = [
+            jax.numpy.asarray(data[f"{_STATE_PREFIX}{i}"])
+            for i in range(meta["n_leaves"])
+        ]
+    treedef = jax.tree_util.tree_structure(opt_state_like)
+    if treedef.num_leaves != len(leaves):
+        msg = (
+            f"Checkpoint has {len(leaves)} state leaves but the current "
+            f"optimizer expects {treedef.num_leaves} — was it saved with "
+            "a different optimizer configuration?"
+        )
+        raise ValueError(msg)
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    logger.info(
+        "Resumed checkpoint from step %d: %s", meta["step"], path,
+    )
+    return Checkpoint(step=meta["step"], image=image, opt_state=opt_state)
