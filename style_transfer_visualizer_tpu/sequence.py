@@ -1,0 +1,210 @@
+"""Frame-sequence stylization: stylize a video clip frame by frame.
+
+Each input frame is optimized against the shared style target with its
+own content target; frames after the first warm-start from the previous
+frame's stylized result, which both converges faster and keeps the
+output temporally coherent (BASELINE.json configs[4]).
+
+Compilation discipline: the per-frame update takes the content targets
+as *runtime arguments* (unlike the single-image pipeline, which closes
+over them), so the whole clip reuses ONE compiled step regardless of
+length — recompiling per frame would dwarf the optimization cost.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import TYPE_CHECKING, NamedTuple
+
+import jax
+
+import style_transfer_visualizer_tpu.image_io as stv_image_io
+from style_transfer_visualizer_tpu.engine.optimizers import (
+    adam_init,
+    adam_step,
+    lbfgs_init,
+    lbfgs_step,
+)
+from style_transfer_visualizer_tpu.engine.step import resolve_precision
+from style_transfer_visualizer_tpu.models.features import (
+    Targets,
+    compute_targets,
+    initialize_input,
+)
+from style_transfer_visualizer_tpu.utils.logging import logger
+
+if TYPE_CHECKING:
+    from style_transfer_visualizer_tpu.config import StyleTransferConfig
+    from style_transfer_visualizer_tpu.models.vgg19 import Params
+
+_FRAME_PATTERNS = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
+
+
+class SequenceResult(NamedTuple):
+    """Outcome of a sequence run."""
+
+    frame_paths: list[Path]
+    total_steps: int
+
+
+def discover_frames(frames_dir: str | Path) -> list[Path]:
+    """Sorted image frames in a directory."""
+    frames_dir = Path(frames_dir)
+    if not frames_dir.is_dir():
+        msg = f"Frames directory not found: {frames_dir}"
+        raise FileNotFoundError(msg)
+    hits: list[Path] = []
+    for pattern in _FRAME_PATTERNS:
+        hits.extend(frames_dir.glob(pattern))
+    frames = sorted(set(hits))
+    if not frames:
+        msg = f"No image frames found under {frames_dir}"
+        raise ValueError(msg)
+    return frames
+
+
+def _build_sequence_update(
+    params: Params,
+    image_shape: tuple[int, ...],
+    cfg: StyleTransferConfig,
+):
+    """Jitted ``(x, opt_state, targets) -> (x, opt_state, aux)``.
+
+    Targets flow in as arguments so every frame hits the same compiled
+    executable.
+    """
+    opt_cfg = cfg.optimization
+    prec = resolve_precision(cfg.hardware.precision)
+    style_layers = tuple(opt_cfg.style_layers)
+    content_layers = tuple(opt_cfg.content_layers)
+    n = 1
+    for dim in image_shape:
+        n *= int(dim)
+
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        total_loss,
+    )
+
+    def vag_with_targets(flat: jax.Array, targets: Targets):
+        def loss_of(flat_x: jax.Array):
+            img = flat_x.reshape(image_shape)
+            return total_loss(
+                params, img, targets, opt_cfg.style_w, opt_cfg.content_w,
+                style_layers, content_layers, prec,
+            )
+
+        return jax.value_and_grad(loss_of, has_aux=True)(flat)
+
+    if opt_cfg.optimizer == "adam":
+        def update(x, state, targets):
+            flat, new_state, aux = adam_step(
+                lambda f: vag_with_targets(f, targets),
+                x.reshape(n), state, opt_cfg.lr,
+            )
+            return flat.reshape(image_shape), new_state, aux
+
+        init_state = lambda: adam_init(n)  # noqa: E731
+    else:
+        def update(x, state, targets):
+            flat, new_state, aux = lbfgs_step(
+                lambda f: vag_with_targets(f, targets),
+                x.reshape(n), state, opt_cfg.lr,
+                max_iter=opt_cfg.lbfgs_max_iter,
+                max_eval=opt_cfg.lbfgs_max_eval,
+                history_size=opt_cfg.lbfgs_history_size,
+            )
+            return flat.reshape(image_shape), new_state, aux
+
+        init_state = lambda: lbfgs_init(  # noqa: E731
+            n, opt_cfg.lbfgs_history_size,
+        )
+
+    return jax.jit(update), init_state
+
+
+def stylize_sequence(
+    frames_dir: str | Path,
+    style_path: str | Path,
+    config: StyleTransferConfig,
+    output_dir: str | Path,
+    *,
+    params: Params | None = None,
+) -> SequenceResult:
+    """Stylize every frame in ``frames_dir`` against one style image.
+
+    Per-frame budget is ``config.optimization.steps``. Outputs are
+    written as ``stylized_{frame_stem}.png`` under ``output_dir``.
+    """
+    from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
+        load_vgg19_params,
+    )
+    from style_transfer_visualizer_tpu.runtime.device import (  # noqa: PLC0415
+        setup_random_seed,
+    )
+
+    opt_cfg = config.optimization
+    frames = discover_frames(frames_dir)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    key = setup_random_seed(opt_cfg.seed)
+    if params is None:
+        params = load_vgg19_params(
+            allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
+        )
+
+    style_img = stv_image_io.load_image_to_array(
+        style_path, normalize=opt_cfg.normalize,
+    )
+    prec = resolve_precision(config.hardware.precision)
+    style_layers = tuple(opt_cfg.style_layers)
+    content_layers = tuple(opt_cfg.content_layers)
+
+    first_content = stv_image_io.load_image_to_array(
+        frames[0], normalize=opt_cfg.normalize,
+    )
+    update, init_state = _build_sequence_update(
+        params, tuple(first_content.shape), config,
+    )
+
+    outputs: list[Path] = []
+    total_steps = 0
+    x = None
+    for i, frame_path in enumerate(frames):
+        content = (
+            first_content
+            if i == 0
+            else stv_image_io.load_image_to_array(
+                frame_path, normalize=opt_cfg.normalize,
+            )
+        )
+        if content.shape != first_content.shape:
+            msg = (
+                f"Frame {frame_path.name} has shape {content.shape}; all "
+                f"frames must match the first ({first_content.shape})"
+            )
+            raise ValueError(msg)
+        targets = compute_targets(
+            params, style_img, content, style_layers, content_layers,
+            prec,
+        )
+        if x is None:
+            x = initialize_input(content, opt_cfg.init_method, key)
+        # else: warm start — keep x from the previous stylized frame.
+
+        state = init_state()
+        for _ in range(opt_cfg.steps):
+            x, state, aux = update(x, state, targets)
+        total_steps += opt_cfg.steps
+
+        out_path = output_dir / f"stylized_{frame_path.stem}.png"
+        prepared = stv_image_io.prepare_image_for_output(
+            x, normalize=opt_cfg.normalize,
+        )
+        stv_image_io.save_array_as_image(prepared, out_path)
+        outputs.append(out_path)
+        logger.info(
+            "Frame %d/%d stylized (loss %.4g): %s",
+            i + 1, len(frames), float(aux.loss), out_path,
+        )
+
+    return SequenceResult(frame_paths=outputs, total_steps=total_steps)

@@ -1,0 +1,118 @@
+"""Frame-sequence stylization: discovery, warm start, CLI."""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+import style_transfer_visualizer_tpu.sequence as seq
+from style_transfer_visualizer_tpu.models import vgg19
+
+
+@pytest.fixture
+def frames_dir(tmp_path: Path) -> Path:
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"frame_{i:03d}.png")
+    return d
+
+
+@pytest.fixture
+def style_file(tmp_path: Path) -> Path:
+    p = tmp_path / "style.png"
+    Image.new("RGB", (64, 64), (200, 30, 30)).save(p)
+    return p
+
+
+class TestDiscovery:
+    def test_sorted_discovery(self, frames_dir: Path) -> None:
+        frames = seq.discover_frames(frames_dir)
+        assert [f.name for f in frames] == [
+            "frame_000.png", "frame_001.png", "frame_002.png",
+        ]
+
+    def test_missing_dir(self, tmp_path: Path) -> None:
+        with pytest.raises(FileNotFoundError, match="Frames directory"):
+            seq.discover_frames(tmp_path / "nope")
+
+    def test_empty_dir(self, tmp_path: Path) -> None:
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="No image frames"):
+            seq.discover_frames(empty)
+
+
+class TestStylizeSequence:
+    def test_end_to_end_tiny(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "content",
+            },
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        out_dir = tmp_path / "seq_out"
+        result = seq.stylize_sequence(
+            frames_dir, style_file, cfg, out_dir, params=params,
+        )
+        assert len(result.frame_paths) == 3
+        assert result.total_steps == 6
+        for p in result.frame_paths:
+            assert p.exists()
+            with Image.open(p) as im:
+                assert im.size == (64, 64)
+
+    def test_mismatched_frame_shapes(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        Image.new("RGB", (80, 64), "red").save(frames_dir / "frame_zzz.png")
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "optimizer": "adam",
+                          "style_layers": [0], "content_layers": [0],
+                          "init_method": "content"},
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        with pytest.raises(ValueError, match="must match"):
+            seq.stylize_sequence(
+                frames_dir, style_file, cfg, tmp_path / "o", params=params,
+            )
+
+
+class TestSequenceCli:
+    def test_cli_runs(
+        self, frames_dir, style_file, tmp_path, monkeypatch,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        recorded = {}
+
+        def fake_stylize(frames, style, cfg, out):
+            recorded["steps"] = cfg.optimization.steps
+            recorded["out"] = out
+            return seq.SequenceResult(frame_paths=[], total_steps=0)
+
+        monkeypatch.setattr(
+            sequence_cli, "stylize_sequence", fake_stylize,
+        )
+        rc = sequence_cli.main([
+            "--frames", str(frames_dir), "--style", str(style_file),
+            "--steps", "7", "--output", str(tmp_path / "o"),
+            "--device", "cpu", "--allow-random-weights",
+        ])
+        assert rc == 0
+        assert recorded["steps"] == 7
+
+    def test_cli_requires_frames(self) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        with pytest.raises(SystemExit):
+            sequence_cli.main(["--style", "s.png"])
