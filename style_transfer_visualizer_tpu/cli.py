@@ -138,6 +138,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Pixel optimizer (default: lbfgs)",
         default=argparse.SUPPRESS)
     opt.add_argument(
+        "--remat", action="store_true",
+        help=(
+            "Rematerialize VGG feature segments in the backward pass to "
+            "cut HBM use (auto-enabled for 4MP+ inputs)."
+        ),
+    )
+    opt.add_argument(
         "--allow-random-weights", action="store_true",
         help=(
             "Run with seeded random VGG19 weights when no pretrained "

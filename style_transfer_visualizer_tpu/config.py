@@ -53,6 +53,10 @@ class OptimizationConfig(BaseModel):
     # Permit seeded-random VGG19 weights when no pretrained checkpoint is
     # reachable (air-gapped hosts); stylization quality will be poor.
     allow_random_weights: bool = False
+    # Rematerialize feature segments in the backward pass (trades ~1
+    # extra forward of FLOPs for HBM headroom). Auto-enabled for
+    # 4MP+ inputs; force with this flag.
+    remat: bool = False
 
 
 class VideoConfig(BaseModel):
@@ -195,6 +199,8 @@ def _merge_optimization(
             setattr(opt, key, args[key])
     if args.get("allow_random_weights"):
         opt.allow_random_weights = True
+    if args.get("remat"):
+        opt.remat = True
     if args.get("no_normalize"):
         opt.normalize = False
     if (style_layers := args.get("style_layers")):

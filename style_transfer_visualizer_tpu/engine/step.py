@@ -74,6 +74,7 @@ def build_update_step(
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 100,
     donate: bool | None = None,
+    remat: bool = False,
 ) -> StepBundle:
     """Compile the per-step update for the given problem.
 
@@ -91,7 +92,7 @@ def build_update_step(
             img = flat_x.reshape(image_shape)
             return total_loss(
                 params, img, targets, style_w, content_w,
-                tuple(style_layers), tuple(content_layers), prec,
+                tuple(style_layers), tuple(content_layers), prec, remat,
             )
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)

@@ -222,6 +222,13 @@ def _prepare_model_and_input(
         tuple(opt_cfg.content_layers),
         precision=_precision(precision_name),
     )
+    _, height, width, _ = content_img.shape
+    remat = opt_cfg.remat or (int(height) * int(width) >= 2048 * 2048)
+    if remat and not opt_cfg.remat:
+        logger.info(
+            "Auto-enabling feature rematerialization for %dx%d input.",
+            width, height,
+        )
     bundle = build_update_step(
         params,
         targets,
@@ -236,6 +243,7 @@ def _prepare_model_and_input(
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        remat=remat,
     )
     input_img = initialize_input(content_img, opt_cfg.init_method, key)
     return bundle, input_img

@@ -56,18 +56,54 @@ def _validate_layers(indices: tuple[int, ...]) -> None:
             raise ValueError(msg)
 
 
+def _apply_layer(
+    params: Params,
+    idx: int,
+    x: jax.Array,
+    precision: jax.lax.Precision | None,
+) -> jax.Array:
+    kind = LAYER_TABLE[idx][0]
+    if kind == CONV:
+        layer = params[idx]
+        return jax.lax.conv_general_dilated(
+            x,
+            layer["w"],
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=_CONV_DIMS,
+            precision=precision,
+        ) + layer["b"]
+    if kind == RELU:
+        return jnp.maximum(x, 0.0)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
 def extract_features(
     params: Params,
     x: jax.Array,
     taps: tuple[int, ...],
     *,
     precision: jax.lax.Precision | None = None,
+    remat: bool = False,
 ) -> dict[int, jax.Array]:
     """Run the feature stack up to the deepest tap, recording activations.
 
     Layers beyond the last tap are never traced, so XLA compiles exactly
     the work required (the reference likewise drops trailing layers,
     core_model.py:120-146).
+
+    With ``remat=True`` the stack is split into segments ending at each
+    tap or pool, and each segment is wrapped in ``jax.checkpoint``: the
+    backward pass recomputes intra-segment activations instead of
+    keeping them live, trading ~1 extra forward of FLOPs for the HBM
+    headroom that lets 4K-class inputs fit on a single chip.
     """
     if not taps:
         return {}
@@ -75,32 +111,38 @@ def extract_features(
     tap_set = frozenset(taps)
     last = max(taps)
     acts: dict[int, jax.Array] = {}
-    for idx, (kind, _, _) in enumerate(LAYER_TABLE):
-        if kind == CONV:
-            layer = params[idx]
-            x = jax.lax.conv_general_dilated(
-                x,
-                layer["w"],
-                window_strides=(1, 1),
-                padding="SAME",
-                dimension_numbers=_CONV_DIMS,
-                precision=precision,
-            ) + layer["b"]
-        elif kind == RELU:
-            x = jnp.maximum(x, 0.0)
-        elif kind == POOL:
-            x = jax.lax.reduce_window(
-                x,
-                -jnp.inf,
-                jax.lax.max,
-                window_dimensions=(1, 2, 2, 1),
-                window_strides=(1, 2, 2, 1),
-                padding="VALID",
-            )
-        if idx in tap_set:
-            acts[idx] = x
-        if idx >= last:
-            break
+
+    if not remat:
+        for idx in range(last + 1):
+            x = _apply_layer(params, idx, x, precision)
+            if idx in tap_set:
+                acts[idx] = x
+        return acts
+
+    # Segment boundaries: every tap (its activation must be an output)
+    # and every pool (natural memory cliff).
+    segments: list[list[int]] = []
+    current: list[int] = []
+    for idx in range(last + 1):
+        current.append(idx)
+        if idx in tap_set or LAYER_TABLE[idx][0] == POOL:
+            segments.append(current)
+            current = []
+    if current:
+        segments.append(current)
+
+    def run_segment(seg: tuple[int, ...], params: Params, x: jax.Array):
+        for idx in seg:
+            x = _apply_layer(params, idx, x, precision)
+        return x
+
+    for seg in segments:
+        seg_t = tuple(seg)
+        x = jax.checkpoint(
+            partial(run_segment, seg_t),
+        )(params, x)
+        if seg_t[-1] in tap_set:
+            acts[seg_t[-1]] = x
     return acts
 
 
@@ -153,10 +195,13 @@ def style_content_losses(
     content_layers: tuple[int, ...],
     *,
     precision: jax.lax.Precision | None = None,
+    remat: bool = False,
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Per-layer style (Gram MSE) and content (feature MSE) losses."""
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
-    acts = extract_features(params, x, taps, precision=precision)
+    acts = extract_features(
+        params, x, taps, precision=precision, remat=remat,
+    )
     style_losses = [
         _mse(
             gram_matrix(acts[idx], precision=precision),
@@ -173,7 +218,7 @@ def style_content_losses(
 
 @partial(
     jax.jit,
-    static_argnames=("style_layers", "content_layers", "precision"),
+    static_argnames=("style_layers", "content_layers", "precision", "remat"),
 )
 def total_loss(
     params: Params,
@@ -184,6 +229,7 @@ def total_loss(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     precision: jax.lax.Precision | None = None,
+    remat: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss plus (style_score, content_score) aux.
 
@@ -192,7 +238,7 @@ def total_loss(
     """
     style_losses, content_losses = style_content_losses(
         params, x, targets, style_layers, content_layers,
-        precision=precision,
+        precision=precision, remat=remat,
     )
     zero = jnp.zeros((), dtype=x.dtype)
     style_score = (

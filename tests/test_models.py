@@ -351,3 +351,51 @@ class TestInitializeInput:
     def test_unsupported(self) -> None:
         with pytest.raises(ValueError, match="Unsupported"):
             initialize_input(jnp.zeros((1, 2, 2, 3)), "zeros")
+
+
+class TestRemat:
+    def test_remat_matches_plain_forward(self) -> None:
+        params = vgg19.init_random_params(jax.random.key(0))
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(
+                size=(1, 64, 64, 3),
+            ).astype(np.float32),
+        )
+        taps = (0, 5, 10, 19, 21, 28)
+        plain = extract_features(params, x, taps)
+        remat = extract_features(params, x, taps, remat=True)
+        for idx in taps:
+            np.testing.assert_allclose(
+                np.asarray(remat[idx]), np.asarray(plain[idx]),
+                rtol=1e-6, atol=1e-7,
+            )
+
+    def test_remat_gradient_matches(self) -> None:
+        params = vgg19.init_random_params(jax.random.key(1))
+        rng = np.random.default_rng(1)
+        content = jnp.asarray(
+            rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+        )
+        style = jnp.asarray(
+            rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+        )
+        x = jnp.asarray(
+            rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+        )
+        sl, cl = (0, 5), (2,)
+        targets = compute_targets(params, style, content, sl, cl)
+
+        def loss_plain(x):
+            return total_loss(params, x, targets, 10.0, 1.0, sl, cl)
+
+        def loss_remat(x):
+            return total_loss(
+                params, x, targets, 10.0, 1.0, sl, cl, None, True,
+            )
+
+        (lp, _), gp = jax.value_and_grad(loss_plain, has_aux=True)(x)
+        (lr_, _), gr = jax.value_and_grad(loss_remat, has_aux=True)(x)
+        np.testing.assert_allclose(float(lr_), float(lp), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(gp), rtol=1e-5, atol=1e-8,
+        )
