@@ -53,6 +53,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     required.add_argument("--content", type=str,
                           help="Path to content image")
     required.add_argument("--style", type=str, help="Path to style image")
+    required.add_argument(
+        "--styles", type=str, default=None,
+        help=(
+            "Comma-separated style image paths for a parallel multi-style "
+            "batch run (styles shard across TPU devices; video output is "
+            "disabled in this mode)."
+        ),
+    )
 
     output = p.add_argument_group("output")
     output.add_argument(
@@ -331,6 +339,17 @@ def run_from_args(args: argparse.Namespace) -> None:
 
     cfg = stv_config.build_config_from_cli(vars(args), base_config=base_cfg)
 
+    if getattr(args, "styles", None):
+        style_paths = [
+            s.strip() for s in args.styles.split(",") if s.strip()
+        ]
+        logger.info(
+            "Multi-style batch: content=%s styles=%s",
+            args.content, style_paths,
+        )
+        stv_main.multi_style_transfer(args.content, style_paths, cfg)
+        return
+
     paths = InputPaths(content_path=args.content, style_path=args.style)
     log_parameters(paths, cfg, args)
 
@@ -352,7 +371,8 @@ def main() -> None:
     """Console entry point."""
     arg_parser = build_arg_parser()
     args = arg_parser.parse_args()
-    if not args.validate_config_only and (not args.content or not args.style):
+    has_style = bool(args.style or args.styles)
+    if not args.validate_config_only and (not args.content or not has_style):
         arg_parser.error(
             "the following arguments are required: --content, --style",
         )

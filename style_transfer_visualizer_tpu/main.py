@@ -201,6 +201,123 @@ def _run_on_device(
     )
 
 
+def multi_style_transfer(
+    content_path: str,
+    style_paths: list[str],
+    config: StyleTransferConfig,
+) -> list[Path]:
+    """Optimize one content image against S styles in parallel.
+
+    Styles shard across available devices on the ``style`` mesh axis
+    (vmapped stacked update); outputs save as
+    ``stylized_{content}_x_{style_i}.png``. Video/GIF outputs are not
+    produced in batch mode.
+    """
+    from style_transfer_visualizer_tpu.parallel.mesh import (  # noqa: PLC0415
+        create_mesh,
+    )
+    from style_transfer_visualizer_tpu.parallel.multistyle import (  # noqa: PLC0415
+        build_multi_style_update,
+        initialize_multi_inputs,
+        multi_style_targets,
+    )
+    from style_transfer_visualizer_tpu.utils.cache import (  # noqa: PLC0415
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    stv_runtime.validate_input_paths(content_path, style_paths[0])
+    for style_path in style_paths:
+        stv_runtime.validate_input_paths(content_path, style_path)
+
+    opt_cfg = config.optimization
+    key = stv_runtime.setup_random_seed(opt_cfg.seed)
+    device = stv_runtime.setup_device(config.hardware.device)
+
+    with jax.default_device(device):
+        content_img = stv_image_io.load_image_to_array(
+            content_path, normalize=opt_cfg.normalize,
+        )
+        style_imgs = [
+            stv_image_io.load_image_to_array(
+                p, normalize=opt_cfg.normalize,
+            )
+            for p in style_paths
+        ]
+
+        params = load_vgg19_params(
+            allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
+        )
+        n_styles = len(style_imgs)
+        # Largest divisor of S that fits the device count.
+        n_devices = len(jax.devices(device.platform))
+        n_style_axis = max(
+            d for d in range(1, min(n_styles, n_devices) + 1)
+            if n_styles % d == 0
+        )
+        mesh = create_mesh(
+            n_style=n_style_axis, n_space=1,
+            devices=jax.devices(device.platform),
+        )
+        logger.info(
+            "Multi-style run: %d styles over a %d-device style axis.",
+            n_styles, n_style_axis,
+        )
+
+        targets = multi_style_targets(
+            params, content_img, style_imgs,
+            tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
+            precision=_precision(config.hardware.precision),
+        )
+        bundle = build_multi_style_update(
+            mesh, params, targets, tuple(content_img.shape), n_styles,
+            optimizer=opt_cfg.optimizer,
+            lr=opt_cfg.lr,
+            style_w=opt_cfg.style_w,
+            content_w=opt_cfg.content_w,
+            style_layers=tuple(opt_cfg.style_layers),
+            content_layers=tuple(opt_cfg.content_layers),
+            precision=config.hardware.precision,
+            lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
+            lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
+            lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        )
+        images = initialize_multi_inputs(
+            content_img, opt_cfg.init_method, key, n_styles,
+        )
+        state = bundle.opt_state
+
+        from tqdm import tqdm  # noqa: PLC0415
+
+        bar = tqdm(total=opt_cfg.steps, desc="Multi-Style Transfer")
+        aux = None
+        for step in range(1, opt_cfg.steps + 1):
+            images, state, aux = bundle.update_fn(images, state)
+            bar.update(1)
+            if step % config.output.log_every == 0 and aux is not None:
+                losses = np.asarray(aux.loss)
+                bar.set_postfix({"mean_loss": f"{losses.mean():.4f}"})
+        jax.block_until_ready(images)
+        bar.close()
+
+        output_path = stv_runtime.setup_output_directory(
+            config.output.output,
+        )
+        content_name = Path(content_path).stem
+        saved: list[Path] = []
+        for i, style_path in enumerate(style_paths):
+            final = stv_image_io.prepare_image_for_output(
+                images[i], normalize=opt_cfg.normalize,
+            )
+            out_file = stv_runtime.stylized_image_path_from_names(
+                output_path, content_name, Path(style_path).stem,
+            )
+            stv_image_io.save_array_as_image(final, out_file)
+            logger.info("Stylized image saved to: %s", out_file)
+            saved.append(out_file)
+        return saved
+
+
 def _prepare_model_and_input(
     content_img: jax.Array,
     style_img: jax.Array,

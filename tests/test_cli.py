@@ -185,3 +185,63 @@ class TestLogParameters:
         )
         assert "GIF Intro Included: Yes" in caplog.text
         assert "GIF Outro Included: No" in caplog.text
+
+
+class TestMultiStyleCli:
+    def test_styles_routes_to_multi(
+        self, monkeypatch, content_image, style_image, tmp_path,
+    ) -> None:
+        called = {}
+
+        def fake_multi(content, styles, cfg):
+            called["content"] = content
+            called["styles"] = styles
+            return []
+
+        monkeypatch.setattr(
+            stv_cli.stv_main, "multi_style_transfer", fake_multi,
+        )
+        args = _parse([
+            "--content", str(content_image),
+            "--styles", f"{style_image}, {style_image}",
+            "--device", "cpu",
+        ])
+        stv_cli.run_from_args(args)
+        assert called["content"] == str(content_image)
+        assert len(called["styles"]) == 2
+
+    def test_real_multi_style_run(self, tmp_path: Path) -> None:
+        """End-to-end multi-style batch on the CPU mesh (2 styles)."""
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+        })
+        saved = multi_style_transfer(
+            str(content), [str(s1), str(s2)], cfg,
+        )
+        assert [p.name for p in saved] == [
+            "stylized_c_x_s1.png", "stylized_c_x_s2.png",
+        ]
+        for p in saved:
+            assert p.exists()
