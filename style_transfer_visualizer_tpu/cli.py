@@ -99,6 +99,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Resume optimization from a saved checkpoint file.",
     )
     output.add_argument(
+        "--profile-dir", type=str, default=argparse.SUPPRESS,
+        help=(
+            "Write a jax.profiler trace of the optimization loop to this "
+            "directory (view with TensorBoard)."
+        ),
+    )
+    output.add_argument(
         "--compare-inputs", action="store_true",
         help=(
             "Save a labeled comparison image of content and style to the "

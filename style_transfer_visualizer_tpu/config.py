@@ -106,6 +106,9 @@ class OutputConfig(BaseModel):
     checkpoint_every: int = Field(0, ge=0)   # 0 disables
     checkpoint_path: str | None = None       # default: <output>/checkpoint.npz
     resume_from: str | None = None
+    # Write a jax.profiler trace of the optimization loop here
+    # (view with TensorBoard / xprof).
+    profile_dir: str | None = None
 
 
 class StyleTransferConfig(BaseModel):
@@ -178,6 +181,7 @@ def _merge_output(cfg: StyleTransferConfig, args: Mapping[str, Any]) -> None:
     for key in (
         "output", "log_every", "log_loss",
         "checkpoint_every", "checkpoint_path", "resume_from",
+        "profile_dir",
     ):
         if key in args:
             setattr(cfg.output, key, args[key])

@@ -166,7 +166,14 @@ def _run_on_device(
         start_step=start_step,
         checkpoint_path=checkpoint_path,
     )
-    input_img, loss_metrics, elapsed = runner.run()
+    if config.output.profile_dir:
+        logger.info(
+            "Profiling optimization loop to %s", config.output.profile_dir,
+        )
+        with jax.profiler.trace(config.output.profile_dir):
+            input_img, loss_metrics, elapsed = runner.run()
+    else:
+        input_img, loss_metrics, elapsed = runner.run()
 
     _maybe_append_final_segments(
         config.video,

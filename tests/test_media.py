@@ -408,3 +408,81 @@ class TestAsyncFrameStream:
         stream.drain()
         assert delivered == [1]
         stream.close()
+
+
+class _FakeProc:
+    def __init__(self, cmd):
+        self.cmd = cmd
+        self.stdin = __import__("io").BytesIO()
+        self.returncode = 0
+        self._closed = False
+
+    def communicate(self):
+        return b"", b""
+
+
+class TestFfmpegPipeWriter:
+    @pytest.fixture
+    def fake_ffmpeg(self, monkeypatch):
+        procs = []
+
+        def fake_popen(cmd, stdin=None, stderr=None):
+            proc = _FakeProc(cmd)
+            procs.append(proc)
+            return proc
+
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
+        monkeypatch.setattr(encode.subprocess, "Popen", fake_popen)
+        return procs
+
+    def test_spawn_args_and_frame_bytes(
+        self, fake_ffmpeg, tmp_path, sample_frame,
+    ) -> None:
+        cfg = _video_cfg(fps=24, quality=10, metadata_title="T")
+        writer = encode.FfmpegPipeWriter(cfg, tmp_path / "v.mp4")
+        writer.append_data(sample_frame)  # 64x48
+        cmd = fake_ffmpeg[0].cmd
+        joined = " ".join(cmd)
+        assert "-s 64x48" in joined
+        assert "-r 24" in joined
+        assert "-vcodec libx264" in joined
+        assert "-crf 0" in joined  # quality 10 -> crf 0
+        assert "title=T" in joined
+        # 64x48 not macroblock-aligned in height: scaled to 64x48? 48 is
+        # a multiple of 16, 64 too -> no scale filter.
+        assert "scale=" not in joined
+        assert (
+            len(fake_ffmpeg[0].stdin.getvalue())
+            == sample_frame.size
+        )
+        writer.close()
+        assert writer._size == (64, 48)
+
+    def test_macroblock_scaling(self, fake_ffmpeg, tmp_path) -> None:
+        cfg = _video_cfg()
+        writer = encode.FfmpegPipeWriter(cfg, tmp_path / "v.mp4")
+        writer.append_data(np.zeros((50, 70, 3), np.uint8))
+        joined = " ".join(fake_ffmpeg[0].cmd)
+        assert "scale=80:64" in joined  # padded up to multiples of 16
+        assert writer._size == (80, 64)
+        writer.close()
+
+    def test_frame_size_change_rejected(
+        self, fake_ffmpeg, tmp_path, sample_frame,
+    ) -> None:
+        writer = encode.FfmpegPipeWriter(_video_cfg(), tmp_path / "v.mp4")
+        writer.append_data(sample_frame)
+        with pytest.raises(ValueError, match="does not match"):
+            writer.append_data(np.zeros((32, 32, 3), np.uint8))
+
+    def test_append_after_close(self, fake_ffmpeg, tmp_path, sample_frame):
+        writer = encode.FfmpegPipeWriter(_video_cfg(), tmp_path / "v.mp4")
+        writer.append_data(sample_frame)
+        writer.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            writer.append_data(sample_frame)
+
+    def test_missing_binary_raises(self, monkeypatch, tmp_path) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: False)
+        with pytest.raises(RuntimeError, match="ffmpeg binary not found"):
+            encode.FfmpegPipeWriter(_video_cfg(), tmp_path / "v.mp4")
