@@ -280,3 +280,34 @@ class TestProgressBar:
         )
         with pytest.raises(RuntimeError, match="Progress bar"):
             _ = runner.progress_bar
+
+
+class TestHostSyncDiscipline:
+    def test_no_host_sync_off_cadence(
+        self, runner_factory, monkeypatch,
+    ) -> None:
+        """Between log_every flushes the loop must not pull device data.
+
+        Mirrors the reference's guard that .item() is never called
+        between flushes (reference test_optimization.py:943-970).
+        """
+        import jax
+
+        import style_transfer_visualizer_tpu.engine.loss_accumulator as acc
+
+        syncs = {"n": 0}
+        orig = np.asarray
+
+        def counting(x, *a, **k):
+            if isinstance(x, jax.Array):
+                syncs["n"] += 1
+            return orig(x, *a, **k)
+
+        monkeypatch.setattr(acc.np, "asarray", counting)
+        runner, _ = runner_factory(
+            steps=10, output={"log_every": 5},
+        )
+        runner.run()
+        # Two cadence flushes (steps 5 and 10) plus the single
+        # end-of-run eval-count telemetry sync. Nothing per-step.
+        assert syncs["n"] == 3
