@@ -19,3 +19,10 @@ Reference behavior contract: /root/reference/src/style_transfer_visualizer
 """
 
 __version__ = "0.1.0"
+
+from style_transfer_visualizer_tpu.gallery import (  # noqa: E402
+    ComparisonRenderOptions,
+    render_comparison,
+)
+
+__all__ = ["ComparisonRenderOptions", "render_comparison"]
