@@ -195,10 +195,15 @@ def make_gallery_comparison(
     if clamped != fparams.frame_texture_strength:
         fparams = replace(fparams, frame_texture_strength=clamped)
 
-    # Keep the reference's 48px margins at normal resolutions but degrade
-    # gracefully on tiny canvases (the reference errors below ~200px).
-    left_right_wall_margin = min(left_right_wall_margin, w // 8)
-    top_bottom_wall_margin = min(top_bottom_wall_margin, h // 8)
+    # Keep the reference's 48px margins wherever the reference works
+    # (pixel parity), degrading only on tiny canvases where fixed
+    # margins would consume most of the dimension (the reference
+    # errors there).
+    def _safe_margin(margin: int, dim: int) -> int:
+        return margin if 2 * margin <= dim * 3 // 4 else dim // 8
+
+    left_right_wall_margin = _safe_margin(left_right_wall_margin, w)
+    top_bottom_wall_margin = _safe_margin(top_bottom_wall_margin, h)
 
     wall = make_wall_canvas((w, h), wall_color, vignette=True, noise=True)
 
