@@ -87,7 +87,11 @@ def build_update_step(
     for dim in image_shape:
         n *= int(dim)
 
-    def vag(flat: jax.Array):
+    # Weights and targets flow in as runtime arguments rather than
+    # closure constants: baked-in constants bloat the serialized HLO
+    # (hundreds of MB of content targets at 4K), which slows — or on
+    # remote-compile backends outright rejects — compilation.
+    def vag(flat: jax.Array, params: Params, targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
             return total_loss(
@@ -100,10 +104,10 @@ def build_update_step(
     if optimizer == "lbfgs":
         opt_state: OptState = lbfgs_init(n, lbfgs_history_size)
 
-        def update(image: jax.Array, state: LbfgsState):
+        def update(image, state: LbfgsState, params, targets):
             flat = image.reshape(n)
             new_flat, new_state, aux = lbfgs_step(
-                vag, flat, state, lr,
+                lambda f: vag(f, params, targets), flat, state, lr,
                 max_iter=lbfgs_max_iter,
                 max_eval=lbfgs_max_eval,
                 history_size=lbfgs_history_size,
@@ -113,9 +117,11 @@ def build_update_step(
     elif optimizer == "adam":
         opt_state = adam_init(n)
 
-        def update(image: jax.Array, state: AdamState):
+        def update(image, state: AdamState, params, targets):
             flat = image.reshape(n)
-            new_flat, new_state, aux = adam_step(vag, flat, state, lr)
+            new_flat, new_state, aux = adam_step(
+                lambda f: vag(f, params, targets), flat, state, lr,
+            )
             return new_flat.reshape(image_shape), new_state, aux
 
     else:
@@ -136,4 +142,8 @@ def build_update_step(
     jitted = jax.jit(
         update, donate_argnums=(0, 1) if donate else (),
     )
-    return StepBundle(update_fn=jitted, opt_state=opt_state)
+
+    def update_fn(image: jax.Array, state: OptState):
+        return jitted(image, state, params, targets)
+
+    return StepBundle(update_fn=update_fn, opt_state=opt_state)
