@@ -118,6 +118,7 @@ def build_multi_style_update(
     lbfgs_max_iter: int = 1,
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 10,
+    remat: bool = False,
 ) -> MultiStyleBundle:
     """Compile the stacked multi-style step sharded over the mesh.
 
@@ -135,7 +136,7 @@ def build_multi_style_update(
             img = flat_x.reshape(image_shape)
             return total_loss(
                 params, img, style_targets, style_w, content_w,
-                tuple(style_layers), tuple(content_layers), prec,
+                tuple(style_layers), tuple(content_layers), prec, remat,
             )
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
