@@ -128,11 +128,14 @@ def stylize_sequence(
     output_dir: str | Path,
     *,
     params: Params | None = None,
+    assemble_gif: bool = False,
 ) -> SequenceResult:
     """Stylize every frame in ``frames_dir`` against one style image.
 
     Per-frame budget is ``config.optimization.steps``. Outputs are
-    written as ``stylized_{frame_stem}.png`` under ``output_dir``.
+    written as ``stylized_{frame_stem}.png`` under ``output_dir``;
+    with ``assemble_gif`` the stylized frames are also assembled into
+    ``stylized_sequence.gif`` at ``config.video.fps``.
     """
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
         load_vgg19_params,
@@ -206,5 +209,26 @@ def stylize_sequence(
             "Frame %d/%d stylized (loss %.4g): %s",
             i + 1, len(frames), float(aux.loss), out_path,
         )
+
+    if assemble_gif and outputs:
+        from PIL import Image  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        from style_transfer_visualizer_tpu.media.encode import (  # noqa: PLC0415
+            GifFrameCollector,
+        )
+
+        gif_path = output_dir / "stylized_sequence.gif"
+        collector = GifFrameCollector(gif_path, config.video.fps)
+        try:
+            for frame_file in outputs:
+                with Image.open(frame_file) as img:
+                    collector.append_data(
+                        np.asarray(img.convert("RGB"), dtype=np.uint8),
+                    )
+        finally:
+            collector.close()
+        logger.info("Sequence GIF saved to: %s", gif_path)
 
     return SequenceResult(frame_paths=outputs, total_steps=total_steps)

@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=argparse.SUPPRESS,
     )
     p.add_argument("--allow-random-weights", action="store_true")
+    p.add_argument(
+        "--gif", action="store_true",
+        help="Assemble stylized frames into stylized_sequence.gif",
+    )
+    p.add_argument(
+        "--fps", type=int, default=argparse.SUPPRESS,
+        help="Frame rate for --gif assembly (default 10)",
+    )
     p.add_argument("--config", type=str, help="Path to config.toml")
     return p
 
@@ -81,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     with jax.default_device(device):
         result = stylize_sequence(
             args.frames, args.style, cfg, cfg.output.output,
+            assemble_gif=args.gif,
         )
     logger.info(
         "Sequence complete: %d frames, %d total steps.",

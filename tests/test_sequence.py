@@ -95,7 +95,7 @@ class TestSequenceCli:
 
         recorded = {}
 
-        def fake_stylize(frames, style, cfg, out):
+        def fake_stylize(frames, style, cfg, out, **kw):
             recorded["steps"] = cfg.optimization.steps
             recorded["out"] = out
             return seq.SequenceResult(frame_paths=[], total_steps=0)
@@ -116,3 +116,47 @@ class TestSequenceCli:
 
         with pytest.raises(SystemExit):
             sequence_cli.main(["--style", "s.png"])
+
+
+class TestSequenceGif:
+    def test_assemble_gif(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [0],
+                "init_method": "content",
+            },
+            video={"fps": 5},
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        out_dir = tmp_path / "gifseq"
+        result = seq.stylize_sequence(
+            frames_dir, style_file, cfg, out_dir,
+            params=params, assemble_gif=True,
+        )
+        gif = out_dir / "stylized_sequence.gif"
+        assert gif.exists()
+        with Image.open(gif) as g:
+            assert g.n_frames >= 2  # distinct stylized frames
+
+    def test_cli_gif_flag(self, frames_dir, style_file, monkeypatch, tmp_path):
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        recorded = {}
+
+        def fake_stylize(frames, style, cfg, out, assemble_gif=False):
+            recorded["gif"] = assemble_gif
+            recorded["fps"] = cfg.video.fps
+            return seq.SequenceResult(frame_paths=[], total_steps=0)
+
+        monkeypatch.setattr(sequence_cli, "stylize_sequence", fake_stylize)
+        rc = sequence_cli.main([
+            "--frames", str(frames_dir), "--style", str(style_file),
+            "--gif", "--fps", "12", "--device", "cpu",
+            "--output", str(tmp_path / "o"),
+        ])
+        assert rc == 0
+        assert recorded["gif"] is True
+        assert recorded["fps"] == 12
