@@ -18,6 +18,7 @@ Behavioral contracts kept from the reference:
 from __future__ import annotations
 
 import math
+import sys
 import time
 from collections.abc import Callable, Mapping
 from dataclasses import dataclass
@@ -419,12 +420,36 @@ class OptimizationRunner:
         )
 
     def _cleanup(self) -> None:
+        """Close every resource; never let one failure skip the others.
+
+        Runs inside ``run()``'s finally: when the loop itself raised, a
+        cleanup error must not replace it, so close errors are logged.
+        A frame-stream error (a sink rejected a frame on the worker
+        thread) is a real run failure and is re-raised when it is the
+        only thing that went wrong.
+        """
+        loop_failed = sys.exc_info()[1] is not None
+        stream_error: BaseException | None = None
+
         if self._frame_stream is not None:
+            stream, self._frame_stream = self._frame_stream, None
             try:
-                self._frame_stream.close()
-            finally:
-                self._frame_stream = None
+                stream.close()
+            except BaseException as exc:  # noqa: BLE001
+                stream_error = exc
+                logger.error("Error closing frame stream: %s", exc)
+
         if self.loss_logger is not None:
-            self.loss_logger.close()
+            try:
+                self.loss_logger.close()
+            except OSError as exc:
+                logger.error("Error closing loss logger: %s", exc)
+
         if self._owns_progress_bar and self._progress_bar is not None:
-            self._progress_bar.close()
+            try:
+                self._progress_bar.close()
+            except Exception as exc:  # noqa: BLE001
+                logger.error("Error closing progress bar: %s", exc)
+
+        if stream_error is not None and not loop_failed:
+            raise stream_error

@@ -311,3 +311,60 @@ class TestHostSyncDiscipline:
         # Two cadence flushes (steps 5 and 10) plus the single
         # end-of-run eval-count telemetry sync. Nothing per-step.
         assert syncs["n"] == 3
+
+
+class TestCleanupRobustness:
+    def test_stream_error_surfaces_after_run(self, runner_factory) -> None:
+        """A sink that explodes on the worker thread fails the run."""
+        class ExplodingSink(MemorySink):
+            def append_data(self, frame):
+                raise OSError("encoder died")
+
+        runner, _ = runner_factory(
+            steps=2, video={"save_every": 1},
+            video_writer=ExplodingSink(),
+        )
+        with pytest.raises(OSError, match="encoder died"):
+            runner.run()
+
+    def test_logger_close_error_does_not_skip_bar(
+        self, runner_factory, caplog, monkeypatch,
+    ) -> None:
+        runner, bar = runner_factory(
+            steps=1, output={"log_every": 1},
+        )
+        # Give the runner a logger whose close explodes.
+        class BadLogger:
+            def log(self, *a): pass
+            def close(self):
+                raise OSError("disk full")
+
+        runner.loss_logger = BadLogger()
+        runner._owns_progress_bar = True
+        runner.run()
+        assert "Error closing loss logger" in caplog.text
+        assert bar.closed  # progress bar still closed
+
+    def test_loop_exception_not_masked_by_stream_error(
+        self, runner_factory, caplog,
+    ) -> None:
+        """When the loop raises, a stream close error must not replace it."""
+        class ExplodingSink(MemorySink):
+            def append_data(self, frame):
+                raise OSError("encoder died")
+
+        calls = {"n": 0}
+
+        def failing_update(img, state):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("device OOM")
+            return fake_update()(img, state)
+
+        runner, _ = runner_factory(
+            steps=5, video={"save_every": 1},
+            update_fn=failing_update,
+            video_writer=ExplodingSink(),
+        )
+        with pytest.raises(RuntimeError, match="device OOM"):
+            runner.run()
