@@ -8,9 +8,11 @@ with rich timelapse/gallery visualization artifacts), designed TPU-first:
   layout so convolutions tile directly onto the MXU,
 - the per-step optimization loop (L-BFGS or Adam on the image pixels) is a
   single jitted update with donated buffers so the image never leaves HBM,
-- Gram matrices are computed by a fused Pallas kernel (matmul + clamp +
-  scale in one VMEM-resident pass) with a spatially-tiled variant for 4K
-  inputs sharded over a device mesh,
+- Gram matrices are single MXU contractions (a fused Pallas kernel with
+  custom VJP is provided in ``ops.pallas_gram`` and validated at parity;
+  the XLA formulation is the default since the compiler already hits the
+  dispatch floor for this contraction), with psum-reduced partial Grams
+  for inputs spatially sharded over a device mesh,
 - timelapse frames are packed to uint8 on-device and streamed to the host
   encoder asynchronously so TPU steps never block on video encoding.
 

@@ -50,8 +50,3 @@ IMAGE_LAYOUT = "NHWC"
 # Mesh axis names used by the parallel subsystem.
 MESH_AXIS_STYLE = "style"    # data parallelism over style images
 MESH_AXIS_SPACE = "space"    # spatial sharding of feature maps (tiled Gram)
-
-# Default matmul precision: "highest" keeps f32 accumulation on the MXU so
-# loss curves match the f32 reference within 1e-3; "default" allows bf16
-# passes for maximum throughput.
-DEFAULT_MATMUL_PRECISION = "highest"

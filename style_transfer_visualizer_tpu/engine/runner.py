@@ -143,7 +143,9 @@ class OptimizationRunner:
         self._step_index = start_step
         self._start_step = start_step
         self._checkpoint_path = checkpoint_path
-        self._eval_counts: list[jax.Array] = []
+        # Running device-side eval counter: one cached-executable add per
+        # step (async), one transfer at the end of the run.
+        self._eval_total: jax.Array | int = 0
 
     @property
     def progress_bar(self) -> ProgressReporter:
@@ -248,7 +250,7 @@ class OptimizationRunner:
 
     def _finalize_step(self, step_idx: int, aux: StepAux) -> None:
         self._step_index = step_idx
-        self._eval_counts.append(aux.n_evals)
+        self._eval_total = self._eval_total + aux.n_evals
 
         logged = self._record_losses(step_idx, aux)
         if logged is not None:
@@ -410,7 +412,7 @@ class OptimizationRunner:
         if steps_run <= 0:
             return
         # Single host sync for the whole run's evaluation telemetry.
-        total_evals = int(np.sum(np.asarray(self._eval_counts)))
+        total_evals = int(np.asarray(self._eval_total))
         logger.info(
             "Optimization finished with %d accepted steps and %d closure "
             "evaluations (%.2f closures/step).",

@@ -276,6 +276,13 @@ def multi_style_transfer(
             tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
             precision=_precision(config.hardware.precision),
         )
+        _, height, width, _ = content_img.shape
+        # Activation memory multiplies by the per-device style count, so
+        # the auto-remat threshold scales down accordingly.
+        styles_per_device = max(1, n_styles // n_style_axis)
+        remat = opt_cfg.remat or (
+            int(height) * int(width) * styles_per_device >= 2048 * 2048
+        )
         bundle = build_multi_style_update(
             mesh, params, targets, tuple(content_img.shape), n_styles,
             optimizer=opt_cfg.optimizer,
@@ -288,6 +295,7 @@ def multi_style_transfer(
             lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
             lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
             lbfgs_history_size=opt_cfg.lbfgs_history_size,
+            remat=remat,
         )
         images = initialize_multi_inputs(
             content_img, opt_cfg.init_method, key, n_styles,

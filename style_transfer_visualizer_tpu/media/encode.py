@@ -96,6 +96,7 @@ class FfmpegPipeWriter:
         self._config = config
         self._output_path = output_path
         self._proc: subprocess.Popen[bytes] | None = None
+        self._stderr_file = None
         self._closed = False
         self._size: tuple[int, int] | None = None
         self._input_size: tuple[int, int] | None = None
@@ -105,7 +106,11 @@ class FfmpegPipeWriter:
         out_w = _block_align(width)
         out_h = _block_align(height)
         self._input_size = (width, height)
-        self._size = (out_w, out_h)
+        # Contract: _size is the ACCEPTED INPUT frame size — outro
+        # rendering sizes its frames to writer._size and appends them
+        # (segments.resolve_writer_dimensions). Macroblock alignment is
+        # an internal encoder concern handled by the scale filter.
+        self._size = (width, height)
 
         cmd = [
             "ffmpeg", "-y",
@@ -128,10 +133,14 @@ class FfmpegPipeWriter:
             ),
         )
         cmd.append(str(self._output_path))
+        # stderr goes to a spill file, not a pipe: a chatty or failing
+        # encoder writing more than the OS pipe buffer would otherwise
+        # block, stop draining stdin, and deadlock append_data.
+        self._stderr_file = tempfile.TemporaryFile()
         self._proc = subprocess.Popen(
             cmd,
             stdin=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=self._stderr_file,
         )
 
     def append_data(self, frame: np.ndarray) -> None:
@@ -160,13 +169,20 @@ class FfmpegPipeWriter:
             return
         assert self._proc.stdin is not None
         self._proc.stdin.close()
-        _, stderr = self._proc.communicate()
+        self._proc.wait()
         if self._proc.returncode != 0:
+            stderr = b""
+            if self._stderr_file is not None:
+                self._stderr_file.seek(0)
+                stderr = self._stderr_file.read()
             logger.error(
                 "ffmpeg exited with %d: %s",
                 self._proc.returncode,
-                (stderr or b"").decode(errors="replace")[-2000:],
+                stderr.decode(errors="replace")[-2000:],
             )
+        if self._stderr_file is not None:
+            self._stderr_file.close()
+            self._stderr_file = None
 
 
 class PostprocessVideoWriter:

@@ -40,6 +40,25 @@ FINAL_TIMELAPSE_HOLD_SECONDS = 1.0
 FINAL_TIMELAPSE_MIN_FRAMES = 1
 
 
+# Resolved on first use; False caches a failed native build so hosts
+# without a working compiler do not re-run the build per frame.
+_frameops: object | None = None
+
+
+def _native_frameops():
+    global _frameops
+    if _frameops is None:
+        try:
+            from style_transfer_visualizer_tpu.native import (  # noqa: PLC0415
+                frameops,
+            )
+
+            _frameops = frameops
+        except ImportError:
+            _frameops = False
+    return _frameops
+
+
 def blend_frames(
     frame_a: np.ndarray,
     frame_b: np.ndarray,
@@ -49,18 +68,14 @@ def blend_frames(
     if frame_a.shape != frame_b.shape:
         msg = "Frames must share shape for blending"
         raise ValueError(msg)
-    try:
-        from style_transfer_visualizer_tpu.native import (  # noqa: PLC0415
-            frameops,
-        )
-
-        return frameops.blend_u8(frame_a, frame_b, float(alpha))
-    except ImportError:
-        mixed = (
-            frame_a.astype(np.float32) * (1.0 - alpha)
-            + frame_b.astype(np.float32) * alpha
-        )
-        return np.clip(np.rint(mixed), 0, 255).astype(np.uint8)
+    ops = _native_frameops()
+    if ops:
+        return ops.blend_u8(frame_a, frame_b, float(alpha))
+    mixed = (
+        frame_a.astype(np.float32) * (1.0 - alpha)
+        + frame_b.astype(np.float32) * alpha
+    )
+    return np.clip(np.rint(mixed), 0, 255).astype(np.uint8)
 
 
 def append_fade_transition(

@@ -183,6 +183,26 @@ def compute_targets(
     return Targets(style_grams=style_grams, content_feats=content_feats)
 
 
+@partial(jax.jit, static_argnames=("content_layers", "precision"))
+def compute_content_targets(
+    params: Params,
+    content_img: jax.Array,
+    content_layers: tuple[int, ...],
+    precision: jax.lax.Precision | None = None,
+) -> dict[int, jax.Array]:
+    """Content activation targets only (style grams unchanged).
+
+    Used by the frame-sequence pipeline, where the style target is
+    constant across the clip and only content targets change per frame.
+    """
+    acts = extract_features(
+        params, content_img, content_layers, precision=precision,
+    )
+    return {
+        idx: jax.lax.stop_gradient(act) for idx, act in acts.items()
+    }
+
+
 def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(a - b))
 

@@ -27,6 +27,7 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
 from style_transfer_visualizer_tpu.engine.step import resolve_precision
 from style_transfer_visualizer_tpu.models.features import (
     Targets,
+    compute_content_targets,
     compute_targets,
     initialize_input,
 )
@@ -169,6 +170,13 @@ def stylize_sequence(
         params, tuple(first_content.shape), config,
     )
 
+    # Style grams are constant for the whole clip: extract them once and
+    # rebuild only the content targets per frame.
+    base_targets = compute_targets(
+        params, style_img, first_content, style_layers, content_layers,
+        prec,
+    )
+
     outputs: list[Path] = []
     total_steps = 0
     x = None
@@ -186,9 +194,15 @@ def stylize_sequence(
                 f"frames must match the first ({first_content.shape})"
             )
             raise ValueError(msg)
-        targets = compute_targets(
-            params, style_img, content, style_layers, content_layers,
-            prec,
+        targets = (
+            base_targets
+            if i == 0
+            else Targets(
+                style_grams=base_targets.style_grams,
+                content_feats=compute_content_targets(
+                    params, content, content_layers, prec,
+                ),
+            )
         )
         if x is None:
             x = initialize_input(content, opt_cfg.init_method, key)

@@ -417,6 +417,9 @@ class _FakeProc:
         self.returncode = 0
         self._closed = False
 
+    def wait(self):
+        return self.returncode
+
     def communicate(self):
         return b"", b""
 
@@ -464,7 +467,29 @@ class TestFfmpegPipeWriter:
         writer.append_data(np.zeros((50, 70, 3), np.uint8))
         joined = " ".join(fake_ffmpeg[0].cmd)
         assert "scale=80:64" in joined  # padded up to multiples of 16
-        assert writer._size == (80, 64)
+        # _size is the ACCEPTED INPUT size (outro frames are built to it
+        # and appended); alignment is internal to the encoder.
+        assert writer._size == (70, 50)
+        writer.close()
+
+    def test_outro_roundtrip_with_unaligned_size(
+        self, fake_ffmpeg, tmp_path,
+    ) -> None:
+        """Outro frames built at writer._size must be accepted (the
+        aligned-output-size bug crashed every non-multiple-of-16 run)."""
+        from PIL import Image
+
+        content = tmp_path / "c.png"
+        style = tmp_path / "s.png"
+        Image.new("RGB", (100, 100), (0, 200, 0)).save(content)
+        Image.new("RGB", (100, 100), (0, 0, 200)).save(style)
+        cfg = _video_cfg(fps=2, outro_duration_seconds=1.0)
+        writer = encode.FfmpegPipeWriter(cfg, tmp_path / "v.mp4")
+        writer.append_data(np.zeros((100, 100, 3), np.uint8))
+        segments.append_final_comparison_frame(
+            cfg, writer, (content, style),
+            np.zeros((100, 100, 3), np.uint8),
+        )
         writer.close()
 
     def test_frame_size_change_rejected(

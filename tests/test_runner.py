@@ -308,9 +308,10 @@ class TestHostSyncDiscipline:
             steps=10, output={"log_every": 5},
         )
         runner.run()
-        # Two cadence flushes (steps 5 and 10) plus the single
-        # end-of-run eval-count telemetry sync. Nothing per-step.
-        assert syncs["n"] == 3
+        # Two cadence flushes (steps 5 and 10) plus two end-of-run
+        # transfers (eval-count telemetry, history export). Nothing
+        # per-step.
+        assert syncs["n"] == 4
 
 
 class TestCleanupRobustness:
