@@ -14,16 +14,31 @@ _HEADER = ("step", "style_loss", "content_loss", "total_loss")
 
 
 class LossCSVLogger:
-    """Append loss rows to a CSV file at the configured cadence."""
+    """Append loss rows to a CSV file at the configured cadence.
 
-    def __init__(self, path: str | Path, log_every: int) -> None:
+    With ``resume=True`` an existing file is appended to instead of
+    truncated (the header is only written for a fresh file) — used when
+    restarting from a checkpoint so the interrupted run's rows survive.
+    """
+
+    def __init__(
+        self,
+        path: str | Path,
+        log_every: int,
+        *,
+        resume: bool = False,
+    ) -> None:
         self.path = Path(path)
         self.log_every = log_every
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.file = self.path.open("w", newline="", encoding="utf-8")
+        appending = resume and self.path.is_file()
+        self.file = self.path.open(
+            "a" if appending else "w", newline="", encoding="utf-8",
+        )
         self.writer = csv.writer(self.file)
-        self.writer.writerow(_HEADER)
-        self.file.flush()
+        if not appending:
+            self.writer.writerow(_HEADER)
+            self.file.flush()
 
     def log(
         self,

@@ -135,14 +135,14 @@ class OptimizationRunner:
         self._async_frames = async_frames
         self._frame_stream = None
 
+        self._step_index = start_step
+        self._start_step = start_step
+        self._checkpoint_path = checkpoint_path
+
         self.loss_logger: LossCSVLogger | None = None
         self._accumulator: LossAccumulator | None = None
         self._latest_logged: LoggedLoss | None = None
         self._configure_logging()
-
-        self._step_index = start_step
-        self._start_step = start_step
-        self._checkpoint_path = checkpoint_path
         # Running device-side eval counter: one cached-executable add per
         # step (async), one transfer at the end of the run.
         self._eval_total: jax.Array | int = 0
@@ -216,7 +216,9 @@ class OptimizationRunner:
         if out_cfg.log_loss:
             try:
                 self.loss_logger = LossCSVLogger(
-                    out_cfg.log_loss, out_cfg.log_every,
+                    out_cfg.log_loss,
+                    out_cfg.log_every,
+                    resume=self._start_step > 0,
                 )
                 logger.info(
                     "Loss CSV logging enabled: %s", out_cfg.log_loss,

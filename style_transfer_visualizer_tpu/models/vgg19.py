@@ -62,6 +62,20 @@ CONV_INDICES = tuple(
     i for i, (kind, _, _) in enumerate(LAYER_TABLE) if kind == CONV
 )
 
+
+def pools_before(idx: int) -> int:
+    """Number of 2x2 pools crossed at or before layer ``idx``.
+
+    Spatial dims at a tap are the input dims divided by
+    ``2**pools_before(idx)`` — load-bearing for Gram/content-loss
+    normalization and for spatial-sharding divisibility checks.
+    """
+    return sum(
+        1
+        for j, (kind, _, _) in enumerate(LAYER_TABLE)
+        if j <= idx and kind == POOL
+    )
+
 # Params: {layer_index: {"w": (3,3,in,out) f32, "b": (out,) f32}}
 Params = dict[int, dict[str, jax.Array]]
 
@@ -137,13 +151,20 @@ def convert_torch_state_dict(state_dict: dict[str, Any]) -> Params:
 
 
 def save_params_npz(params: Params, path: Path) -> None:
-    """Persist a params pytree as a flat .npz archive."""
+    """Persist a params pytree as a flat .npz archive (atomically).
+
+    Written via temp file + rename so an interrupted one-time conversion
+    cannot leave a truncated cache that poisons every later run.
+    """
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = {}
     for idx, layer in params.items():
         flat[f"w{idx}"] = np.asarray(layer["w"])
         flat[f"b{idx}"] = np.asarray(layer["b"])
-    np.savez(path, **flat)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    np.savez(tmp, **flat)
+    produced = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    produced.replace(path)
 
 
 def load_params_npz(path: Path) -> Params:

@@ -28,7 +28,9 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
 from style_transfer_visualizer_tpu.engine.step import resolve_precision
 from style_transfer_visualizer_tpu.models.features import (
     Targets,
+    compute_content_targets,
     compute_targets,
+    initialize_input,
     total_loss,
 )
 
@@ -62,20 +64,27 @@ def multi_style_targets(
     Style images may have different sizes (Grams are size-independent
     C x C); content targets are identical across styles and broadcast.
     """
+    # Style grams per style; the content sweep runs ONCE and its
+    # activations broadcast to the style axis (they are identical for
+    # every style — at 4K a single layer-21 copy is ~134 MB).
     per_style = [
         compute_targets(
-            params, style, content_img, style_layers, content_layers,
+            params, style, content_img, style_layers, (),
             precision=precision,
         )
         for style in style_imgs
     ]
+    content_only = compute_content_targets(
+        params, content_img, content_layers, precision,
+    )
+    n = len(style_imgs)
     stacked_grams = {
         idx: jnp.stack([t.style_grams[idx] for t in per_style])
         for idx in style_layers
     }
     stacked_feats = {
-        idx: jnp.stack([t.content_feats[idx] for t in per_style])
-        for idx in content_layers
+        idx: jnp.broadcast_to(feat, (n, *feat.shape))
+        for idx, feat in content_only.items()
     }
     return Targets(style_grams=stacked_grams, content_feats=stacked_feats)
 
@@ -86,19 +95,17 @@ def initialize_multi_inputs(
     key: jax.Array,
     n_styles: int,
 ) -> jax.Array:
-    """(S, 1, H, W, 3) starting images, one independent draw per style."""
-    if method == "content":
-        return jnp.broadcast_to(
-            content_img, (n_styles, *content_img.shape),
-        ).copy()
-    if method == "white":
-        return jnp.ones((n_styles, *content_img.shape), content_img.dtype)
+    """(S, 1, H, W, 3) starting images, one independent draw per style.
+
+    Reuses the single-image initializer's dispatch; "random" draws an
+    independent image per style (one RNG call with a leading axis).
+    """
     if method == "random":
         return jax.random.normal(
             key, (n_styles, *content_img.shape), content_img.dtype,
         )
-    msg = f"Unsupported initialization method: {method}"
-    raise ValueError(msg)
+    single = initialize_input(content_img, method, key)
+    return jnp.broadcast_to(single, (n_styles, *single.shape)).copy()
 
 
 def build_multi_style_update(
@@ -141,6 +148,11 @@ def build_multi_style_update(
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 
+    def style_shard_nd(ndim: int) -> NamedSharding:
+        return NamedSharding(
+            mesh, P(MESH_AXIS_STYLE, *([None] * (ndim - 1))),
+        )
+
     if optimizer == "lbfgs":
         def single_update(flat, state, style_targets):
             return lbfgs_step(
@@ -151,21 +163,31 @@ def build_multi_style_update(
                 history_size=lbfgs_history_size,
             )
 
-        opt_state = jax.vmap(
-            lambda _: lbfgs_init(n, lbfgs_history_size),
-        )(jnp.arange(n_styles))
+        def init_state():
+            return jax.vmap(
+                lambda _: lbfgs_init(n, lbfgs_history_size),
+            )(jnp.arange(n_styles))
     elif optimizer == "adam":
         def single_update(flat, state, style_targets):
             return adam_step(
                 lambda f: single_vag(f, style_targets), flat, state, lr,
             )
 
-        opt_state = jax.vmap(lambda _: adam_init(n))(
-            jnp.arange(n_styles),
-        )
+        def init_state():
+            return jax.vmap(lambda _: adam_init(n))(jnp.arange(n_styles))
     else:
         msg = f"Unknown optimizer: {optimizer!r}"
         raise ValueError(msg)
+
+    # Allocate the stacked optimizer state directly into its sharding —
+    # materializing it unsharded first would put the full S x history x N
+    # L-BFGS buffers on one device (tens of GB at scale) before the
+    # reshard.
+    state_struct = jax.eval_shape(init_state)
+    state_shardings = jax.tree.map(
+        lambda leaf: style_shard_nd(leaf.ndim), state_struct,
+    )
+    opt_state = jax.jit(init_state, out_shardings=state_shardings)()
 
     def update(images: jax.Array, state, step_targets: Targets):
         flats = images.reshape(n_styles, n)
@@ -178,17 +200,13 @@ def build_multi_style_update(
             aux,
         )
 
-    def style_shard(leaf: jax.Array) -> NamedSharding:
-        return NamedSharding(
-            mesh, P(MESH_AXIS_STYLE, *([None] * (leaf.ndim - 1))),
-        )
-
     style_sharding = NamedSharding(mesh, P(MESH_AXIS_STYLE))
     images_sharding = NamedSharding(
         mesh, P(MESH_AXIS_STYLE, *([None] * len(image_shape))),
     )
-    state_shardings = jax.tree.map(style_shard, opt_state)
-    target_shardings = jax.tree.map(style_shard, targets)
+    target_shardings = jax.tree.map(
+        lambda leaf: style_shard_nd(leaf.ndim), targets,
+    )
     aux_shardings = StepAux(
         loss=style_sharding,
         style_score=style_sharding,

@@ -34,6 +34,7 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     LAYER_TABLE,
     POOL,
     RELU,
+    pools_before,
 )
 
 if TYPE_CHECKING:
@@ -43,6 +44,31 @@ if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.models.vgg19 import Params
 
 _CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def validate_shard_divisibility(
+    global_h: int,
+    n_space: int,
+    taps: tuple[int, ...],
+) -> None:
+    """Require per-shard heights to stay even across every pool crossed.
+
+    A shard whose height goes odd at a pool silently drops a row under
+    VALID pooling, diverging from single-device semantics — so this is
+    checked at build time instead.
+    """
+    if not taps:
+        return
+    max_pools = max(pools_before(idx) for idx in taps)
+    required = n_space * (2**max_pools)
+    if global_h % required != 0:
+        msg = (
+            f"Spatial sharding requires the image height ({global_h}) to "
+            f"be divisible by n_space * 2^pools = {n_space} * "
+            f"{2**max_pools} = {required} so per-shard heights stay even "
+            f"across every pool before the deepest tap."
+        )
+        raise ValueError(msg)
 
 
 def _exchange_halos(x: jax.Array, axis_name: str) -> jax.Array:
@@ -173,13 +199,8 @@ def _sharded_loss_shard_fn(
     b, gh, gw, _ = global_shape
     for idx in taps:
         # Spatial dims halve at each pool crossed before this tap.
-        pools_before = sum(
-            1
-            for j, (kind, _, _) in enumerate(LAYER_TABLE)
-            if j <= idx and kind == POOL
-        )
-        layer_h = gh // (2**pools_before)
-        layer_w = gw // (2**pools_before)
+        layer_h = gh // (2 ** pools_before(idx))
+        layer_w = gw // (2 ** pools_before(idx))
         if idx in style_layers:
             gram = sharded_gram(
                 acts[idx],
@@ -221,6 +242,11 @@ def build_sharded_loss(
     mesh; ``targets.content_feats`` shard the same way, ``style_grams``
     and ``params`` are replicated. The returned scalar is replicated.
     """
+    validate_shard_divisibility(
+        int(global_shape[1]),
+        mesh.shape[axis_name],
+        tuple(set(style_layers) | set(content_layers)),
+    )
     row_spec = P(None, axis_name, None, None)
     # Style Grams replicate; content activations row-shard like the image.
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
@@ -272,6 +298,13 @@ def compute_sharded_targets(
         Targets,
     )
 
+    taps = tuple(set(style_layers) | set(content_layers))
+    validate_shard_divisibility(
+        int(content_img.shape[1]), mesh.shape[axis_name], taps,
+    )
+    validate_shard_divisibility(
+        int(style_img.shape[1]), mesh.shape[axis_name], taps,
+    )
     row_spec = P(None, axis_name, None, None)
     b, gh, gw, _ = content_img.shape
 
@@ -288,13 +321,8 @@ def compute_sharded_targets(
         n_space = jax.lax.axis_size(axis_name)
         grams = {}
         for idx, act in style_acts.items():
-            pools_before = sum(
-                1
-                for j, (kind, _, _) in enumerate(LAYER_TABLE)
-                if j <= idx and kind == POOL
-            )
-            layer_h = (sh * n_space) // (2**pools_before)
-            layer_w = sw // (2**pools_before)
+            layer_h = (sh * n_space) // (2 ** pools_before(idx))
+            layer_w = sw // (2 ** pools_before(idx))
             grams[idx] = jax.lax.stop_gradient(
                 sharded_gram(
                     act, sb * layer_h * layer_w,
@@ -353,6 +381,11 @@ def build_dp_sp_update(
         Targets,
     )
 
+    validate_shard_divisibility(
+        int(image_shape[1]),
+        mesh.shape[MESH_AXIS_SPACE],
+        tuple(set(style_layers) | set(content_layers)),
+    )
     image_specs = P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None)
     target_specs = Targets(
         style_grams={k: P(MESH_AXIS_STYLE) for k in style_layers},
@@ -387,16 +420,25 @@ def build_dp_sp_update(
             loss_of, has_aux=True,
         )(x_blk)
 
-        # Shard-local Adam on this device's pixel block.
-        b1, b2, eps = 0.9, 0.999, 1e-8
-        new_count = count + 1
-        t = new_count.astype(jnp.float32)
-        mu = b1 * mu_blk + (1 - b1) * grad
-        nu = b2 * nu_blk + (1 - b2) * jnp.square(grad)
-        mu_hat = mu / (1 - b1**t)
-        nu_hat = nu / (1 - b2**t)
-        x_new = x_blk - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
-        return x_new, mu, nu, new_count, per_style
+        # Shard-local Adam on this device's pixel block (shared math
+        # with the single-device optimizer; shape-agnostic).
+        from style_transfer_visualizer_tpu.engine.optimizers import (  # noqa: PLC0415
+            AdamState,
+            _adam_update_math,
+        )
+
+        delta, new_state = _adam_update_math(
+            grad,
+            AdamState(mu=mu_blk, nu=nu_blk, count=count),
+            jnp.asarray(lr, jnp.float32),
+        )
+        return (
+            x_blk + delta,
+            new_state.mu,
+            new_state.nu,
+            new_state.count,
+            per_style,
+        )
 
     mapped = jax.shard_map(
         block_fn,

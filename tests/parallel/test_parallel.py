@@ -340,3 +340,28 @@ class TestDpSpCombined:
         assert losses[0].shape == (2,)
         assert np.all(losses[-1] < losses[0])
         assert images.shape == (2, 1, 32, 32, 3)
+
+
+class TestShardDivisibility:
+    def test_indivisible_height_rejected(self, tiny_params) -> None:
+        """Odd per-shard heights at a pool must fail at build, not drift."""
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            compute_sharded_targets,
+        )
+
+        mesh = create_mesh(n_style=1, n_space=2)
+        # H=20, n_space=2 -> per-shard 10 -> after one pool 5 (odd): the
+        # next pool would silently drop a row per shard.
+        content = jnp.zeros((1, 20, 32, 3), jnp.float32)
+        style = jnp.zeros((1, 20, 32, 3), jnp.float32)
+        with pytest.raises(ValueError, match="divisible"):
+            compute_sharded_targets(
+                mesh, tiny_params, style, content, (0, 10), (2,),
+            )
+
+    def test_divisible_height_accepted(self, tiny_params) -> None:
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            validate_shard_divisibility,
+        )
+
+        validate_shard_divisibility(64, 2, (0, 10))  # 64 % (2*4) == 0

@@ -49,3 +49,24 @@ def test_context_manager_closes_on_error(tmp_path: Path) -> None:
         pass
     assert logger.file.closed
     assert "1,1.0,1.0,1.0" in path.read_text()
+
+
+def test_resume_appends_instead_of_truncating(tmp_path: Path) -> None:
+    path = tmp_path / "loss.csv"
+    with LossCSVLogger(path, log_every=1) as logger:
+        logger.log(1, 1.0, 2.0, 3.0)
+    with LossCSVLogger(path, log_every=1, resume=True) as logger:
+        logger.log(2, 4.0, 5.0, 6.0)
+    lines = path.read_text().strip().splitlines()
+    assert lines[0].startswith("step,")
+    assert lines[1] == "1,1.0,2.0,3.0"
+    assert lines[2] == "2,4.0,5.0,6.0"
+    assert len(lines) == 3  # single header, both runs' rows
+
+
+def test_resume_without_existing_file_writes_header(tmp_path: Path) -> None:
+    path = tmp_path / "fresh.csv"
+    with LossCSVLogger(path, log_every=1, resume=True) as logger:
+        logger.log(1, 1.0, 1.0, 1.0)
+    lines = path.read_text().strip().splitlines()
+    assert lines[0].startswith("step,")
