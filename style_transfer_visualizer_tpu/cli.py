@@ -350,6 +350,9 @@ def run_from_args(args: argparse.Namespace) -> None:
         style_paths = [
             s.strip() for s in args.styles.split(",") if s.strip()
         ]
+        if not style_paths:
+            msg = "--styles was given but contains no paths"
+            raise SystemExit(msg)
         logger.info(
             "Multi-style batch: content=%s styles=%s",
             args.content, style_paths,
@@ -378,6 +381,8 @@ def main() -> None:
     """Console entry point."""
     arg_parser = build_arg_parser()
     args = arg_parser.parse_args()
+    if args.validate_config_only and not args.config:
+        arg_parser.error("--validate-config-only requires --config")
     has_style = bool(args.style or args.styles)
     if not args.validate_config_only and (not args.content or not has_style):
         arg_parser.error(

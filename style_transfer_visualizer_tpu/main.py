@@ -166,28 +166,40 @@ def _run_on_device(
         start_step=start_step,
         checkpoint_path=checkpoint_path,
     )
-    if config.output.profile_dir:
-        logger.info(
-            "Profiling optimization loop to %s", config.output.profile_dir,
-        )
-        with jax.profiler.trace(config.output.profile_dir):
+    # The optimized image must survive late media failures: every sink
+    # is closed even when one fails, and the final PNG is saved before
+    # any close error is re-raised (the reference loses both,
+    # main.py:144-165 unprotected).
+    close_error: Exception | None = None
+    try:
+        if config.output.profile_dir:
+            logger.info(
+                "Profiling optimization loop to %s",
+                config.output.profile_dir,
+            )
+            with jax.profiler.trace(config.output.profile_dir):
+                input_img, loss_metrics, elapsed = runner.run()
+        else:
             input_img, loss_metrics, elapsed = runner.run()
-    else:
-        input_img, loss_metrics, elapsed = runner.run()
 
-    _maybe_append_final_segments(
-        config.video,
-        video_writer,
-        gif_segment_options,
-        content_path,
-        style_path,
-        input_img,
-        normalize=opt_cfg.normalize,
-    )
-
-    for sink in (video_writer, gif_collector):
-        if sink:
-            sink.close()
+        _maybe_append_final_segments(
+            config.video,
+            video_writer,
+            gif_segment_options,
+            content_path,
+            style_path,
+            input_img,
+            normalize=opt_cfg.normalize,
+        )
+    finally:
+        for sink in (video_writer, gif_collector):
+            if not sink:
+                continue
+            try:
+                sink.close()
+            except Exception as exc:  # noqa: BLE001
+                logger.error("Error closing media sink: %s", exc)
+                close_error = close_error or exc
 
     save_opts = SaveOptions(
         content_name=content_name,
@@ -195,13 +207,15 @@ def _run_on_device(
         video_name=video_name if video_writer else None,
         gif_name=gif_name if gif_collector else None,
         normalize=opt_cfg.normalize,
-        video_created=video_writer is not None,
+        video_created=video_writer is not None and close_error is None,
         gif_created=gif_collector is not None,
         plot_losses=config.output.plot_losses,
     )
     stv_runtime.save_outputs(
         input_img, loss_metrics, output_path, elapsed, save_opts,
     )
+    if close_error is not None:
+        raise close_error
 
     return stv_image_io.prepare_image_for_output(
         input_img, normalize=opt_cfg.normalize,
@@ -233,7 +247,9 @@ def multi_style_transfer(
     )
 
     enable_persistent_compilation_cache()
-    stv_runtime.validate_input_paths(content_path, style_paths[0])
+    if not style_paths:
+        msg = "multi_style_transfer requires at least one style path"
+        raise ValueError(msg)
     for style_path in style_paths:
         stv_runtime.validate_input_paths(content_path, style_path)
 

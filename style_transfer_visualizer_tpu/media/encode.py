@@ -69,8 +69,12 @@ def build_mp4_metadata_args(
 
 
 def quality_to_crf(quality: int) -> int:
-    """Map the 1-10 quality scale onto x264 CRF (10 = best)."""
-    return round((1.0 - quality / 10.0) * 51.0)
+    """Map the 1-10 quality scale onto x264 CRF (10 = best).
+
+    Truncates like imageio-ffmpeg's mapping so the same configured
+    quality yields the same CRF as the reference.
+    """
+    return int((1.0 - quality / 10.0) * 51.0)
 
 
 def _block_align(value: int, block: int = ENCODING_BLOCK_SIZE) -> int:
@@ -170,25 +174,34 @@ class FfmpegPipeWriter:
         assert self._proc.stdin is not None
         self._proc.stdin.close()
         self._proc.wait()
-        if self._proc.returncode != 0:
-            stderr = b""
-            if self._stderr_file is not None:
-                self._stderr_file.seek(0)
-                stderr = self._stderr_file.read()
-            logger.error(
-                "ffmpeg exited with %d: %s",
-                self._proc.returncode,
-                stderr.decode(errors="replace")[-2000:],
-            )
+        returncode = self._proc.returncode
+        stderr = b""
         if self._stderr_file is not None:
+            self._stderr_file.seek(0)
+            stderr = self._stderr_file.read()
             self._stderr_file.close()
             self._stderr_file = None
+        if returncode != 0:
+            detail = stderr.decode(errors="replace")[-2000:]
+            logger.error("ffmpeg exited with %d: %s", returncode, detail)
+            # Match the reference's imageio writer, which raises on a
+            # failed encode — callers and scripts must see the failure.
+            msg = f"ffmpeg exited with {returncode}: {detail[-300:]}"
+            raise OSError(msg)
 
 
 class PostprocessVideoWriter:
     """Spill frames to disk during optimization; encode once on close."""
 
     def __init__(self, config: VideoConfig, output_path: Path) -> None:
+        if not ffmpeg_available():
+            # Fail fast: discovering this in close() — after hours of
+            # optimization — would destroy the spilled frames for nothing.
+            msg = (
+                "ffmpeg binary not found on PATH; MP4 output requires "
+                "ffmpeg. Use --no-video or GIF output instead."
+            )
+            raise RuntimeError(msg)
         self._config = config
         self._output_path = output_path
         output_path.parent.mkdir(parents=True, exist_ok=True)

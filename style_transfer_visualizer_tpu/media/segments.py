@@ -319,20 +319,25 @@ def append_final_comparison_frame(
     frame_params = FrameParams(frame_tone="gold", label="on")
 
     targets: list[tuple[VideoFrameSink, np.ndarray, np.ndarray]] = []
+    outro_cache: dict[tuple[int, int], np.ndarray] = {}
     for sink, used in ((writer, use_writer), (gif_sink, use_gif)):
         if sink is None or not used:
             continue
         last_rgb, target_w, target_h = resolve_writer_dimensions(
             sink, validated_last,
         )
-        outro_np = build_outro_frame(
-            paths,
-            result_image,
-            frame_params,
-            target_width=target_w,
-            target_height=target_h,
-        )
-        targets.append((sink, last_rgb, outro_np))
+        # Video and GIF sinks usually share dimensions; the gallery
+        # render is multi-second host work, so build it once per size.
+        key = (target_w, target_h)
+        if key not in outro_cache:
+            outro_cache[key] = build_outro_frame(
+                paths,
+                result_image,
+                frame_params,
+                target_width=target_w,
+                target_height=target_h,
+            )
+        targets.append((sink, last_rgb, outro_cache[key]))
 
     hold_frames = max(
         FINAL_TIMELAPSE_MIN_FRAMES,

@@ -37,7 +37,7 @@ if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.config import StyleTransferConfig
     from style_transfer_visualizer_tpu.models.vgg19 import Params
 
-_FRAME_PATTERNS = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
+_FRAME_SUFFIXES = (".png", ".jpg", ".jpeg", ".bmp")
 
 
 class SequenceResult(NamedTuple):
@@ -47,16 +47,35 @@ class SequenceResult(NamedTuple):
     total_steps: int
 
 
+def _natural_key(path: Path) -> tuple:
+    """Sort key treating digit runs numerically: frame2 < frame10."""
+    import re  # noqa: PLC0415
+
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", path.name.lower())
+    )
+
+
 def discover_frames(frames_dir: str | Path) -> list[Path]:
-    """Sorted image frames in a directory."""
+    """Image frames in a directory, in natural (temporal) name order.
+
+    Extensions match case-insensitively (camera output is often .JPG)
+    and digit runs sort numerically so unpadded names keep their
+    temporal order — the warm-start chain depends on it.
+    """
     frames_dir = Path(frames_dir)
     if not frames_dir.is_dir():
         msg = f"Frames directory not found: {frames_dir}"
         raise FileNotFoundError(msg)
-    hits: list[Path] = []
-    for pattern in _FRAME_PATTERNS:
-        hits.extend(frames_dir.glob(pattern))
-    frames = sorted(set(hits))
+    frames = sorted(
+        (
+            p
+            for p in frames_dir.iterdir()
+            if p.is_file() and p.suffix.lower() in _FRAME_SUFFIXES
+        ),
+        key=_natural_key,
+    )
     if not frames:
         msg = f"No image frames found under {frames_dir}"
         raise ValueError(msg)

@@ -276,6 +276,7 @@ class TestPostprocessWriter:
     def test_spills_then_errors_after_close(
         self, tmp_path, sample_frame, monkeypatch,
     ) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
         cfg = _video_cfg()
         out = tmp_path / "v.mp4"
         writer = encode.PostprocessVideoWriter(cfg, out)
@@ -286,7 +287,7 @@ class TestPostprocessWriter:
         assert len(list(spill_dirs[0].iterdir())) == 2
         assert writer._size == (64, 48)
 
-        # No ffmpeg in this environment: closing must still clean up.
+        # ffmpeg disappearing between init and close: cleanup still runs.
         monkeypatch.setattr(encode, "ffmpeg_available", lambda: False)
         with pytest.raises(RuntimeError, match="ffmpeg"):
             writer.close()
@@ -294,7 +295,8 @@ class TestPostprocessWriter:
         with pytest.raises(RuntimeError, match="closed"):
             writer.append_data(sample_frame)
 
-    def test_close_empty_noop(self, tmp_path) -> None:
+    def test_close_empty_noop(self, tmp_path, monkeypatch) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
         writer = encode.PostprocessVideoWriter(
             _video_cfg(), tmp_path / "v.mp4",
         )
@@ -330,7 +332,8 @@ class TestSetupFunctions:
             _video_cfg(create_video=False), tmp_path, "v.mp4",
         ) is None
 
-    def test_postprocess_writer_selected(self, tmp_path) -> None:
+    def test_postprocess_writer_selected(self, tmp_path, monkeypatch) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
         writer = encode.setup_video_writer(
             _video_cfg(mode="postprocess"), tmp_path, "v.mp4",
         )
@@ -358,7 +361,7 @@ class TestSetupFunctions:
 class TestQualityMapping:
     def test_best_quality_lowest_crf(self) -> None:
         assert encode.quality_to_crf(10) == 0
-        assert encode.quality_to_crf(1) == 46
+        assert encode.quality_to_crf(1) == 45  # int-truncated, as imageio
 
     def test_metadata_args(self) -> None:
         args = encode.build_mp4_metadata_args("My Title", None)
@@ -511,3 +514,33 @@ class TestFfmpegPipeWriter:
         monkeypatch.setattr(encode, "ffmpeg_available", lambda: False)
         with pytest.raises(RuntimeError, match="ffmpeg binary not found"):
             encode.FfmpegPipeWriter(_video_cfg(), tmp_path / "v.mp4")
+
+
+class TestEncodeFailureModes:
+    def test_postprocess_requires_ffmpeg_upfront(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: False)
+        with pytest.raises(RuntimeError, match="ffmpeg binary not found"):
+            encode.PostprocessVideoWriter(_video_cfg(), tmp_path / "v.mp4")
+
+    def test_nonzero_exit_raises(self, tmp_path, monkeypatch, sample_frame):
+        class FailingProc(_FakeProc):
+            def wait(self):
+                self.returncode = 1
+                return 1
+
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
+        monkeypatch.setattr(
+            encode.subprocess, "Popen",
+            lambda cmd, stdin=None, stderr=None: FailingProc(cmd),
+        )
+        writer = encode.FfmpegPipeWriter(_video_cfg(), tmp_path / "v.mp4")
+        writer.append_data(sample_frame)
+        with pytest.raises(OSError, match="ffmpeg exited with 1"):
+            writer.close()
+
+    def test_quality_crf_truncates_like_imageio(self) -> None:
+        assert encode.quality_to_crf(4) == 30
+        assert encode.quality_to_crf(1) == 45
+        assert encode.quality_to_crf(10) == 0

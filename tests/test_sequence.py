@@ -160,3 +160,16 @@ class TestSequenceGif:
         assert rc == 0
         assert recorded["gif"] is True
         assert recorded["fps"] == 12
+
+
+class TestFrameOrdering:
+    def test_natural_sort_and_uppercase(self, tmp_path: Path) -> None:
+        d = tmp_path / "nat"
+        d.mkdir()
+        for name in ("frame10.png", "frame2.png", "frame1.png",
+                     "IMG_0003.JPG"):
+            Image.new("RGB", (8, 8)).save(d / name)
+        frames = seq.discover_frames(d)
+        assert [f.name for f in frames] == [
+            "frame1.png", "frame2.png", "frame10.png", "IMG_0003.JPG",
+        ]
