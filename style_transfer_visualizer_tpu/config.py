@@ -13,7 +13,7 @@ from pathlib import Path
 from typing import Any
 
 import tomllib
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, ConfigDict, Field
 
 from style_transfer_visualizer_tpu import config_defaults as d
 from style_transfer_visualizer_tpu.constants import (
@@ -29,7 +29,18 @@ from style_transfer_visualizer_tpu.type_defs import (
 from style_transfer_visualizer_tpu.utils.logging import logger
 
 
-class OptimizationConfig(BaseModel):
+class _ValidatedSection(BaseModel):
+    """Base for config sections: field bounds hold on assignment too.
+
+    The CLI merge writes overrides with setattr; without this, CLI
+    values would bypass every declared bound while TOML values are
+    checked — two different contracts for the same schema.
+    """
+
+    model_config = ConfigDict(validate_assignment=True)
+
+
+class OptimizationConfig(_ValidatedSection):
     """Optimization-loop settings."""
 
     steps: int = Field(d.DEFAULT_STEPS, ge=1)
@@ -59,7 +70,7 @@ class OptimizationConfig(BaseModel):
     remat: bool = False
 
 
-class VideoConfig(BaseModel):
+class VideoConfig(_ValidatedSection):
     """Timelapse video/GIF output settings."""
 
     save_every: int = Field(d.DEFAULT_SAVE_EVERY, ge=1)
@@ -88,14 +99,14 @@ class VideoConfig(BaseModel):
     mode_override: bool = Field(default=False, exclude=True, repr=False)
 
 
-class HardwareConfig(BaseModel):
+class HardwareConfig(_ValidatedSection):
     """Accelerator selection."""
 
     device: str = Field(d.DEFAULT_DEVICE)
     precision: PrecisionName = Field(d.DEFAULT_PRECISION)
 
 
-class OutputConfig(BaseModel):
+class OutputConfig(_ValidatedSection):
     """Output directory, loss-logging, and checkpoint settings."""
 
     output: str = Field(d.DEFAULT_OUTPUT_DIR)

@@ -152,9 +152,21 @@ def array_to_uint8_frame(
 
 
 def save_array_as_image(x: jax.Array | np.ndarray, path: str | Path) -> None:
-    """Save a prepared (1,H,W,3) or (H,W,3) [0,1] float array as PNG."""
+    """Save a prepared (1,H,W,3) or (H,W,3) [0,1] float array as PNG.
+
+    The float-to-uint8 packing runs through the native single-pass
+    kernel when available (the numpy expression allocates two full-frame
+    temporaries); falls back to numpy otherwise.
+    """
     arr = np.asarray(x)
     if arr.ndim == 4:
         arr = arr[0]
-    frame = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+    try:
+        from style_transfer_visualizer_tpu.native import (  # noqa: PLC0415
+            frameops,
+        )
+
+        frame = frameops.pack_f32_to_u8(arr)
+    except ImportError:
+        frame = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
     Image.fromarray(frame, mode="RGB").save(path)

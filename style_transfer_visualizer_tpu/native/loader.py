@@ -34,7 +34,14 @@ def _compiler() -> str | None:
 
 
 def build_library(force: bool = False) -> Path:
-    """Compile frameops.c into the cache directory (idempotent)."""
+    """Compile frameops.c into the cache directory (idempotent).
+
+    The compile targets a unique temp path and is renamed into place
+    atomically, so concurrent processes never load a half-written .so.
+    No -march=native: caches can be shared between heterogeneous hosts
+    (NFS homes, baked container images) where host-specific ISA
+    extensions would SIGILL.
+    """
     if _SO_PATH.exists() and not force:
         src_mtime = _SOURCE.stat().st_mtime
         if _SO_PATH.stat().st_mtime >= src_mtime:
@@ -44,20 +51,21 @@ def build_library(force: bool = False) -> Path:
         msg = "No C compiler found for native frameops"
         raise NativeBuildError(msg)
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tmp = _SO_PATH.with_suffix(f".{os.getpid()}.tmp.so")
     cmd = [
-        cc, "-O3", "-march=native", "-shared", "-fPIC",
-        str(_SOURCE), "-o", str(_SO_PATH),
+        cc, "-O3", "-shared", "-fPIC",
+        str(_SOURCE), "-o", str(tmp),
     ]
     result = subprocess.run(cmd, capture_output=True, text=True, check=False)
     if result.returncode != 0:
+        tmp.unlink(missing_ok=True)
         msg = f"frameops build failed: {result.stderr[-500:]}"
         raise NativeBuildError(msg)
+    tmp.replace(_SO_PATH)
     return _SO_PATH
 
 
-def load_library() -> ctypes.CDLL:
-    """Build if needed and load the shared object with typed signatures."""
-    lib = ctypes.CDLL(str(build_library()))
+def _typed(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.blend_u8.restype = None
     lib.blend_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -68,3 +76,20 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
     ]
     return lib
+
+
+def load_library() -> ctypes.CDLL:
+    """Build if needed and load the shared object with typed signatures.
+
+    A corrupt cached .so (interrupted build from an older version, wrong
+    architecture) gets one forced rebuild; persistent failures raise
+    NativeBuildError (an ImportError) so callers fall back to numpy.
+    """
+    try:
+        return _typed(ctypes.CDLL(str(build_library())))
+    except OSError:
+        try:
+            return _typed(ctypes.CDLL(str(build_library(force=True))))
+        except OSError as exc:
+            msg = f"frameops load failed: {exc}"
+            raise NativeBuildError(msg) from exc

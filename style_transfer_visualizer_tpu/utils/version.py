@@ -34,7 +34,7 @@ def resolve_project_version() -> str:
         try:
             with pyproject.open("rb") as fh:
                 data = tomllib.load(fh)
-        except OSError as exc:
+        except (OSError, tomllib.TOMLDecodeError) as exc:
             logger.warning("Error reading %s: %s", pyproject, exc)
             break
         version = data.get("project", {}).get("version")

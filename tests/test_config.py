@@ -220,3 +220,21 @@ class TestCliMerge:
     def test_precision_override(self) -> None:
         cfg = build_config_from_cli({"precision": "default"})
         assert cfg.hardware.precision == "default"
+
+
+class TestAssignmentValidation:
+    def test_cli_values_respect_bounds(self) -> None:
+        """CLI overrides must enforce the same bounds as TOML values."""
+        with pytest.raises(ValidationError):
+            build_config_from_cli({"fps": 0})
+        with pytest.raises(ValidationError):
+            build_config_from_cli({"quality": 99})
+        with pytest.raises(ValidationError):
+            build_config_from_cli({"steps": -5})
+        with pytest.raises(ValidationError):
+            build_config_from_cli({"save_every": 0})
+
+    def test_valid_cli_values_still_merge(self) -> None:
+        cfg = build_config_from_cli({"fps": 60, "quality": 1, "steps": 1})
+        assert cfg.video.fps == 60
+        assert cfg.video.quality == 1

@@ -188,7 +188,7 @@ class TestStyleTransferOrchestration:
         self, make_input_paths, make_style_transfer_config,
     ) -> None:
         cfg = make_style_transfer_config()
-        cfg.video.quality = 99  # bypass schema validation
+        object.__setattr__(cfg.video, "quality", 99)  # bypass validation
         with pytest.raises(ValueError, match="quality"):
             stv_main.style_transfer(make_input_paths(), cfg)
 
