@@ -32,7 +32,245 @@ from style_transfer_visualizer_tpu.utils.logging import logger
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
-    """Construct the CLI argument parser."""
+    """Construct the CLI argument parser from the flag specification."""
+    suppress = argparse.SUPPRESS
+
+    # group -> [(flag, kwargs)] specification. Flags without an explicit
+    # default use SUPPRESS so the config merge only sees values the user
+    # actually typed.
+    spec: dict[str, list[tuple[str, dict]]] = {
+        "required arguments": [
+            ("--content", {"type": str, "help": "Path to content image"}),
+            ("--style", {"type": str, "help": "Path to style image"}),
+            ("--styles", {
+                "type": str, "default": None,
+                "help": (
+                    "Comma-separated style image paths for a parallel "
+                    "multi-style batch run (styles shard across TPU "
+                    "devices; video output is disabled in this mode)."
+                ),
+            }),
+        ],
+        "output": [
+            ("--output", {"type": str, "help": "Output directory",
+                          "default": suppress}),
+            ("--no-plot", {"action": "store_true",
+                           "help": "Disable loss plotting"}),
+            ("--log-loss", {
+                "type": str,
+                "help": (
+                    "Path to CSV file for logging loss metrics. When "
+                    "enabled, loss metrics are written directly to disk "
+                    "instead of kept in memory, and matplotlib loss "
+                    "plotting is automatically disabled."
+                ),
+            }),
+            ("--log-every", {
+                "type": int, "default": DEFAULT_LOG_EVERY,
+                "help": (
+                    f"Log losses to CSV every N steps (default: "
+                    f"{DEFAULT_LOG_EVERY}). Ignored if --log-loss is "
+                    "not set."
+                ),
+            }),
+            ("--checkpoint-every", {
+                "type": int, "default": suppress,
+                "help": (
+                    "Save a resumable checkpoint (image + optimizer "
+                    "state) every N steps (0 disables; default 0)."
+                ),
+            }),
+            ("--checkpoint-path", {
+                "type": str, "default": suppress,
+                "help": (
+                    "Checkpoint file path "
+                    "(default: <output>/checkpoint.npz)."
+                ),
+            }),
+            ("--resume-from", {
+                "type": str, "default": suppress,
+                "help": "Resume optimization from a saved checkpoint file.",
+            }),
+            ("--profile-dir", {
+                "type": str, "default": suppress,
+                "help": (
+                    "Write a jax.profiler trace of the optimization loop "
+                    "to this directory (view with TensorBoard)."
+                ),
+            }),
+            ("--compare-inputs", {
+                "action": "store_true",
+                "help": (
+                    "Save a labeled comparison image of content and style "
+                    "to the output directory and exit."
+                ),
+            }),
+            ("--compare-result", {
+                "action": "store_true",
+                "help": (
+                    "Save a labeled comparison image of content, style, "
+                    "and result to the output directory and exit. The "
+                    "stylized image path is derived from the input "
+                    "filenames."
+                ),
+            }),
+        ],
+        "optimization": [
+            ("--steps", {"type": int, "default": suppress,
+                         "help": "Number of optimization steps"}),
+            ("--style-w", {"type": float, "default": suppress,
+                           "help": "Style weight"}),
+            ("--content-w", {"type": float, "default": suppress,
+                             "help": "Content weight"}),
+            ("--lr", {"type": float, "default": suppress,
+                      "help": "Learning rate"}),
+            ("--init-method", {
+                "choices": ["random", "white", "content"],
+                "default": suppress, "help": "Initialization method",
+            }),
+            ("--seed", {"type": int, "default": suppress,
+                        "help": "Random seed"}),
+            ("--no-normalize", {"action": "store_true",
+                                "help": "Disable VGG19 normalization"}),
+            ("--style-layers", {
+                "type": str,
+                "help": "Comma-separated VGG19 layer indices for style loss",
+            }),
+            ("--content-layers", {
+                "type": str,
+                "help": (
+                    "Comma-separated VGG19 layer indices for content loss"
+                ),
+            }),
+            ("--optimizer", {
+                "choices": ["lbfgs", "adam"], "default": suppress,
+                "help": "Pixel optimizer (default: lbfgs)",
+            }),
+            ("--remat", {
+                "action": "store_true",
+                "help": (
+                    "Rematerialize VGG feature segments in the backward "
+                    "pass to cut HBM use (auto-enabled for 4MP+ inputs)."
+                ),
+            }),
+            ("--allow-random-weights", {
+                "action": "store_true",
+                "help": (
+                    "Run with seeded random VGG19 weights when no "
+                    "pretrained checkpoint is available (air-gapped hosts)."
+                ),
+            }),
+        ],
+        "video": [
+            ("--save-every", {"type": int, "default": suppress,
+                              "help": "Save image every N steps"}),
+            ("--fps", {"type": int, "default": suppress,
+                       "help": "Frames per second for video"}),
+            ("--quality", {"type": int, "default": suppress,
+                           "help": "Video quality (lower is better)"}),
+            ("--no-video", {"action": "store_true",
+                            "help": "Disable video creation"}),
+            ("--final-only", {"action": "store_true",
+                              "help": "Only save final image"}),
+            ("--no-intro", {
+                "action": "store_true",
+                "help": (
+                    "Disable the intro comparison segment in the video"
+                ),
+            }),
+            ("--intro-duration", {
+                "type": float, "default": suppress,
+                "help": (
+                    "Seconds to display the intro comparison frame before "
+                    "the stylization timelapse (default: "
+                    f"{DEFAULT_VIDEO_INTRO_DURATION})"
+                ),
+            }),
+            ("--no-final-frame-compare", {
+                "dest": "final_frame_compare", "action": "store_false",
+                "default": suppress,
+                "help": (
+                    "Disable the final comparison frame so the timelapse "
+                    "ends on the last stylization step."
+                ),
+            }),
+            ("--outro-duration", {
+                "type": float, "default": suppress,
+                "help": (
+                    "Seconds to display the final comparison frame at the "
+                    f"end of the video (default: "
+                    f"{DEFAULT_VIDEO_OUTRO_DURATION})"
+                ),
+            }),
+            ("--metadata-title", {
+                "type": str, "default": suppress,
+                "help": "Custom title to embed in MP4 metadata",
+            }),
+            ("--metadata-artist", {
+                "type": str, "default": suppress,
+                "help": "Custom artist/author to embed in MP4 metadata",
+            }),
+            ("--gif", {
+                "dest": "create_gif", "action": "store_true",
+                "default": suppress,
+                "help": (
+                    "Also export a GIF timelapse (intro/outro segments "
+                    "are skipped unless explicitly included)."
+                ),
+            }),
+            ("--no-gif", {
+                "dest": "create_gif", "action": "store_false",
+                "default": suppress,
+                "help": "Disable GIF export even when enabled via config.",
+            }),
+            ("--gif-include-intro", {
+                "dest": "gif_include_intro", "action": "store_true",
+                "default": suppress,
+                "help": "Include the intro comparison segment in GIF output.",
+            }),
+            ("--gif-include-outro", {
+                "dest": "gif_include_outro", "action": "store_true",
+                "default": suppress,
+                "help": "Include the outro comparison segment in GIF output.",
+            }),
+            ("--video-mode", {
+                "choices": ["realtime", "postprocess"], "default": suppress,
+                "help": (
+                    "Video encoding strategy: realtime streams frames "
+                    "directly, postprocess defers encoding until after "
+                    "optimization. When omitted the CLI may auto-switch "
+                    "to postprocess for long runs."
+                ),
+            }),
+        ],
+        "hardware": [
+            ("--device", {
+                "type": str, "default": suppress,
+                "help": "Device to run on (e.g., 'tpu' or 'cpu')",
+            }),
+            ("--precision", {
+                "choices": ["highest", "high", "default"],
+                "default": suppress,
+                "help": (
+                    "MXU matmul precision: 'highest' keeps f32 "
+                    "accumulation for loss-curve parity; 'default' allows "
+                    "bf16 passes for speed."
+                ),
+            }),
+        ],
+        "config": [
+            ("--config", {"type": str,
+                          "help": "Path to config.toml file"}),
+            ("--validate-config-only", {
+                "action": "store_true",
+                "help": (
+                    "Validate config file and exit without running style "
+                    "transfer"
+                ),
+            }),
+        ],
+    }
+
     p = argparse.ArgumentParser(
         description="Neural Style Transfer on TPU (JAX/XLA/Pallas)",
         formatter_class=argparse.RawDescriptionHelpFormatter,
@@ -48,225 +286,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
             "Use --no-normalize to disable it"
         ),
     )
-
-    required = p.add_argument_group("required arguments")
-    required.add_argument("--content", type=str,
-                          help="Path to content image")
-    required.add_argument("--style", type=str, help="Path to style image")
-    required.add_argument(
-        "--styles", type=str, default=None,
-        help=(
-            "Comma-separated style image paths for a parallel multi-style "
-            "batch run (styles shard across TPU devices; video output is "
-            "disabled in this mode)."
-        ),
-    )
-
-    output = p.add_argument_group("output")
-    output.add_argument(
-        "--output", type=str, help="Output directory",
-        default=argparse.SUPPRESS)
-    output.add_argument(
-        "--no-plot", action="store_true", help="Disable loss plotting")
-    output.add_argument(
-        "--log-loss", type=str,
-        help=(
-            "Path to CSV file for logging loss metrics. When enabled, "
-            "loss metrics are written directly to disk instead of kept in "
-            "memory, and matplotlib loss plotting is automatically disabled."
-        ),
-    )
-    output.add_argument(
-        "--log-every", type=int, default=DEFAULT_LOG_EVERY,
-        help=(
-            f"Log losses to CSV every N steps (default: {DEFAULT_LOG_EVERY})."
-            " Ignored if --log-loss is not set."
-        ),
-    )
-    output.add_argument(
-        "--checkpoint-every", type=int, default=argparse.SUPPRESS,
-        help=(
-            "Save a resumable checkpoint (image + optimizer state) every "
-            "N steps (0 disables; default 0)."
-        ),
-    )
-    output.add_argument(
-        "--checkpoint-path", type=str, default=argparse.SUPPRESS,
-        help="Checkpoint file path (default: <output>/checkpoint.npz).",
-    )
-    output.add_argument(
-        "--resume-from", type=str, default=argparse.SUPPRESS,
-        help="Resume optimization from a saved checkpoint file.",
-    )
-    output.add_argument(
-        "--profile-dir", type=str, default=argparse.SUPPRESS,
-        help=(
-            "Write a jax.profiler trace of the optimization loop to this "
-            "directory (view with TensorBoard)."
-        ),
-    )
-    output.add_argument(
-        "--compare-inputs", action="store_true",
-        help=(
-            "Save a labeled comparison image of content and style to the "
-            "output directory and exit."
-        ),
-    )
-    output.add_argument(
-        "--compare-result", action="store_true",
-        help=(
-            "Save a labeled comparison image of content, style, and result "
-            "to the output directory and exit. The stylized image path is "
-            "derived from the input filenames."
-        ),
-    )
-
-    opt = p.add_argument_group("optimization")
-    opt.add_argument(
-        "--steps", type=int, help="Number of optimization steps",
-        default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--style-w", type=float, help="Style weight",
-        default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--content-w", type=float, help="Content weight",
-        default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--lr", type=float, help="Learning rate",
-        default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--init-method", choices=["random", "white", "content"],
-        help="Initialization method", default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--seed", type=int, help="Random seed", default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--no-normalize", action="store_true",
-        help="Disable VGG19 normalization")
-    opt.add_argument(
-        "--style-layers", type=str,
-        help="Comma-separated VGG19 layer indices for style loss")
-    opt.add_argument(
-        "--content-layers", type=str,
-        help="Comma-separated VGG19 layer indices for content loss")
-    opt.add_argument(
-        "--optimizer", choices=["lbfgs", "adam"],
-        help="Pixel optimizer (default: lbfgs)",
-        default=argparse.SUPPRESS)
-    opt.add_argument(
-        "--remat", action="store_true",
-        help=(
-            "Rematerialize VGG feature segments in the backward pass to "
-            "cut HBM use (auto-enabled for 4MP+ inputs)."
-        ),
-    )
-    opt.add_argument(
-        "--allow-random-weights", action="store_true",
-        help=(
-            "Run with seeded random VGG19 weights when no pretrained "
-            "checkpoint is available (air-gapped hosts)."
-        ),
-    )
-
-    video = p.add_argument_group("video")
-    video.add_argument(
-        "--save-every", type=int, help="Save image every N steps",
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--fps", type=int, help="Frames per second for video",
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--quality", type=int,
-        help="Video quality (lower is better)",
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--no-video", action="store_true", help="Disable video creation")
-    video.add_argument(
-        "--final-only", action="store_true", help="Only save final image")
-    video.add_argument(
-        "--no-intro", action="store_true",
-        help="Disable the intro comparison segment in the video")
-    video.add_argument(
-        "--intro-duration", type=float,
-        help=(
-            "Seconds to display the intro comparison frame before the "
-            "stylization timelapse (default: "
-            f"{DEFAULT_VIDEO_INTRO_DURATION})"
-        ),
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--no-final-frame-compare",
-        dest="final_frame_compare",
-        action="store_false",
-        default=argparse.SUPPRESS,
-        help=(
-            "Disable the final comparison frame so the timelapse ends on "
-            "the last stylization step."
-        ),
-    )
-    video.add_argument(
-        "--outro-duration", type=float,
-        help=(
-            "Seconds to display the final comparison frame at the end of "
-            f"the video (default: {DEFAULT_VIDEO_OUTRO_DURATION})"
-        ),
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--metadata-title", type=str,
-        help="Custom title to embed in MP4 metadata",
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--metadata-artist", type=str,
-        help="Custom artist/author to embed in MP4 metadata",
-        default=argparse.SUPPRESS)
-    video.add_argument(
-        "--gif", dest="create_gif", action="store_true",
-        default=argparse.SUPPRESS,
-        help=(
-            "Also export a GIF timelapse (intro/outro segments are "
-            "skipped unless explicitly included)."
-        ),
-    )
-    video.add_argument(
-        "--no-gif", dest="create_gif", action="store_false",
-        default=argparse.SUPPRESS,
-        help="Disable GIF export even when enabled via config.")
-    video.add_argument(
-        "--gif-include-intro", dest="gif_include_intro",
-        action="store_true", default=argparse.SUPPRESS,
-        help="Include the intro comparison segment in GIF output.")
-    video.add_argument(
-        "--gif-include-outro", dest="gif_include_outro",
-        action="store_true", default=argparse.SUPPRESS,
-        help="Include the outro comparison segment in GIF output.")
-    video.add_argument(
-        "--video-mode", choices=["realtime", "postprocess"],
-        help=(
-            "Video encoding strategy: realtime streams frames directly, "
-            "postprocess defers encoding until after optimization. When "
-            "omitted the CLI may auto-switch to postprocess for long runs."
-        ),
-        default=argparse.SUPPRESS)
-
-    hw = p.add_argument_group("hardware")
-    hw.add_argument(
-        "--device", type=str,
-        help="Device to run on (e.g., 'tpu' or 'cpu')",
-        default=argparse.SUPPRESS)
-    hw.add_argument(
-        "--precision", choices=["highest", "high", "default"],
-        help=(
-            "MXU matmul precision: 'highest' keeps f32 accumulation for "
-            "loss-curve parity; 'default' allows bf16 passes for speed."
-        ),
-        default=argparse.SUPPRESS)
-
-    cfg = p.add_argument_group("config")
-    cfg.add_argument(
-        "--config", type=str, help="Path to config.toml file")
-    cfg.add_argument(
-        "--validate-config-only", action="store_true",
-        help="Validate config file and exit without running style transfer")
-
+    for group_name, flags in spec.items():
+        group = p.add_argument_group(group_name)
+        for flag, kwargs in flags:
+            group.add_argument(flag, **kwargs)
     return p
 
 

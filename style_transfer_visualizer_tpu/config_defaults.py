@@ -1,7 +1,7 @@
 """User-facing configuration defaults.
 
-Values match the reference defaults (config_defaults.py:5-41) so a config
-written for the reference produces the same behavior here. TPU-specific
+Values match the reference defaults (config_defaults.py:5-41) so a
+config written for the reference behaves identically here; TPU-specific
 knobs (optimizer choice, matmul precision, L-BFGS history size) are new.
 """
 from __future__ import annotations
@@ -12,39 +12,12 @@ from style_transfer_visualizer_tpu.type_defs import (
     PrecisionName,
 )
 
-# Optimization ---------------------------------------------------------
-DEFAULT_STEPS = 1500
-DEFAULT_STYLE_WEIGHT = 1e5
-DEFAULT_CONTENT_WEIGHT = 1.0
-DEFAULT_LEARNING_RATE = 1.0
-DEFAULT_INIT_METHOD: InitMethod = "random"
-DEFAULT_SEED = 0
-DEFAULT_NORMALIZE = True
-DEFAULT_LBFGS_MAX_ITER = 1
-DEFAULT_LBFGS_MAX_EVAL = 1
-# Indices into the VGG19 feature stack (torchvision layer numbering).
-DEFAULT_STYLE_LAYERS: tuple[int, ...] = (0, 5, 10, 19, 28)
-DEFAULT_CONTENT_LAYERS: tuple[int, ...] = (21,)
-# New in the TPU framework:
-DEFAULT_OPTIMIZER: OptimizerName = "lbfgs"
-DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default
+# --- Output ---------------------------------------------------------------
+DEFAULT_OUTPUT_DIR = "out"
+# Host-sync cadence for loss scalars (and CSV row cadence).
+DEFAULT_LOG_EVERY = 10
 
-# Video ---------------------------------------------------------------
-DEFAULT_SAVE_EVERY = 20
-DEFAULT_FPS = 10
-DEFAULT_VIDEO_QUALITY = 10
-DEFAULT_CREATE_VIDEO = True
-DEFAULT_FINAL_ONLY = False
-DEFAULT_VIDEO_INTRO_ENABLED = True
-DEFAULT_VIDEO_INTRO_DURATION = 10.0
-DEFAULT_VIDEO_OUTRO_DURATION = 10.0
-DEFAULT_VIDEO_FINAL_FRAME_COMPARE = True
-DEFAULT_VIDEO_MODE = "realtime"
-DEFAULT_CREATE_GIF = False
-DEFAULT_GIF_INCLUDE_INTRO = False
-DEFAULT_GIF_INCLUDE_OUTRO = False
-
-# Hardware --------------------------------------------------------------
+# --- Hardware ---------------------------------------------------------
 DEFAULT_DEVICE = "tpu"
 # "high" (3-pass bf16 on the MXU, ~f32 fidelity) tracks the f32
 # reference loss curve within 5.1e-4 over 100 steps — measurably closer
@@ -52,6 +25,38 @@ DEFAULT_DEVICE = "tpu"
 # parity gate; "default" trades gradient fidelity for full throughput.
 DEFAULT_PRECISION: PrecisionName = "high"
 
-# Output ----------------------------------------------------------------
-DEFAULT_LOG_EVERY = 10
-DEFAULT_OUTPUT_DIR = "out"
+# --- Optimization -----------------------------------------------------
+DEFAULT_STEPS = 1500
+DEFAULT_LEARNING_RATE = 1.0
+DEFAULT_STYLE_WEIGHT = 1e5
+DEFAULT_CONTENT_WEIGHT = 1.0
+DEFAULT_SEED = 0
+DEFAULT_INIT_METHOD: InitMethod = "random"
+DEFAULT_NORMALIZE = True
+# One function evaluation per accepted step (the reference's LBFGS
+# configuration).
+DEFAULT_LBFGS_MAX_ITER = 1
+DEFAULT_LBFGS_MAX_EVAL = 1
+# Indices into the VGG19 feature stack (torchvision layer numbering):
+# conv1_1, conv2_1, conv3_1, conv4_1, conv5_1 for style; conv4_2 for
+# content.
+DEFAULT_STYLE_LAYERS: tuple[int, ...] = (0, 5, 10, 19, 28)
+DEFAULT_CONTENT_LAYERS: tuple[int, ...] = (21,)
+# TPU-framework additions:
+DEFAULT_OPTIMIZER: OptimizerName = "lbfgs"
+DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default
+
+# --- Video ------------------------------------------------------------
+DEFAULT_CREATE_VIDEO = True
+DEFAULT_VIDEO_MODE = "realtime"
+DEFAULT_SAVE_EVERY = 20
+DEFAULT_FPS = 10
+DEFAULT_VIDEO_QUALITY = 10
+DEFAULT_FINAL_ONLY = False
+DEFAULT_VIDEO_INTRO_ENABLED = True
+DEFAULT_VIDEO_INTRO_DURATION = 10.0
+DEFAULT_VIDEO_OUTRO_DURATION = 10.0
+DEFAULT_VIDEO_FINAL_FRAME_COMPARE = True
+DEFAULT_CREATE_GIF = False
+DEFAULT_GIF_INCLUDE_INTRO = False
+DEFAULT_GIF_INCLUDE_OUTRO = False

@@ -1,10 +1,15 @@
-"""``compare-grid`` command-line entry point (reference gallery/cli.py)."""
+"""``compare-grid`` command-line entry point.
+
+Flag surface matches the reference tool (gallery/cli.py) — arguments are
+declared in a data-driven table and validators raising ValueError are
+adapted to argparse's ArgumentTypeError convention.
+"""
 from __future__ import annotations
 
 import argparse
 from collections.abc import Callable, Sequence
 from pathlib import Path
-from typing import TypeVar
+from typing import Any, TypeVar
 
 from style_transfer_visualizer_tpu.gallery.api import (
     FRAME_CHOICES,
@@ -31,59 +36,57 @@ def _argtype(validator: Callable[[str], T]) -> Callable[[str], T]:
     return wrapper
 
 
+# (flag, kwargs) rows; callables in "type" are wrapped for argparse.
+_ARG_TABLE: tuple[tuple[str, dict[str, Any]], ...] = (
+    ("--content", {"required": True, "type": Path}),
+    ("--style", {"required": True, "type": Path}),
+    ("--result", {"required": False, "type": Path}),
+    ("--out", {"type": Path, "default": None}),
+    ("--target-height", {"type": _argtype(positive_int), "default": 512}),
+    ("--pad", {"type": _argtype(positive_int), "default": 16}),
+    ("--border-px", {"type": _argtype(positive_int), "default": 0}),
+    ("--target-size", {
+        "type": _argtype(size_2d),
+        "default": None,
+        "help": "Exact WxH for video safe output, e.g., 1920x1080.",
+    }),
+    ("--layout", {
+        "type": str,
+        "default": None,
+        "choices": list(LAYOUT_CHOICES),
+        "help": (
+            "If provided, render as a gallery wall. "
+            "Select two or three panel layout."
+        ),
+    }),
+    ("--wall", {
+        "type": str,
+        "default": "#3c434a",
+        "help": "Wall color as hex like #3c434a.",
+    }),
+    ("--frame-style", {
+        "type": str,
+        "default": "gold",
+        "choices": list(FRAME_CHOICES),
+        "help": "Quick frame tone preset.",
+    }),
+    ("--show-labels", {
+        "action": "store_true",
+        "help": "Draw Content, Style, and Final labels.",
+    }),
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
-    """Build the compare-grid argument parser."""
+    """Build the compare-grid argument parser from the flag table."""
     parser = argparse.ArgumentParser(
         description=(
             "Build a 3-panel comparison from content, style, and result. "
             "Optionally render as a framed gallery wall."
         ),
     )
-    parser.add_argument("--content", required=True, type=Path)
-    parser.add_argument("--style", required=True, type=Path)
-    parser.add_argument("--result", required=False, type=Path)
-    parser.add_argument("--out", type=Path, default=None)
-    parser.add_argument(
-        "--target-height", type=_argtype(positive_int), default=512,
-    )
-    parser.add_argument("--pad", type=_argtype(positive_int), default=16)
-    parser.add_argument(
-        "--border-px", type=_argtype(positive_int), default=0,
-    )
-    parser.add_argument(
-        "--target-size",
-        type=_argtype(size_2d),
-        default=None,
-        help="Exact WxH for video safe output, e.g., 1920x1080.",
-    )
-    parser.add_argument(
-        "--layout",
-        type=str,
-        default=None,
-        choices=list(LAYOUT_CHOICES),
-        help=(
-            "If provided, render as a gallery wall. "
-            "Select two or three panel layout."
-        ),
-    )
-    parser.add_argument(
-        "--wall",
-        type=str,
-        default="#3c434a",
-        help="Wall color as hex like #3c434a.",
-    )
-    parser.add_argument(
-        "--frame-style",
-        type=str,
-        default="gold",
-        choices=list(FRAME_CHOICES),
-        help="Quick frame tone preset.",
-    )
-    parser.add_argument(
-        "--show-labels",
-        action="store_true",
-        help="Draw Content, Style, and Final labels.",
-    )
+    for flag, kwargs in _ARG_TABLE:
+        parser.add_argument(flag, **kwargs)
     return parser
 
 

@@ -163,6 +163,69 @@ def _render_panels(
     return anchors
 
 
+def _clamped_frame_params(frame: FrameParams | None) -> FrameParams:
+    """Texture strength bounded into its safe range."""
+    fparams = frame or FrameParams()
+    strength = min(
+        FRAME_TEXTURE_MAX, max(0, fparams.frame_texture_strength),
+    )
+    if strength == fparams.frame_texture_strength:
+        return fparams
+    return replace(fparams, frame_texture_strength=strength)
+
+
+def _safe_margin(margin: int, dim: int) -> int:
+    """Degrade fixed wall margins only on tiny canvases.
+
+    Keeps the reference's 48px margins wherever the reference works
+    (pixel parity); below that, fixed margins would consume most of the
+    dimension (where the reference errors out).
+    """
+    return margin if 2 * margin <= dim * 3 // 4 else dim // 8
+
+
+def _plan_panels(
+    *,
+    two_image: bool,
+    w: int,
+    h: int,
+    lr_margin: int,
+    tb_margin: int,
+    content: Image.Image,
+    style: Image.Image,
+    result: Image.Image | None,
+    labels: tuple[str, str, str],
+    fparams: FrameParams,
+) -> tuple[list[Image.Image], list[Rect], tuple[str, ...]]:
+    """Choose panel images, fitted boxes, and label texts for the layout."""
+    if two_image:
+        imgs: list[Image.Image] = [content, style]
+        raw_boxes = _boxes_two_across(
+            w, h, lr_margin=lr_margin, tb_margin=tb_margin,
+            gap_frac=_GAP_FRACTION,
+        )
+        # Both panels fit to their image's aspect.
+        boxes = [
+            fit_box_by_inner_aspect(
+                box, im, fparams, _RESULT_INSET_FRACTION,
+            )
+            for box, im in zip(raw_boxes, imgs, strict=True)
+        ]
+        return imgs, boxes, labels[:2]
+
+    imgs = [content, style, result]  # type: ignore[list-item]
+    boxes = _boxes_stacked_left(
+        w, h, lr_margin=lr_margin, tb_margin=tb_margin,
+        gap_frac=_GAP_FRACTION, left_col_frac=_LEFT_COLUMN_FRACTION,
+    )
+    # Only the result column fits to its image's aspect.
+    boxes[_RESULT_IDX] = fit_box_by_inner_aspect(
+        boxes[_RESULT_IDX], imgs[_RESULT_IDX],
+        fparams, _RESULT_INSET_FRACTION,
+    )
+    return imgs, boxes, labels
+
+
 def make_gallery_comparison(
     content: Image.Image,
     style: Image.Image,
@@ -181,62 +244,31 @@ def make_gallery_comparison(
     Falls back to the two-panel layout when ``result`` is None regardless
     of ``layout``.
     """
-    two_image = (result is None) or (layout == "gallery-two-across")
-
     w, h = target_size
     if w <= 0 or h <= 0:
         msg = "target_size must be positive"
         raise ValueError(msg)
 
-    fparams = frame or FrameParams()
-    clamped = min(
-        FRAME_TEXTURE_MAX, max(0, fparams.frame_texture_strength),
+    fparams = _clamped_frame_params(frame)
+    imgs, boxes, labs = _plan_panels(
+        two_image=(result is None) or (layout == "gallery-two-across"),
+        w=w,
+        h=h,
+        lr_margin=_safe_margin(left_right_wall_margin, w),
+        tb_margin=_safe_margin(top_bottom_wall_margin, h),
+        content=content,
+        style=style,
+        result=result,
+        labels=labels,
+        fparams=fparams,
     )
-    if clamped != fparams.frame_texture_strength:
-        fparams = replace(fparams, frame_texture_strength=clamped)
 
-    # Keep the reference's 48px margins wherever the reference works
-    # (pixel parity), degrading only on tiny canvases where fixed
-    # margins would consume most of the dimension (the reference
-    # errors there).
-    def _safe_margin(margin: int, dim: int) -> int:
-        return margin if 2 * margin <= dim * 3 // 4 else dim // 8
-
-    left_right_wall_margin = _safe_margin(left_right_wall_margin, w)
-    top_bottom_wall_margin = _safe_margin(top_bottom_wall_margin, h)
-
-    wall = make_wall_canvas((w, h), wall_color, vignette=True, noise=True)
-
-    if two_image:
-        boxes = _boxes_two_across(
-            w, h, lr_margin=left_right_wall_margin,
-            tb_margin=top_bottom_wall_margin, gap_frac=_GAP_FRACTION,
-        )
-        imgs: list[Image.Image] = [content, style]
-        labs: tuple[str, ...] = labels[:2]
-        boxes = [
-            fit_box_by_inner_aspect(
-                box, im, fparams, _RESULT_INSET_FRACTION,
-            )
-            for box, im in zip(boxes, imgs, strict=True)
-        ]
-    else:
-        boxes = _boxes_stacked_left(
-            w, h, lr_margin=left_right_wall_margin,
-            tb_margin=top_bottom_wall_margin, gap_frac=_GAP_FRACTION,
-            left_col_frac=_LEFT_COLUMN_FRACTION,
-        )
-        imgs = [content, style, result]  # type: ignore[list-item]
-        labs = labels
-        boxes[_RESULT_IDX] = fit_box_by_inner_aspect(
-            boxes[_RESULT_IDX], imgs[_RESULT_IDX],
-            fparams, _RESULT_INSET_FRACTION,
-        )
-
-    canvas = wall.copy()
+    canvas = make_wall_canvas(
+        (w, h), wall_color, vignette=True, noise=True,
+    )
     anchors = _render_panels(
         canvas, imgs, boxes, fparams,
-        wall_color=wall_color, two_image=two_image,
+        wall_color=wall_color, two_image=len(imgs) == 2,
     )
 
     if fparams.label is not None:

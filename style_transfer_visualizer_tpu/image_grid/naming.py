@@ -1,8 +1,8 @@
 """Naming and persistence for comparison outputs.
 
-Deterministic names (``comparison_{content}_x_{style}.png``, spaces to
-underscores) and file-opening wrappers around the layout renderers
-(reference naming.py:35-130).
+Deterministic names (``comparison_{content}_x_{style}.png``, spaces
+mapped to underscores) and file-opening wrappers around the layout
+renderers (contract: reference naming.py:35-130).
 """
 from __future__ import annotations
 
@@ -33,19 +33,27 @@ if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.type_defs import LayoutName
 
 
+def _safe_stem(p: Path) -> str:
+    return p.stem.replace(" ", "_")
+
+
+def _require_path(out_path: object) -> Path:
+    if not isinstance(out_path, Path):
+        msg = "out_path must be a pathlib.Path"
+        raise TypeError(msg)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    return out_path
+
+
 def default_comparison_name(
     content_path: Path,
     style_path: Path,
     out_dir: Path,
 ) -> Path:
     """Deterministic comparison filename from the input stems."""
-
-    def safe_stem(p: Path) -> str:
-        return p.stem.replace(" ", "_")
-
-    return out_dir / (
-        f"comparison_{safe_stem(content_path)}_x_{safe_stem(style_path)}.png"
-    )
+    stem_c = _safe_stem(content_path)
+    stem_s = _safe_stem(style_path)
+    return out_dir / f"comparison_{stem_c}_x_{stem_s}.png"
 
 
 def save_comparison_grid(
@@ -61,27 +69,22 @@ def save_comparison_grid(
     border_px: int = 0,
 ) -> Path:
     """Open the three inputs, render a flat grid, save as PNG."""
-    if not isinstance(out_path, Path):
-        msg = "out_path must be a pathlib.Path"
-        raise TypeError(msg)
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-
+    out_path = _require_path(out_path)
     with ExitStack() as stack:
-        images = [
+        panels = [
             to_rgb(
                 stack.enter_context(Image.open(p)), bg_color=bg_color,
             )
             for p in (content_path, style_path, result_path)
         ]
-        grid = make_horizontal_grid(
-            images,
+        make_horizontal_grid(
+            panels,
             target_height=target_height,
             target_size=target_size,
             pad=pad,
             bg_color=bg_color,
             border_px=border_px,
-        )
-        grid.save(out_path, format="PNG")
+        ).save(out_path, format="PNG")
     return out_path
 
 
@@ -98,30 +101,23 @@ def save_gallery_comparison(
     show_labels: bool = True,
 ) -> Path:
     """Open inputs, render a gallery wall, save as PNG."""
-    if not isinstance(out_path, Path):
-        msg = "out_path must be a pathlib.Path"
-        raise TypeError(msg)
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-
+    out_path = _require_path(out_path)
+    frame = FrameParams(
+        frame_tone=frame_tone,
+        label="on" if show_labels else None,
+    )
     with ExitStack() as stack:
-        content = stack.enter_context(Image.open(content_path))
-        style = stack.enter_context(Image.open(style_path))
-        result = (
-            stack.enter_context(Image.open(result_path))
-            if result_path
-            else None
-        )
-        img = make_gallery_comparison(
-            content=content,
-            style=style,
-            result=result,
+        opened = [
+            stack.enter_context(Image.open(p)) if p else None
+            for p in (content_path, style_path, result_path)
+        ]
+        make_gallery_comparison(
+            content=opened[0],
+            style=opened[1],
+            result=opened[2],
             target_size=target_size,
             layout=layout,
             wall_color=wall_color,
-            frame=FrameParams(
-                frame_tone=frame_tone,
-                label="on" if show_labels else None,
-            ),
-        )
-        img.save(out_path, format="PNG")
+            frame=frame,
+        ).save(out_path, format="PNG")
     return out_path

@@ -1,9 +1,9 @@
 """Comparison-image rendering requested via the main CLI.
 
-Canvas sizes follow the content image; the result variant appends
-``_final`` to the deterministic name and is skipped with a warning when
-the expected stylized output is missing (reference
-runtime/comparison.py:33-160).
+Behavior contract (reference runtime/comparison.py:33-160): canvas sizes
+follow the content image, the result variant appends ``_final`` to the
+deterministic name, and a missing stylized output is skipped with a
+warning rather than an error.
 """
 from __future__ import annotations
 
@@ -36,6 +36,8 @@ __all__ = [
     "render_requested_comparisons",
 ]
 
+_FINAL_SUFFIX = "_final"
+
 
 @dataclass(slots=True)
 class ComparisonRequest:
@@ -57,9 +59,14 @@ def comparison_output_path(
     base = default_comparison_name(
         content_path, style_path, Path(output_dir),
     )
-    if include_result:
-        return base.parent / f"{base.stem}_final{base.suffix}"
-    return base
+    if not include_result:
+        return base
+    return base.with_name(f"{base.stem}{_FINAL_SUFFIX}{base.suffix}")
+
+
+def _content_canvas_size(content_path: Path) -> tuple[int, int]:
+    with Image.open(content_path) as im:
+        return im.size
 
 
 def render_comparison_image(
@@ -73,33 +80,39 @@ def render_comparison_image(
     """Render one gallery comparison sized to the content image."""
     content_path = Path(content_path)
     style_path = Path(style_path)
-    result_path = (
-        Path(result_path) if include_result and result_path else None
-    )
-
-    with Image.open(content_path) as content_im:
-        target_size = content_im.size
 
     layout: LayoutName = (
         "gallery-stacked-left" if include_result else "gallery-two-across"
     )
-    out_path = comparison_output_path(
-        output_dir, content_path, style_path,
-        include_result=include_result,
-    )
-
-    return render_comparison(
-        ComparisonRenderOptions(
-            content_path=content_path,
-            style_path=style_path,
-            result_path=result_path,
-            out_path=out_path,
-            target_size=target_size,
-            layout=layout,
-            wall_color=COLOR_GREY,
-            frame_style="gold",
-            show_labels=True,
+    options = ComparisonRenderOptions(
+        content_path=content_path,
+        style_path=style_path,
+        result_path=(
+            Path(result_path) if include_result and result_path else None
         ),
+        out_path=comparison_output_path(
+            output_dir, content_path, style_path,
+            include_result=include_result,
+        ),
+        target_size=_content_canvas_size(content_path),
+        layout=layout,
+        wall_color=COLOR_GREY,
+        frame_style="gold",
+        show_labels=True,
+    )
+    return render_comparison(options)
+
+
+def _resolve_expected_result(
+    request: ComparisonRequest,
+    output_dir: Path,
+    content_path: Path,
+    style_path: Path,
+) -> Path:
+    if request.result_path is not None:
+        return request.result_path
+    return stylized_image_path_from_paths(
+        output_dir, content_path, style_path,
     )
 
 
@@ -124,29 +137,27 @@ def render_requested_comparisons(
             ),
         )
 
-    if request.include_result:
-        expected = (
-            request.result_path
-            if request.result_path is not None
-            else stylized_image_path_from_paths(
-                output_dir, content_path, style_path,
-            )
-        )
-        if not expected.exists():
-            logger.warning(
-                "Expected stylized result missing: %s. "
-                "Skipping content+style+result comparison.",
-                expected,
-            )
-        else:
-            saved.append(
-                render_comparison_image(
-                    content_path=content_path,
-                    style_path=style_path,
-                    output_dir=output_dir,
-                    include_result=True,
-                    result_path=expected,
-                ),
-            )
+    if not request.include_result:
+        return saved
 
+    expected = _resolve_expected_result(
+        request, output_dir, content_path, style_path,
+    )
+    if not expected.exists():
+        logger.warning(
+            "Expected stylized result missing: %s. "
+            "Skipping content+style+result comparison.",
+            expected,
+        )
+        return saved
+
+    saved.append(
+        render_comparison_image(
+            content_path=content_path,
+            style_path=style_path,
+            output_dir=output_dir,
+            include_result=True,
+            result_path=expected,
+        ),
+    )
     return saved

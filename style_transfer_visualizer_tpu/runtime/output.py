@@ -1,8 +1,10 @@
 """Output directory management and final artifact persistence.
 
-Contract mirrors reference runtime/output.py:21-118 (canonical file
-names, fallback directory on OSError, deferred matplotlib import), with
-PIL-based saving of the NHWC device array instead of torchvision.
+Behavior contract (reference runtime/output.py:21-118): canonical
+``stylized_{content}_x_{style}.png`` naming, a ``style_transfer_output``
+fallback directory on OSError, deferred matplotlib import for the loss
+plot. Saving goes through the NHWC device-array pipeline instead of
+torchvision.
 """
 from __future__ import annotations
 
@@ -23,6 +25,7 @@ if TYPE_CHECKING:
     )
 
 _FALLBACK_DIR = "style_transfer_output"
+_STYLIZED_TEMPLATE = "stylized_{content}_x_{style}.png"
 
 
 def setup_output_directory(
@@ -34,9 +37,8 @@ def setup_output_directory(
     try:
         resolved.mkdir(parents=True, exist_ok=True)
     except OSError:
-        fallback = path_factory(_FALLBACK_DIR)
-        fallback.mkdir(parents=True, exist_ok=True)
-        return fallback
+        resolved = path_factory(_FALLBACK_DIR)
+        resolved.mkdir(parents=True, exist_ok=True)
     return resolved
 
 
@@ -51,7 +53,9 @@ def stylized_image_path_from_names(
     style_name: str,
 ) -> Path:
     """Canonical stylized output path for content/style stems."""
-    return output_dir / f"stylized_{content_name}_x_{style_name}.png"
+    return output_dir / _STYLIZED_TEMPLATE.format(
+        content=content_name, style=style_name,
+    )
 
 
 def stylized_image_path_from_paths(
@@ -67,14 +71,7 @@ def stylized_image_path_from_paths(
     )
 
 
-def save_outputs(
-    input_img: jax.Array,
-    loss_metrics: LossHistory,
-    output_dir: Path,
-    elapsed: float,
-    opts: SaveOptions,
-) -> None:
-    """Persist the final image, optional loss plot, and summary logs."""
+def _ensure_writable_dir(output_dir: Path) -> Path:
     try:
         if not output_dir.exists():
             output_dir.mkdir(parents=True, exist_ok=True)
@@ -84,14 +81,28 @@ def save_outputs(
         output_dir = Path(_FALLBACK_DIR)
         output_dir.mkdir(exist_ok=True)
         logger.info("Using fallback directory: %s", output_dir)
+    return output_dir
+
+
+def save_outputs(
+    input_img: jax.Array,
+    loss_metrics: LossHistory,
+    output_dir: Path,
+    elapsed: float,
+    opts: SaveOptions,
+) -> None:
+    """Persist the final image, optional loss plot, and summary logs."""
+    output_dir = _ensure_writable_dir(output_dir)
 
     final_path = stylized_image_path_from_names(
         output_dir, opts.content_name, opts.style_name,
     )
-    prepared = stv_image_io.prepare_image_for_output(
-        input_img, normalize=opts.normalize,
+    stv_image_io.save_array_as_image(
+        stv_image_io.prepare_image_for_output(
+            input_img, normalize=opts.normalize,
+        ),
+        final_path,
     )
-    stv_image_io.save_array_as_image(prepared, final_path)
 
     if opts.video_created and opts.video_name:
         logger.info("Video saved to: %s", output_dir / opts.video_name)

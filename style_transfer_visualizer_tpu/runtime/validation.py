@@ -1,4 +1,8 @@
-"""Input validation helpers (contract: reference runtime/validation.py)."""
+"""Input validation helpers (contract: reference runtime/validation.py).
+
+Error message wording matches the reference so scripted callers keep
+working.
+"""
 from __future__ import annotations
 
 from pathlib import Path
@@ -9,21 +13,26 @@ from style_transfer_visualizer_tpu.constants import (
 )
 
 
+def _require_file(path: str, what: str) -> None:
+    if Path(path).is_file():
+        return
+    msg = f"{what} image not found: {path}"
+    raise FileNotFoundError(msg)
+
+
 def validate_input_paths(content_path: str, style_path: str) -> None:
     """Ensure both input paths point at existing files."""
-    if not Path(content_path).is_file():
-        msg = f"Content image not found: {content_path}"
-        raise FileNotFoundError(msg)
-    if not Path(style_path).is_file():
-        msg = f"Style image not found: {style_path}"
-        raise FileNotFoundError(msg)
+    _require_file(content_path, "Content")
+    _require_file(style_path, "Style")
 
 
 def validate_parameters(video_quality: int) -> None:
     """Range-check runtime parameters not covered by the config schema."""
-    if not VIDEO_QUALITY_MIN <= video_quality <= VIDEO_QUALITY_MAX:
-        msg = (
-            f"Video quality must be between {VIDEO_QUALITY_MIN} and "
-            f"{VIDEO_QUALITY_MAX}, got {video_quality}"
-        )
-        raise ValueError(msg)
+    in_range = VIDEO_QUALITY_MIN <= video_quality <= VIDEO_QUALITY_MAX
+    if in_range:
+        return
+    msg = (
+        f"Video quality must be between {VIDEO_QUALITY_MIN} and "
+        f"{VIDEO_QUALITY_MAX}, got {video_quality}"
+    )
+    raise ValueError(msg)

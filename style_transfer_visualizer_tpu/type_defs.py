@@ -1,42 +1,72 @@
 """Shared type aliases and small data carriers.
 
-Mirrors the public aliases of the reference (type_defs.py:13-38) with JAX
-array types in place of torch tensors.
+Public alias names mirror the reference's so downstream code reads the
+same (reference type_defs.py:13-38); array-typed aliases use jax.Array
+in place of torch tensors, and the TPU framework adds optimizer and
+precision literals.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Literal
 
 import jax
 
+# --- Literal option sets ------------------------------------------------
+
+#: Starting-image strategies for the pixel optimization.
 InitMethod = Literal["content", "random", "white"]
+
+#: Gallery-wall arrangements rendered by the compositing subsystem.
 LayoutName = Literal["gallery-stacked-left", "gallery-two-across"]
+
+#: Encoding strategy: stream frames live, or spill and encode at the end.
 VideoMode = Literal["realtime", "postprocess"]
+
+#: Pixel optimizers compiled by the engine (TPU-framework addition).
 OptimizerName = Literal["lbfgs", "adam"]
+
+#: MXU matmul precision tiers (TPU-framework addition).
 PrecisionName = Literal["highest", "high", "default"]
 
+# --- Collection aliases --------------------------------------------------
+
+#: Loss-series mapping produced by the accumulator for plotting.
 LossHistory = dict[str, list[float]]
+
+#: A list of device arrays (per-layer losses and the like).
 ArrayList = list[jax.Array]
 
 
+# --- Small data carriers -------------------------------------------------
+
 @dataclass(slots=True)
 class InputPaths:
-    """Content and style input image paths."""
+    """The two input image locations for a run."""
 
+    #: Path to the content image file.
     content_path: str
+    #: Path to the style image file.
     style_path: str
 
 
 @dataclass(slots=True)
 class SaveOptions:
-    """Names and flags controlling the final persistence step."""
+    """Everything the final persistence step needs to know."""
 
+    #: Stem of the content image (drives canonical output names).
     content_name: str
+    #: Stem of the style image.
     style_name: str
+    #: Timelapse MP4 filename, when a video sink was active.
     video_name: str | None = None
+    #: GIF filename, when GIF export was active.
     gif_name: str | None = None
+    #: Whether the working image is in ImageNet-normalized space.
     normalize: bool = True
+    #: Whether an MP4 was produced (controls the saved-video log line).
     video_created: bool = True
-    gif_created: bool = False
+    #: Whether a GIF was produced.
+    gif_created: bool = field(default=False)
+    #: Whether to render the matplotlib loss plot.
     plot_losses: bool = True

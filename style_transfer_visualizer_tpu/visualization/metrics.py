@@ -1,6 +1,9 @@
 """Loss-curve plotting (matplotlib optional, deferred import).
 
-Contract mirrors reference visualization/metrics.py:15-50.
+Output contract mirrors the reference (visualization/metrics.py:15-50):
+``loss_plot.png`` in the output directory, one line per non-empty
+series, warnings instead of errors when there is nothing to plot or no
+matplotlib available.
 """
 from __future__ import annotations
 
@@ -13,34 +16,46 @@ if TYPE_CHECKING:
 
     from style_transfer_visualizer_tpu.type_defs import LossHistory
 
+_PLOT_FILENAME = "loss_plot.png"
+_FIGSIZE = (10, 6)
+
+
+def _import_pyplot():
+    """Deferred import keeps matplotlib an optional dependency."""
+    try:
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+    except ImportError:
+        return None
+    return plt
+
 
 def plot_loss_curves(metrics: LossHistory, output_dir: Path) -> None:
     """Save ``loss_plot.png`` for the recorded loss series, if any."""
     if not metrics:
         logger.warning("No loss metrics dictionary provided.")
         return
-    if not any(len(values) > 0 for values in metrics.values()):
+
+    series = {name: vals for name, vals in metrics.items() if vals}
+    if not series:
         logger.warning("Loss metrics dictionary is empty, nothing to plot.")
         return
 
-    try:
-        import matplotlib.pyplot as plt  # noqa: PLC0415
-    except ImportError:
+    plt = _import_pyplot()
+    if plt is None:
         logger.warning("matplotlib not found: skipping loss plot.")
         return
 
-    figure = plt.figure(figsize=(10, 6))
+    figure = plt.figure(figsize=_FIGSIZE)
     try:
-        for series_name, series_values in metrics.items():
-            if series_values:
-                plt.plot(series_values, label=series_name)
+        for name, values in series.items():
+            plt.plot(values, label=name)
         plt.xlabel("Step")
         plt.ylabel("Loss")
         plt.title("Loss Curves")
         plt.legend()
         plt.tight_layout()
-        loss_plot_path = output_dir / "loss_plot.png"
-        plt.savefig(loss_plot_path)
-        logger.info("Loss plot saved to: %s", loss_plot_path)
+        out = output_dir / _PLOT_FILENAME
+        plt.savefig(out)
+        logger.info("Loss plot saved to: %s", out)
     finally:
         plt.close(figure)
