@@ -245,3 +245,34 @@ class TestMultiStyleCli:
         ]
         for p in saved:
             assert p.exists()
+
+
+class TestMultiStyleDeviceFit:
+    def test_style_axis_is_largest_divisor(self, tmp_path, monkeypatch):
+        """3 styles on 8 devices -> 3-wide style axis (largest divisor)."""
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import StyleTransferConfig
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        styles = []
+        for i in range(3):
+            p = tmp_path / f"s{i}.png"
+            Image.new("RGB", (64, 64), (60 * i, 0, 180)).save(p)
+            styles.append(str(p))
+
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+        })
+        saved = multi_style_transfer(str(content), styles, cfg)
+        assert len(saved) == 3

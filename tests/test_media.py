@@ -544,3 +544,16 @@ class TestEncodeFailureModes:
         assert encode.quality_to_crf(4) == 30
         assert encode.quality_to_crf(1) == 45
         assert encode.quality_to_crf(10) == 0
+
+
+class TestStreamErrorOnSubmit:
+    def test_pending_error_surfaces_on_next_submit(self) -> None:
+        stream = AsyncFrameStream()
+
+        def boom(frame):
+            raise ValueError("sink exploded")
+
+        stream.submit(np.zeros((2, 2, 3), np.uint8), boom)
+        time.sleep(0.1)  # let the worker consume and record the error
+        with pytest.raises(ValueError, match="sink exploded"):
+            stream.submit(np.zeros((2, 2, 3), np.uint8), lambda f: None)
