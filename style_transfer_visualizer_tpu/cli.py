@@ -153,6 +153,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "pass to cut HBM use (auto-enabled for 4MP+ inputs)."
                 ),
             }),
+            ("--tile-rows", {
+                "dest": "tile_rows", "type": int, "default": suppress,
+                "help": (
+                    "Evaluate the loss band-by-band over rows of this "
+                    "height (exact scan tiling; lets 4K-class inputs "
+                    "compile and fit one chip). 0 disables; omitted = "
+                    "auto above ~4MP."
+                ),
+            }),
             ("--allow-random-weights", {
                 "action": "store_true",
                 "help": (
@@ -257,6 +266,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "bf16 passes for speed."
                 ),
             }),
+            ("--gram-backend", {
+                "dest": "gram_backend",
+                "choices": ["auto", "xla", "pallas"],
+                "default": suppress,
+                "help": (
+                    "Gram-matrix kernel: 'pallas' forces the fused TPU "
+                    "kernel, 'xla' the plain contraction, 'auto' picks "
+                    "pallas on TPU backends."
+                ),
+            }),
         ],
         "config": [
             ("--config", {"type": str,
@@ -347,6 +366,7 @@ def log_parameters(
     logger.info("Random Seed: %d", cfg.optimization.seed)
     logger.info("Device: %s", cfg.hardware.device)
     logger.info("Matmul Precision: %s", cfg.hardware.precision)
+    logger.info("Gram Backend: %s", cfg.hardware.gram_backend)
     logger.info("Metadata Title: %s",
                 cfg.video.metadata_title or "(default)")
     logger.info("Metadata Artist: %s",

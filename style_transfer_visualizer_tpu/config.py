@@ -21,6 +21,7 @@ from style_transfer_visualizer_tpu.constants import (
     VIDEO_QUALITY_MIN,
 )
 from style_transfer_visualizer_tpu.type_defs import (
+    GramBackendName,
     InitMethod,
     OptimizerName,
     PrecisionName,
@@ -68,6 +69,10 @@ class OptimizationConfig(_ValidatedSection):
     # extra forward of FLOPs for HBM headroom). Auto-enabled for
     # 4MP+ inputs; force with this flag.
     remat: bool = False
+    # Evaluate the loss as a lax.scan over row bands of this height
+    # (exact; shrinks the compiled graph and activation memory for
+    # 4K-class inputs). 0 = whole-image, auto-tiling above ~4MP.
+    tile_rows: int = Field(0, ge=0)
 
 
 class VideoConfig(_ValidatedSection):
@@ -104,6 +109,7 @@ class HardwareConfig(_ValidatedSection):
 
     device: str = Field(d.DEFAULT_DEVICE)
     precision: PrecisionName = Field(d.DEFAULT_PRECISION)
+    gram_backend: GramBackendName = Field(d.DEFAULT_GRAM_BACKEND)
 
 
 class OutputConfig(_ValidatedSection):
@@ -208,7 +214,7 @@ def _merge_optimization(
     for key in (
         "steps", "style_w", "content_w", "lr", "init_method", "seed",
         "optimizer", "lbfgs_max_iter", "lbfgs_max_eval",
-        "lbfgs_history_size",
+        "lbfgs_history_size", "tile_rows",
     ):
         if key in args:
             setattr(opt, key, args[key])
@@ -262,6 +268,8 @@ def _merge_hardware(
         cfg.hardware.device = args["device"]
     if "precision" in args:
         cfg.hardware.precision = args["precision"]
+    if "gram_backend" in args:
+        cfg.hardware.gram_backend = args["gram_backend"]
 
 
 def _enforce_csv_plot_rule(cfg: StyleTransferConfig) -> None:

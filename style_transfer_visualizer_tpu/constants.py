@@ -50,3 +50,8 @@ IMAGE_LAYOUT = "NHWC"
 # Mesh axis names used by the parallel subsystem.
 MESH_AXIS_STYLE = "style"    # data parallelism over style images
 MESH_AXIS_SPACE = "space"    # spatial sharding of feature maps (tiled Gram)
+
+# Inputs at or above this pixel count auto-enable banded (scan-tiled)
+# loss evaluation: the largest whole-image fwd+bwd graph this hardware
+# class compiles and fits is ~3.8MP (1440p, BASELINE.md); 4K is 8.3MP.
+AUTO_TILE_PIXEL_THRESHOLD = 4_200_000

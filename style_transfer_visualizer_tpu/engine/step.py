@@ -75,12 +75,19 @@ def build_update_step(
     lbfgs_history_size: int = 100,
     donate: bool | None = None,
     remat: bool = False,
+    gram_backend: str = "xla",
+    tile_rows: int = 0,
 ) -> StepBundle:
     """Compile the per-step update for the given problem.
 
     The returned function has signature ``(image, opt_state) -> (image,
     opt_state, StepAux)`` with both carried buffers donated. ``image`` is
     the working (1, H, W, 3) array in (possibly normalized) model space.
+
+    ``tile_rows > 0`` evaluates the loss as a ``lax.scan`` over row
+    bands (``ops.tiled``) — exact, but with a much smaller compiled
+    graph and per-band activation memory, for inputs whose whole-image
+    graph exceeds the chip (4K-class).
     """
     prec = resolve_precision(precision)
     n = 1
@@ -94,9 +101,20 @@ def build_update_step(
     def vag(flat: jax.Array, params: Params, targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
+            if tile_rows > 0:
+                from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
+                    tiled_total_loss,
+                )
+
+                return tiled_total_loss(
+                    params, img, targets, style_w, content_w,
+                    tuple(style_layers), tuple(content_layers),
+                    tile_rows, prec,
+                )
             return total_loss(
                 params, img, targets, style_w, content_w,
                 tuple(style_layers), tuple(content_layers), prec, remat,
+                gram_backend,
             )
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)

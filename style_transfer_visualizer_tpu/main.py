@@ -16,6 +16,9 @@ import numpy as np
 
 import style_transfer_visualizer_tpu.image_io as stv_image_io
 import style_transfer_visualizer_tpu.runtime as stv_runtime
+from style_transfer_visualizer_tpu.constants import (
+    AUTO_TILE_PIXEL_THRESHOLD,
+)
 from style_transfer_visualizer_tpu.engine.runner import OptimizationRunner
 from style_transfer_visualizer_tpu.engine.step import build_update_step
 from style_transfer_visualizer_tpu.media import encode as stv_encode
@@ -287,10 +290,16 @@ def multi_style_transfer(
             n_styles, n_style_axis,
         )
 
+        from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
+            resolve_gram_backend,
+        )
+
+        gram_backend = resolve_gram_backend(config.hardware.gram_backend)
         targets = multi_style_targets(
             params, content_img, style_imgs,
             tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
             precision=_precision(config.hardware.precision),
+            gram_backend=gram_backend,
         )
         _, height, width, _ = content_img.shape
         # Activation memory multiplies by the per-device style count, so
@@ -312,6 +321,7 @@ def multi_style_transfer(
             lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
             lbfgs_history_size=opt_cfg.lbfgs_history_size,
             remat=remat,
+            gram_backend=gram_backend,
         )
         images = initialize_multi_inputs(
             content_img, opt_cfg.init_method, key, n_styles,
@@ -362,16 +372,51 @@ def _prepare_model_and_input(
         seed=opt_cfg.seed,
     )
     precision_name = config.hardware.precision
-    targets = compute_targets(
-        params,
-        style_img,
-        content_img,
-        tuple(opt_cfg.style_layers),
-        tuple(opt_cfg.content_layers),
-        precision=_precision(precision_name),
+    from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
+        resolve_gram_backend,
     )
+
+    gram_backend = resolve_gram_backend(config.hardware.gram_backend)
+    if gram_backend != config.hardware.gram_backend:
+        logger.info("Gram backend resolved to: %s", gram_backend)
+
     _, height, width, _ = content_img.shape
-    remat = opt_cfg.remat or (int(height) * int(width) >= 2048 * 2048)
+    tile_rows = _resolve_tile_rows(config, int(height), int(width))
+    if tile_rows:
+        from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
+            auto_tile_rows,
+            compute_tiled_targets,
+        )
+
+        style_h, style_w_px = int(style_img.shape[1]), int(style_img.shape[2])
+        tile_rows_style = None
+        if style_h * style_w_px >= AUTO_TILE_PIXEL_THRESHOLD:
+            tile_rows_style = auto_tile_rows(
+                style_h, style_w_px, tuple(opt_cfg.style_layers),
+            )
+        targets = compute_tiled_targets(
+            params,
+            style_img,
+            content_img,
+            tuple(opt_cfg.style_layers),
+            tuple(opt_cfg.content_layers),
+            tile_rows_style=tile_rows_style,
+            tile_rows_content=tile_rows,
+            precision=_precision(precision_name),
+        )
+    else:
+        targets = compute_targets(
+            params,
+            style_img,
+            content_img,
+            tuple(opt_cfg.style_layers),
+            tuple(opt_cfg.content_layers),
+            precision=_precision(precision_name),
+            gram_backend=gram_backend,
+        )
+    remat = not tile_rows and (
+        opt_cfg.remat or int(height) * int(width) >= 2048 * 2048
+    )
     if remat and not opt_cfg.remat:
         logger.info(
             "Auto-enabling feature rematerialization for %dx%d input.",
@@ -392,9 +437,56 @@ def _prepare_model_and_input(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         remat=remat,
+        gram_backend=gram_backend,
+        tile_rows=tile_rows,
     )
     input_img = initialize_input(content_img, opt_cfg.init_method, key)
     return bundle, input_img
+
+
+def _resolve_tile_rows(
+    config: StyleTransferConfig,
+    height: int,
+    width: int,
+) -> int:
+    """Explicit --tile-rows wins; otherwise auto-tile 4K-class inputs.
+
+    Band tiling (ops.tiled) keeps the compiled graph and activation
+    memory at one band's size — required on this class of hardware for
+    inputs past the whole-image compile/HBM ceiling (~4MP measured,
+    BASELINE.md), exact at any size.
+    """
+    opt_cfg = config.optimization
+    taps = tuple(
+        set(opt_cfg.style_layers) | set(opt_cfg.content_layers),
+    )
+    if opt_cfg.tile_rows > 0:
+        from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
+            validate_tiling,
+        )
+
+        validate_tiling(height, opt_cfg.tile_rows, taps)
+        return opt_cfg.tile_rows
+    if height * width < AUTO_TILE_PIXEL_THRESHOLD:
+        return 0
+    from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
+        auto_tile_rows,
+    )
+
+    rows = auto_tile_rows(height, width, taps)
+    if rows is None:
+        logger.warning(
+            "Input is %dx%d (>= %d px) but its height admits no exact "
+            "band tiling; attempting whole-image evaluation.",
+            width, height, AUTO_TILE_PIXEL_THRESHOLD,
+        )
+        return 0
+    logger.info(
+        "Auto-enabling banded loss evaluation (tile_rows=%d) for "
+        "%dx%d input.",
+        rows, width, height,
+    )
+    return rows
 
 
 def _precision(name: str) -> jax.lax.Precision:

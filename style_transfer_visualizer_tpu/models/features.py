@@ -26,7 +26,7 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     RELU,
     Params,
 )
-from style_transfer_visualizer_tpu.ops.gram import gram_matrix
+from style_transfer_visualizer_tpu.ops.gram import gram_apply
 
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.type_defs import InitMethod
@@ -148,7 +148,9 @@ def extract_features(
 
 @partial(
     jax.jit,
-    static_argnames=("style_layers", "content_layers", "precision"),
+    static_argnames=(
+        "style_layers", "content_layers", "precision", "gram_backend",
+    ),
 )
 def compute_targets(
     params: Params,
@@ -157,6 +159,7 @@ def compute_targets(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     precision: jax.lax.Precision | None = None,
+    gram_backend: str = "xla",
 ) -> Targets:
     """Precompute style Gram targets and content activation targets.
 
@@ -172,7 +175,7 @@ def compute_targets(
     )
     style_grams = {
         idx: jax.lax.stop_gradient(
-            gram_matrix(act, precision=precision),
+            gram_apply(act, backend=gram_backend, precision=precision),
         )
         for idx, act in style_acts.items()
     }
@@ -216,6 +219,7 @@ def style_content_losses(
     *,
     precision: jax.lax.Precision | None = None,
     remat: bool = False,
+    gram_backend: str = "xla",
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Per-layer style (Gram MSE) and content (feature MSE) losses."""
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
@@ -224,7 +228,9 @@ def style_content_losses(
     )
     style_losses = [
         _mse(
-            gram_matrix(acts[idx], precision=precision),
+            gram_apply(
+                acts[idx], backend=gram_backend, precision=precision,
+            ),
             targets.style_grams[idx],
         )
         for idx in style_layers
@@ -238,7 +244,10 @@ def style_content_losses(
 
 @partial(
     jax.jit,
-    static_argnames=("style_layers", "content_layers", "precision", "remat"),
+    static_argnames=(
+        "style_layers", "content_layers", "precision", "remat",
+        "gram_backend",
+    ),
 )
 def total_loss(
     params: Params,
@@ -250,6 +259,7 @@ def total_loss(
     content_layers: tuple[int, ...],
     precision: jax.lax.Precision | None = None,
     remat: bool = False,
+    gram_backend: str = "xla",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss plus (style_score, content_score) aux.
 
@@ -258,7 +268,7 @@ def total_loss(
     """
     style_losses, content_losses = style_content_losses(
         params, x, targets, style_layers, content_layers,
-        precision=precision, remat=remat,
+        precision=precision, remat=remat, gram_backend=gram_backend,
     )
     zero = jnp.zeros((), dtype=x.dtype)
     style_score = (

@@ -9,7 +9,10 @@ the total element count — order matters and matches the reference
 On TPU this is a single (C, P) x (P, C) contraction that the MXU eats
 whole; the NHWC layout means the reduction dimension (pixels) is already
 contiguous and no transpose materializes. A fused Pallas variant lives in
-``ops.pallas_gram``; a mesh-sharded spatial variant in ``parallel.tiled``.
+``ops.pallas_gram``; a mesh-sharded spatial variant in
+``parallel.spatial``. ``gram_apply`` dispatches between the XLA and
+Pallas implementations by backend name ("auto" resolves per platform via
+``resolve_gram_backend``).
 """
 from __future__ import annotations
 
@@ -41,3 +44,59 @@ def gram_matrix(
     )
     gram = jnp.minimum(gram, clamp_max)
     return gram / (b * c * h * w)
+
+
+def resolve_gram_backend(name: str) -> str:
+    """Resolve a configured backend name to a concrete one.
+
+    "auto" resolves to XLA on every platform — a measured verdict, not a
+    guess: end-to-end on TPU v5e the Pallas kernel loses 15-20% (512px
+    "high": 40.1 vs 33.3 steps/s; 1080p: 4.78 vs 3.81 — see
+    benchmarks/gram_backend_bench.py and BASELINE.md) because the
+    ``pallas_call`` is a fusion barrier five times per step, while XLA
+    fuses the Gram contraction's pre/post elementwise work and applies
+    the precision tier to its matmuls. The kernel stays production-
+    reachable via ``--gram-backend pallas`` (native Mosaic on TPU,
+    interpreter on CPU for CI parity tests).
+    """
+    if name == "auto":
+        return "xla"
+    if name in ("xla", "pallas"):
+        return name
+    msg = f"Unknown gram backend: {name!r}"
+    raise ValueError(msg)
+
+
+def gram_apply(
+    features: jax.Array,
+    *,
+    backend: str = "xla",
+    precision: jax.lax.Precision | None = None,
+) -> jax.Array:
+    """Gram matrix via the selected kernel (same semantics either way).
+
+    ``backend`` must already be concrete ("xla" or "pallas" — resolve
+    "auto" once at setup with ``resolve_gram_backend`` so the choice is
+    a stable static argument under jit).
+    """
+    if backend == "pallas":
+        from style_transfer_visualizer_tpu.ops.pallas_gram import (  # noqa: PLC0415
+            gram_matrix_pallas,
+        )
+
+        return gram_matrix_pallas(
+            features, GRAM_MATRIX_CLAMP_MAX, None, not _running_on_tpu(),
+        )
+    return gram_matrix(features, precision=precision)
+
+
+def _running_on_tpu() -> bool:
+    """True when traced computations will execute on a TPU.
+
+    ``jax.default_device`` (how the pipeline pins ``--device cpu`` on a
+    TPU host) takes precedence over the process default backend.
+    """
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return default_device.platform == "tpu"
+    return jax.default_backend() == "tpu"

@@ -58,6 +58,7 @@ def multi_style_targets(
     content_layers: tuple[int, ...],
     *,
     precision: jax.lax.Precision | None = None,
+    gram_backend: str = "xla",
 ) -> Targets:
     """Per-style targets stacked along a leading style axis.
 
@@ -70,7 +71,7 @@ def multi_style_targets(
     per_style = [
         compute_targets(
             params, style, content_img, style_layers, (),
-            precision=precision,
+            precision=precision, gram_backend=gram_backend,
         )
         for style in style_imgs
     ]
@@ -126,6 +127,7 @@ def build_multi_style_update(
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 10,
     remat: bool = False,
+    gram_backend: str = "xla",
 ) -> MultiStyleBundle:
     """Compile the stacked multi-style step sharded over the mesh.
 
@@ -144,6 +146,7 @@ def build_multi_style_update(
             return total_loss(
                 params, img, style_targets, style_w, content_w,
                 tuple(style_layers), tuple(content_layers), prec, remat,
+                gram_backend,
             )
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)

@@ -29,6 +29,10 @@ OptimizerName = Literal["lbfgs", "adam"]
 #: MXU matmul precision tiers (TPU-framework addition).
 PrecisionName = Literal["highest", "high", "default"]
 
+#: Gram-matrix kernel selection: "auto" picks the fused Pallas kernel on
+#: TPU and plain XLA elsewhere (TPU-framework addition).
+GramBackendName = Literal["auto", "xla", "pallas"]
+
 # --- Collection aliases --------------------------------------------------
 
 #: Loss-series mapping produced by the accumulator for plotting.

@@ -96,3 +96,88 @@ def test_custom_norm() -> None:
     x = jnp.ones((1, 8, 8, 64), jnp.float32)
     out = gram_matrix_pallas(x, 5e5, 1000, True)
     np.testing.assert_allclose(np.asarray(out)[0, 0], 64 / 1000, rtol=1e-6)
+
+
+# --- Backend dispatch (the production wiring) ---------------------------
+
+
+def test_resolve_gram_backend() -> None:
+    from style_transfer_visualizer_tpu.ops.gram import resolve_gram_backend
+
+    # "auto" is XLA everywhere (measured e2e verdict, see BASELINE.md).
+    assert resolve_gram_backend("auto") == "xla"
+    assert resolve_gram_backend("xla") == "xla"
+    assert resolve_gram_backend("pallas") == "pallas"
+    with pytest.raises(ValueError, match="Unknown gram backend"):
+        resolve_gram_backend("cuda")
+
+
+def test_gram_apply_dispatch_parity() -> None:
+    from style_transfer_visualizer_tpu.ops.gram import gram_apply
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 12, 12, 64)).astype(np.float32))
+    via_pallas = gram_apply(x, backend="pallas")
+    via_xla = gram_apply(x, backend="xla", precision=HIGH)
+    np.testing.assert_allclose(
+        np.asarray(via_pallas), np.asarray(via_xla), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_total_loss_pallas_backend_parity() -> None:
+    """The production loss path must agree across gram backends."""
+    from style_transfer_visualizer_tpu.models import vgg19
+    from style_transfer_visualizer_tpu.models.features import (
+        compute_targets,
+        total_loss,
+    )
+
+    params = vgg19.init_random_params(jax.random.key(0))
+    style_layers = (0, 5)
+    content_layers = (2,)
+    key = jax.random.key(7)
+    content = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+    style = jax.random.uniform(
+        jax.random.fold_in(key, 1), (1, 32, 32, 3), jnp.float32,
+    )
+
+    results = {}
+    for backend in ("xla", "pallas"):
+        targets = compute_targets(
+            params, style, content, style_layers, content_layers,
+            precision=HIGH, gram_backend=backend,
+        )
+
+        def loss_of(img, targets=targets, backend=backend):
+            return total_loss(
+                params, img, targets, 100.0, 1.0,
+                style_layers, content_layers, HIGH,
+                gram_backend=backend,
+            )
+
+        (loss, _), grad = jax.value_and_grad(
+            loss_of, has_aux=True,
+        )(content)
+        results[backend] = (np.asarray(loss), np.asarray(grad))
+
+    np.testing.assert_allclose(
+        results["pallas"][0], results["xla"][0], rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        results["pallas"][1], results["xla"][1], rtol=1e-3, atol=1e-6,
+    )
+
+
+def test_pallas_gram_under_vmap() -> None:
+    """The multi-style path vmaps the loss; the kernel must batch."""
+    from style_transfer_visualizer_tpu.ops.gram import gram_apply
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(3, 1, 8, 8, 64)).astype(np.float32))
+    batched = jax.vmap(lambda f: gram_apply(f, backend="pallas"))(x)
+    ref = jnp.stack(
+        [gram_apply(x[i], backend="xla", precision=HIGH) for i in range(3)],
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(ref), rtol=1e-5, atol=1e-6,
+    )

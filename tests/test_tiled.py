@@ -1,0 +1,245 @@
+"""Scan-tiled loss vs the whole-image loss: exactness, not approximation.
+
+The band tiling with receptive-field margins must reproduce the plain
+path bit-for-bit in exact arithmetic (same convs, same pooling grid,
+same clamp-then-normalize order); these tests allow only float
+accumulation-order noise.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.models.features import (
+    compute_targets,
+    total_loss,
+)
+from style_transfer_visualizer_tpu.ops.tiled import (
+    auto_tile_rows,
+    compute_tiled_targets,
+    receptive_margin,
+    tiled_total_loss,
+    validate_tiling,
+)
+
+HIGH = jax.lax.Precision.HIGHEST
+
+DEFAULT_STYLE = (0, 5, 10, 19, 28)
+DEFAULT_CONTENT = (21,)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return vgg19.init_random_params(jax.random.key(0))
+
+
+def _images(h, w, key=3):
+    k = jax.random.key(key)
+    content = jax.random.uniform(k, (1, h, w, 3), jnp.float32)
+    style = jax.random.uniform(
+        jax.random.fold_in(k, 1), (1, h, w, 3), jnp.float32,
+    )
+    return content, style
+
+
+def test_receptive_margin_default_taps() -> None:
+    taps = tuple(sorted(set(DEFAULT_STYLE) | set(DEFAULT_CONTENT)))
+    margin, align = receptive_margin(taps)
+    # convs 0,2 at scale 1 (2) + 5,7 at 2 (4) + 10,12,14,16 at 4 (16)
+    # + 19,21,23,25 at 8 (32) + 28 at 16 (16) = 70, rounded to 16 -> 80.
+    assert align == 16
+    assert margin == 80
+
+
+def test_validate_tiling_rejects_bad_shapes() -> None:
+    taps = (0, 5)
+    with pytest.raises(ValueError, match="divisible by 2"):
+        validate_tiling(33, 8, taps)
+    with pytest.raises(ValueError, match="divisible by tile_rows"):
+        validate_tiling(40, 16, taps)
+    with pytest.raises(ValueError, match="exceeds the"):
+        validate_tiling(8, 8, taps)
+
+
+def test_auto_tile_rows_respects_constraints() -> None:
+    taps = tuple(sorted(set(DEFAULT_STYLE) | set(DEFAULT_CONTENT)))
+    rows = auto_tile_rows(2160, 3840, taps)
+    assert rows is not None
+    assert 2160 % rows == 0
+    assert rows % 16 == 0
+    margin, _ = receptive_margin(taps)
+    assert (rows + 2 * margin) * 3840 <= 1536 * 2048
+
+
+def test_tiled_loss_matches_plain_shallow(params) -> None:
+    """Shallow taps, several bands, margins interact with both edges."""
+    style_layers, content_layers = (0, 5), (2,)
+    content, style = _images(64, 32)
+    targets = compute_targets(
+        params, style, content, style_layers, content_layers,
+        precision=HIGH,
+    )
+
+    plain = total_loss(
+        params, content, targets, 100.0, 1.0,
+        style_layers, content_layers, HIGH,
+    )
+    tiled = tiled_total_loss(
+        params, content, targets, 100.0, 1.0,
+        style_layers, content_layers, tile_rows=16, precision=HIGH,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled[0]), np.asarray(plain[0]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled[1][0]), np.asarray(plain[1][0]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled[1][1]), np.asarray(plain[1][1]), rtol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_tiled_loss_matches_plain_default_taps(params) -> None:
+    """The production tap set (taps to 28, 4 pools, margin 80)."""
+    content, style = _images(240, 64)
+    targets = compute_targets(
+        params, style, content, DEFAULT_STYLE, DEFAULT_CONTENT,
+        precision=HIGH,
+    )
+    plain = total_loss(
+        params, content, targets, 1e5, 1.0,
+        DEFAULT_STYLE, DEFAULT_CONTENT, HIGH,
+    )
+    tiled = tiled_total_loss(
+        params, content, targets, 1e5, 1.0,
+        DEFAULT_STYLE, DEFAULT_CONTENT, tile_rows=48, precision=HIGH,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled[0]), np.asarray(plain[0]), rtol=1e-4,
+    )
+
+
+def test_tiled_gradient_matches_plain(params) -> None:
+    style_layers, content_layers = (0, 5), (2,)
+    content, style = _images(48, 24, key=9)
+    targets = compute_targets(
+        params, style, content, style_layers, content_layers,
+        precision=HIGH,
+    )
+
+    def loss_plain(img):
+        return total_loss(
+            params, img, targets, 50.0, 1.0,
+            style_layers, content_layers, HIGH,
+        )[0]
+
+    def loss_tiled(img):
+        return tiled_total_loss(
+            params, img, targets, 50.0, 1.0,
+            style_layers, content_layers, tile_rows=16, precision=HIGH,
+        )[0]
+
+    g_plain = jax.grad(loss_plain)(content)
+    g_tiled = jax.grad(loss_tiled)(content)
+    np.testing.assert_allclose(
+        np.asarray(g_tiled), np.asarray(g_plain), rtol=1e-4, atol=1e-7,
+    )
+
+
+def test_tiled_targets_match_plain(params) -> None:
+    style_layers, content_layers = (0, 5), (2,)
+    content, style = _images(64, 32, key=5)
+    plain = compute_targets(
+        params, style, content, style_layers, content_layers,
+        precision=HIGH,
+    )
+    tiled = compute_tiled_targets(
+        params, style, content, style_layers, content_layers,
+        tile_rows_style=16, tile_rows_content=16, precision=HIGH,
+    )
+    for idx in style_layers:
+        np.testing.assert_allclose(
+            np.asarray(tiled.style_grams[idx]),
+            np.asarray(plain.style_grams[idx]),
+            rtol=1e-5, atol=1e-7,
+        )
+    for idx in content_layers:
+        np.testing.assert_allclose(
+            np.asarray(tiled.content_feats[idx]),
+            np.asarray(plain.content_feats[idx]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_style_transfer_with_forced_tiling(
+    make_style_transfer_config, make_input_paths,
+) -> None:
+    """End-to-end run through the orchestrator with --tile-rows."""
+    from style_transfer_visualizer_tpu.main import style_transfer
+
+    cfg = make_style_transfer_config(
+        optimization={
+            "tile_rows": 16,
+            "style_layers": [0, 5],
+            "content_layers": [2],
+            "allow_random_weights": True,
+            "optimizer": "adam",
+            "steps": 2,
+        },
+        video={"final_only": True},
+    )
+    result = style_transfer(make_input_paths(), cfg)
+    assert result.shape == (1, 64, 64, 3)
+    assert bool(jnp.all(jnp.isfinite(result)))
+
+
+def test_resolve_tile_rows_validates_forced_value(
+    make_style_transfer_config,
+) -> None:
+    from style_transfer_visualizer_tpu.main import _resolve_tile_rows
+
+    cfg = make_style_transfer_config(
+        optimization={
+            "tile_rows": 24,  # not divisible into 64 -> invalid
+            "style_layers": [0, 5],
+            "content_layers": [2],
+        },
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        _resolve_tile_rows(cfg, 64, 64)
+    # Small inputs never auto-tile.
+    cfg.optimization.tile_rows = 0
+    assert _resolve_tile_rows(cfg, 64, 64) == 0
+    # 4K-class inputs auto-tile to a valid band height.
+    rows = _resolve_tile_rows(cfg, 2160, 3840)
+    assert rows and 2160 % rows == 0
+
+
+def test_tiled_targets_mixed_modes(params) -> None:
+    """Tile only one of the two images; the other runs whole."""
+    style_layers, content_layers = (0, 5), (2,)
+    content, style = _images(64, 32, key=6)
+    plain = compute_targets(
+        params, style, content, style_layers, content_layers,
+        precision=HIGH,
+    )
+    tiled = compute_tiled_targets(
+        params, style, content, style_layers, content_layers,
+        tile_rows_style=None, tile_rows_content=32, precision=HIGH,
+    )
+    for idx in style_layers:
+        np.testing.assert_allclose(
+            np.asarray(tiled.style_grams[idx]),
+            np.asarray(plain.style_grams[idx]),
+            rtol=1e-6,
+        )
+    for idx in content_layers:
+        np.testing.assert_allclose(
+            np.asarray(tiled.content_feats[idx]),
+            np.asarray(plain.content_feats[idx]),
+            rtol=1e-5, atol=1e-6,
+        )
