@@ -273,7 +273,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "help": (
                     "Gram-matrix kernel: 'pallas' forces the fused TPU "
                     "kernel, 'xla' the plain contraction, 'auto' picks "
-                    "pallas on TPU backends."
+                    "the measured-fastest backend."
+                ),
+            }),
+            ("--spatial-shards", {
+                "dest": "spatial_shards", "type": int, "default": suppress,
+                "help": (
+                    "Shard image rows across this many devices "
+                    "(halo-exchange convolutions, Gram partials psum'd "
+                    "over ICI). Requires that many attached devices."
                 ),
             }),
         ],

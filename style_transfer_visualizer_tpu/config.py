@@ -110,6 +110,9 @@ class HardwareConfig(_ValidatedSection):
     device: str = Field(d.DEFAULT_DEVICE)
     precision: PrecisionName = Field(d.DEFAULT_PRECISION)
     gram_backend: GramBackendName = Field(d.DEFAULT_GRAM_BACKEND)
+    # Shard image rows across this many mesh devices (halo-exchange
+    # convs + psum'd Gram partials over ICI); 1 = single device.
+    spatial_shards: int = Field(1, ge=1)
 
 
 class OutputConfig(_ValidatedSection):
@@ -270,6 +273,8 @@ def _merge_hardware(
         cfg.hardware.precision = args["precision"]
     if "gram_backend" in args:
         cfg.hardware.gram_backend = args["gram_backend"]
+    if "spatial_shards" in args:
+        cfg.hardware.spatial_shards = args["spatial_shards"]
 
 
 def _enforce_csv_plot_rule(cfg: StyleTransferConfig) -> None:

@@ -77,6 +77,7 @@ def build_update_step(
     remat: bool = False,
     gram_backend: str = "xla",
     tile_rows: int = 0,
+    loss_fn: Callable | None = None,
 ) -> StepBundle:
     """Compile the per-step update for the given problem.
 
@@ -88,6 +89,12 @@ def build_update_step(
     bands (``ops.tiled``) — exact, but with a much smaller compiled
     graph and per-band activation memory, for inputs whose whole-image
     graph exceeds the chip (4K-class).
+
+    ``loss_fn`` swaps in a custom objective with the signature
+    ``(params, image, targets) -> (total, (style_score,
+    content_score))`` — e.g. the mesh-sharded spatial loss
+    (``parallel.spatial.make_spatial_loss``); the optimizer machinery is
+    shared unchanged.
     """
     prec = resolve_precision(precision)
     n = 1
@@ -101,6 +108,8 @@ def build_update_step(
     def vag(flat: jax.Array, params: Params, targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
+            if loss_fn is not None:
+                return loss_fn(params, img, targets)
             if tile_rows > 0:
                 from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
                     tiled_total_loss,

@@ -371,6 +371,16 @@ def _prepare_model_and_input(
         allow_random=opt_cfg.allow_random_weights,
         seed=opt_cfg.seed,
     )
+    if config.hardware.spatial_shards > 1:
+        if opt_cfg.tile_rows > 0:
+            msg = (
+                "--spatial-shards and --tile-rows are mutually "
+                "exclusive: sharding already bounds per-device graphs."
+            )
+            raise ValueError(msg)
+        return _prepare_spatial_model_and_input(
+            params, content_img, style_img, config, key,
+        )
     precision_name = config.hardware.precision
     from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
         resolve_gram_backend,
@@ -441,6 +451,102 @@ def _prepare_model_and_input(
         tile_rows=tile_rows,
     )
     input_img = initialize_input(content_img, opt_cfg.init_method, key)
+    return bundle, input_img
+
+
+def _prepare_spatial_model_and_input(
+    params,
+    content_img: jax.Array,
+    style_img: jax.Array,
+    config: StyleTransferConfig,
+    key: jax.Array,
+) -> tuple[StepBundle, jax.Array]:
+    """Build a row-sharded update step over an n-device space mesh.
+
+    Style Gram targets compute whole-image (C x C, size-independent, so
+    the style image needs no divisibility property); content targets and
+    the working image shard by rows. The optimizer machinery is the
+    shared step builder with the mesh loss injected.
+    """
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+    from style_transfer_visualizer_tpu.parallel.mesh import (  # noqa: PLC0415
+        create_mesh,
+    )
+    from style_transfer_visualizer_tpu.parallel.spatial import (  # noqa: PLC0415
+        compute_sharded_targets,
+        make_spatial_loss,
+        spatial_shardings,
+    )
+
+    opt_cfg = config.optimization
+    n_space = config.hardware.spatial_shards
+    platform = (
+        jax.config.jax_default_device.platform
+        if jax.config.jax_default_device is not None
+        else jax.default_backend()
+    )
+    devices = jax.devices(platform)
+    if len(devices) < n_space:
+        msg = (
+            f"--spatial-shards {n_space} needs {n_space} {platform} "
+            f"devices; {len(devices)} attached."
+        )
+        raise ValueError(msg)
+    mesh = create_mesh(n_style=1, n_space=n_space, devices=devices)
+    logger.info(
+        "Spatial sharding: image rows over %d %s devices.",
+        n_space, platform,
+    )
+
+    precision = _precision(config.hardware.precision)
+    style_layers = tuple(opt_cfg.style_layers)
+    content_layers = tuple(opt_cfg.content_layers)
+    grams_only = compute_targets(
+        params, style_img, content_img, style_layers, (),
+        precision=precision,
+    )
+    sharded = compute_sharded_targets(
+        mesh, params, content_img, content_img, (), content_layers,
+        precision=precision,
+    )
+    targets = Targets(
+        style_grams=grams_only.style_grams,
+        content_feats=sharded.content_feats,
+    )
+    row_sharding, target_shardings = spatial_shardings(mesh, targets)
+    targets = jax.device_put(targets, target_shardings)
+
+    loss_fn = make_spatial_loss(
+        mesh,
+        tuple(content_img.shape),
+        style_w=opt_cfg.style_w,
+        content_w=opt_cfg.content_w,
+        style_layers=style_layers,
+        content_layers=content_layers,
+        precision=precision,
+    )
+    bundle = build_update_step(
+        params,
+        targets,
+        tuple(content_img.shape),
+        optimizer=opt_cfg.optimizer,
+        lr=opt_cfg.lr,
+        style_w=opt_cfg.style_w,
+        content_w=opt_cfg.content_w,
+        style_layers=style_layers,
+        content_layers=content_layers,
+        precision=config.hardware.precision,
+        lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
+        lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
+        lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        loss_fn=loss_fn,
+    )
+    input_img = jax.device_put(
+        initialize_input(content_img, opt_cfg.init_method, key),
+        row_sharding,
+    )
     return bundle, input_img
 
 

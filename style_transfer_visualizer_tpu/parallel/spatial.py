@@ -188,14 +188,20 @@ def _sharded_loss_shard_fn(
     global_shape: tuple[int, ...],
     axis_name: str,
     precision: jax.lax.Precision | None,
-) -> jax.Array:
-    """Per-shard loss body; returns the replicated global total loss."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-shard loss body.
+
+    Returns the replicated global ``(total, style_score,
+    content_score)`` — the same decomposition the single-device loss
+    reports, so callers can surface per-component telemetry.
+    """
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = sharded_extract_features(
         params, x, taps, axis_name=axis_name, precision=precision,
     )
 
-    total = jnp.zeros((), jnp.float32)
+    style_score = jnp.zeros((), jnp.float32)
+    content_score = jnp.zeros((), jnp.float32)
     b, gh, gw, _ = global_shape
     for idx in taps:
         # Spatial dims halve at each pool crossed before this tap.
@@ -208,7 +214,7 @@ def _sharded_loss_shard_fn(
                 axis_name=axis_name,
                 precision=precision,
             )
-            total += style_w * jnp.mean(
+            style_score += jnp.mean(
                 jnp.square(gram - targets.style_grams[idx]),
             )
         if idx in content_layers:
@@ -219,8 +225,9 @@ def _sharded_loss_shard_fn(
             )
             global_sq = jax.lax.psum(local_sq, axis_name)
             n_elems = b * layer_h * layer_w * acts[idx].shape[-1]
-            total += content_w * global_sq / n_elems
-    return total
+            content_score += global_sq / n_elems
+    total = style_w * style_score + content_w * content_score
+    return total, style_score, content_score
 
 
 def build_sharded_loss(
@@ -273,13 +280,95 @@ def build_sharded_loss(
         lambda p, x, t: shard_fn(p, x, t),
         mesh=mesh,
         in_specs=(P(), row_spec, target_specs),
-        out_specs=P(),
+        out_specs=(P(), P(), P()),
     )
 
     def loss_fn(image: jax.Array) -> jax.Array:
-        return mapped(params, image, targets)
+        return mapped(params, image, targets)[0]
 
     return loss_fn
+
+
+def make_spatial_loss(
+    mesh: Mesh,
+    global_shape: tuple[int, ...],
+    *,
+    style_w: float,
+    content_w: float,
+    style_layers: tuple[int, ...],
+    content_layers: tuple[int, ...],
+    precision: jax.lax.Precision | None = None,
+    axis_name: str = MESH_AXIS_SPACE,
+):
+    """Spatially-sharded loss with the single-device loss's contract.
+
+    Returns ``loss_fn(params, image, targets) -> (total, (style_score,
+    content_score))`` — a drop-in for ``models.features.total_loss`` in
+    the jitted step builder, with rows sharded over ``axis_name``.
+    Params and targets are runtime arguments (not closure constants) so
+    the serialized HLO stays small on remote-compile backends.
+    """
+    validate_shard_divisibility(
+        int(global_shape[1]),
+        mesh.shape[axis_name],
+        tuple(set(style_layers) | set(content_layers)),
+    )
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+
+    row_spec = P(None, axis_name, None, None)
+
+    def template_specs(targets: Targets) -> Targets:
+        return Targets(
+            style_grams={k: P() for k in targets.style_grams},
+            content_feats={k: row_spec for k in targets.content_feats},
+        )
+
+    shard_fn = partial(
+        _sharded_loss_shard_fn,
+        style_w=style_w,
+        content_w=content_w,
+        style_layers=tuple(style_layers),
+        content_layers=tuple(content_layers),
+        global_shape=tuple(global_shape),
+        axis_name=axis_name,
+        precision=precision,
+    )
+
+    def loss_fn(params: Params, image: jax.Array, targets: Targets):
+        mapped = jax.shard_map(
+            lambda p, x, t: shard_fn(p, x, t),
+            mesh=mesh,
+            in_specs=(P(), row_spec, template_specs(targets)),
+            out_specs=(P(), P(), P()),
+        )
+        total, style_score, content_score = mapped(params, image, targets)
+        return total, (style_score, content_score)
+
+    return loss_fn
+
+
+def spatial_shardings(
+    mesh: Mesh,
+    targets,
+    *,
+    axis_name: str = MESH_AXIS_SPACE,
+):
+    """(image_sharding, targets_shardings) for the spatial loss layout."""
+    from jax.sharding import NamedSharding  # noqa: PLC0415
+
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+
+    row = NamedSharding(mesh, P(None, axis_name, None, None))
+    replicated = NamedSharding(mesh, P())
+    target_shardings = Targets(
+        style_grams=dict.fromkeys(targets.style_grams, replicated),
+        content_feats=dict.fromkeys(targets.content_feats, row),
+    )
+    return row, target_shardings
 
 
 def compute_sharded_targets(
@@ -409,7 +498,7 @@ def build_dp_sp_update(
                     global_shape=tuple(image_shape),
                     axis_name=MESH_AXIS_SPACE,
                     precision=precision,
-                )
+                )[0]
 
             per_style = jax.vmap(one_style)(
                 xb, targets_blk.style_grams, targets_blk.content_feats,

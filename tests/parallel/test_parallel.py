@@ -342,6 +342,136 @@ class TestDpSpCombined:
         assert images.shape == (2, 1, 32, 32, 3)
 
 
+class TestSpatialStepBundle:
+    """The spatial loss injected into the shared step builder."""
+
+    def _bundles(self, tiny_params, content, style, optimizer, n_space):
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+        from style_transfer_visualizer_tpu.models.features import Targets
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            make_spatial_loss,
+            spatial_shardings,
+        )
+
+        kwargs = dict(
+            optimizer=optimizer, lr=0.1, style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest", lbfgs_history_size=4,
+        )
+        ref_targets = compute_targets(
+            tiny_params, style, content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        single = build_update_step(
+            tiny_params, ref_targets, tuple(content.shape), **kwargs,
+        )
+
+        mesh = create_mesh(n_style=1, n_space=n_space)
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, style, content,
+            STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+        )
+        row, tshard = spatial_shardings(mesh, sharded_targets)
+        sharded_targets = jax.device_put(sharded_targets, tshard)
+        loss_fn = make_spatial_loss(
+            mesh, tuple(content.shape),
+            style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        spatial = build_update_step(
+            tiny_params, sharded_targets, tuple(content.shape),
+            loss_fn=loss_fn, **kwargs,
+        )
+        return single, spatial, row
+
+    @pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
+    def test_spatial_step_matches_single_device(
+        self, tiny_params, images, optimizer,
+    ) -> None:
+        content, styles = images
+        single, spatial, row = self._bundles(
+            tiny_params, content, styles[0], optimizer, n_space=4,
+        )
+        x_single, _, aux_single = single.update_fn(
+            jnp.array(content), single.opt_state,
+        )
+        x_spatial, _, aux_spatial = spatial.update_fn(
+            jax.device_put(jnp.array(content), row), spatial.opt_state,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_spatial), np.asarray(x_single),
+            rtol=2e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(aux_spatial.loss), float(aux_single.loss), rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(aux_spatial.style_score),
+            float(aux_single.style_score), rtol=1e-4,
+        )
+
+    def test_spatial_steps_decrease_loss(self, tiny_params, images) -> None:
+        content, styles = images
+        _, spatial, row = self._bundles(
+            tiny_params, content, styles[0], "adam", n_space=2,
+        )
+        x = jax.device_put(content * 0.5, row)
+        state = spatial.opt_state
+        losses = []
+        for _ in range(3):
+            x, state, aux = spatial.update_fn(x, state)
+            losses.append(float(aux.loss))
+        assert losses[-1] < losses[0]
+
+    def test_style_transfer_spatial_end_to_end(
+        self, make_style_transfer_config, make_input_paths,
+    ) -> None:
+        """Full pipeline with --spatial-shards on the default tap set."""
+        from style_transfer_visualizer_tpu.main import style_transfer
+
+        cfg = make_style_transfer_config(
+            optimization={
+                "allow_random_weights": True,
+                "optimizer": "adam",
+                "steps": 2,
+            },
+            video={"final_only": True},
+            hardware={"spatial_shards": 2},
+        )
+        result = style_transfer(make_input_paths(), cfg)
+        assert result.shape == (1, 64, 64, 3)
+        assert bool(jnp.all(jnp.isfinite(result)))
+
+    def test_spatial_shards_exceeding_devices_raises(
+        self, make_style_transfer_config, make_input_paths,
+    ) -> None:
+        from style_transfer_visualizer_tpu.main import style_transfer
+
+        cfg = make_style_transfer_config(
+            optimization={"allow_random_weights": True},
+            video={"final_only": True},
+            hardware={"spatial_shards": 9},
+        )
+        with pytest.raises(ValueError, match="spatial-shards"):
+            style_transfer(make_input_paths(), cfg)
+
+    def test_spatial_and_tiling_mutually_exclusive(
+        self, make_style_transfer_config, make_input_paths,
+    ) -> None:
+        from style_transfer_visualizer_tpu.main import style_transfer
+
+        cfg = make_style_transfer_config(
+            optimization={"allow_random_weights": True, "tile_rows": 16},
+            video={"final_only": True},
+            hardware={"spatial_shards": 2},
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            style_transfer(make_input_paths(), cfg)
+
+
 class TestShardDivisibility:
     def test_indivisible_height_rejected(self, tiny_params) -> None:
         """Odd per-shard heights at a pool must fail at build, not drift."""
