@@ -30,8 +30,7 @@ import jax.numpy as jnp
 REFERENCE_CPU_STEPS_PER_SEC = 0.137  # steps/s, 512px, torch 2.13 CPU
 
 SIZE = 512
-WARMUP_STEPS = 3
-TIMED_STEPS = 60
+TIMED_STEPS = 150
 
 
 def main() -> None:
@@ -63,19 +62,20 @@ def main() -> None:
 
     x = initialize_input(content, "random", jax.random.key(2))
     state = bundle.opt_state
-    for _ in range(WARMUP_STEPS):
-        x, state, aux = bundle.update_fn(x, state)
+    # The production runner fuses steps into one dispatch when no
+    # cadence constrains alignment (runner._resolve_chunk_size); this
+    # measures exactly that path.
+    chunk = 25
+    x, state, aux = bundle.chunked_update_fn(x, state, chunk)  # compile
     jax.block_until_ready(x)
 
-    # Time in chunks and score the best one: some TPU runtimes evict and
-    # recompile executables mid-run, and a single multi-second hiccup
-    # would otherwise swamp the steady-state rate.
-    chunk = 10
+    # Time several dispatches and score the best one: some TPU runtimes
+    # evict and recompile executables mid-run, and a single multi-second
+    # hiccup would otherwise swamp the steady-state rate.
     best = float("inf")
     for _ in range(TIMED_STEPS // chunk):
         start = time.perf_counter()
-        for _ in range(chunk):
-            x, state, aux = bundle.update_fn(x, state)
+        x, state, aux = bundle.chunked_update_fn(x, state, chunk)
         jax.block_until_ready(x)
         best = min(best, time.perf_counter() - start)
 

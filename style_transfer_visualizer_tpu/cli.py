@@ -284,6 +284,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "over ICI). Requires that many attached devices."
                 ),
             }),
+            ("--steps-per-dispatch", {
+                "dest": "steps_per_dispatch", "type": int,
+                "default": suppress,
+                "help": (
+                    "Fuse this many optimizer steps into one device "
+                    "dispatch to amortize host overhead. 0 = auto (gcd "
+                    "of logging/frame cadences); 1 disables fusion."
+                ),
+            }),
         ],
         "config": [
             ("--config", {"type": str,

@@ -113,6 +113,10 @@ class HardwareConfig(_ValidatedSection):
     # Shard image rows across this many mesh devices (halo-exchange
     # convs + psum'd Gram partials over ICI); 1 = single device.
     spatial_shards: int = Field(1, ge=1)
+    # Fuse this many optimizer steps into one device dispatch (lax.scan)
+    # to amortize per-dispatch host overhead. 0 = auto (the gcd of the
+    # active logging/frame/checkpoint cadences); 1 disables fusion.
+    steps_per_dispatch: int = Field(0, ge=0)
 
 
 class OutputConfig(_ValidatedSection):
@@ -275,6 +279,8 @@ def _merge_hardware(
         cfg.hardware.gram_backend = args["gram_backend"]
     if "spatial_shards" in args:
         cfg.hardware.spatial_shards = args["spatial_shards"]
+    if "steps_per_dispatch" in args:
+        cfg.hardware.steps_per_dispatch = args["steps_per_dispatch"]
 
 
 def _enforce_csv_plot_rule(cfg: StyleTransferConfig) -> None:

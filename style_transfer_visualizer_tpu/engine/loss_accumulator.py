@@ -43,6 +43,17 @@ def _ring_write(
     return jax.lax.dynamic_update_slice(buffer, row[None, :], (idx, 0))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _ring_write_block(
+    buffer: jax.Array,
+    idx: jax.Array,
+    rows: jax.Array,
+) -> jax.Array:
+    return jax.lax.dynamic_update_slice(
+        buffer, rows.astype(buffer.dtype), (idx, 0),
+    )
+
+
 class LossAccumulator:
     """Ring-buffered device-side loss history with cadence-gated syncs."""
 
@@ -117,6 +128,71 @@ class LossAccumulator:
                 self._truncated = True
 
         if force or step_idx % self._log_every == 0:
+            return self._sync_pending()
+        return None
+
+    def accumulate_batch(
+        self,
+        first_step: int,
+        style_losses: jax.Array,
+        content_losses: jax.Array,
+        total_losses: jax.Array,
+        *,
+        force: bool = False,
+    ) -> LoggedLoss | None:
+        """Record a chunk of k consecutive per-step device scalars.
+
+        The chunk comes from a multi-step dispatch (``lax.scan`` over
+        the update); every step lands in the ring buffer, and the sync
+        decision applies to the chunk's LAST step — chunk sizes divide
+        ``log_every`` (runner invariant), so cadence steps are always
+        chunk-final.
+        """
+        k = int(style_losses.shape[0])
+        if k == 0:
+            return None
+        last_step = first_step + k - 1
+        self._pending = (
+            last_step,
+            style_losses[-1],
+            content_losses[-1],
+            total_losses[-1],
+        )
+
+        if self._track_history and self._buffer is not None:
+            rows = jnp.stack(
+                [style_losses, content_losses, total_losses], axis=1,
+            )
+            if k >= self._capacity:
+                rows = rows[-self._capacity:]
+                k_eff = self._capacity
+                self._buffer = _ring_write_block(
+                    self._buffer, jnp.asarray(0, jnp.int32), rows,
+                )
+                self._write_index = 0
+            else:
+                k_eff = k
+                head = min(k, self._capacity - self._write_index)
+                self._buffer = _ring_write_block(
+                    self._buffer,
+                    jnp.asarray(self._write_index, jnp.int32),
+                    rows[:head],
+                )
+                if head < k:  # wrap around to the start
+                    self._buffer = _ring_write_block(
+                        self._buffer,
+                        jnp.asarray(0, jnp.int32),
+                        rows[head:],
+                    )
+                self._write_index = (
+                    self._write_index + k
+                ) % self._capacity
+            self._count = min(self._count + k_eff, self._capacity)
+            self._total_records += k
+            if self._total_records > self._capacity:
+                self._truncated = True
+
+        if force or last_step % self._log_every == 0:
             return self._sync_pending()
         return None
 

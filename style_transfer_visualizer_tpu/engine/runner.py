@@ -40,6 +40,13 @@ from style_transfer_visualizer_tpu.engine.loss_accumulator import (
 from style_transfer_visualizer_tpu.engine.loss_logger import LossCSVLogger
 from style_transfer_visualizer_tpu.utils.logging import logger
 
+# Upper bound on steps fused per dispatch: keeps the scan executable's
+# compile time and the progress/interrupt granularity reasonable.
+_MAX_CHUNK = 50
+# Chunk used when no cadence constrains alignment (measured sweet spot:
+# k=25 reaches the device-compute floor at 512px, BASELINE.md).
+_DEFAULT_CHUNK = 25
+
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.config import StyleTransferConfig
     from style_transfer_visualizer_tpu.engine.optimizers import StepAux
@@ -115,8 +122,10 @@ class OptimizationRunner:
         async_frames: bool = True,
         start_step: int = 0,
         checkpoint_path: object | None = None,
+        chunked_update_fn: Callable | None = None,
     ) -> None:
         self.update_fn = update_fn
+        self.chunked_update_fn = chunked_update_fn
         self.opt_state = opt_state
         self.input_img = input_img
         self.config = config
@@ -170,10 +179,27 @@ class OptimizationRunner:
             )
             self._owns_progress_bar = True
 
+        chunk = self._resolve_chunk_size()
         start_time = time.time()
         try:
             while self._step_index < self.total_steps:
                 step_idx = self._step_index + 1
+                remaining = self.total_steps - self._step_index
+                # Stay chunked only while chunk ends stay aligned to the
+                # cadence grid (resume offsets may start misaligned).
+                if (
+                    chunk > 1
+                    and remaining >= chunk
+                    and self._step_index % chunk == 0
+                ):
+                    self.input_img, self.opt_state, auxes = (
+                        self.chunked_update_fn(
+                            self.input_img, self.opt_state, chunk,
+                        )
+                    )
+                    self._finalize_chunk(step_idx, chunk, auxes)
+                    continue
+
                 if self.callbacks.on_step_start is not None:
                     self.callbacks.on_step_start(step_idx)
 
@@ -249,6 +275,83 @@ class OptimizationRunner:
                 "--log-loss to capture every step.",
                 steps,
             )
+
+    def _resolve_chunk_size(self) -> int:
+        """Steps fused into one dispatch (``lax.scan`` over the update).
+
+        The chunk must divide every cadence whose contract is per-step
+        host work at exact steps: CSV logging (rows at every
+        ``log_every`` step), frame extraction (``save_every`` when a
+        sink is attached), and checkpointing. The in-memory ring buffer
+        is NOT a constraint — chunked dispatch records every step's
+        losses on device regardless. A user value
+        (``hardware.steps_per_dispatch``) folds into the same gcd so it
+        can tune but never break alignment; per-step callbacks force
+        single-step dispatch (their contract is one call per accepted
+        step).
+        """
+        if self.chunked_update_fn is None:
+            return 1
+        if (
+            self.callbacks.on_step_start is not None
+            or self.callbacks.on_step_end is not None
+        ):
+            return 1
+        requested = getattr(
+            self.config.hardware, "steps_per_dispatch", 0,
+        )
+        if requested == 1:
+            return 1
+        cadences = []
+        if self.loss_logger is not None:
+            cadences.append(self.config.output.log_every)
+        if self.video_writer is not None or self.gif_collector is not None:
+            cadences.append(self.config.video.save_every)
+        if self.config.output.checkpoint_every:
+            cadences.append(self.config.output.checkpoint_every)
+        if requested > 1:
+            cadences.append(requested)
+        if not cadences:
+            return _DEFAULT_CHUNK
+        chunk = math.gcd(*cadences)
+        return max(1, min(chunk, _MAX_CHUNK))
+
+    def _finalize_chunk(self, first_step: int, k: int, auxes) -> None:
+        """Bookkeeping for a k-step dispatch (stacked StepAux arrays)."""
+        last_step = first_step + k - 1
+        self._step_index = last_step
+        self._eval_total = self._eval_total + auxes.n_evals.sum()
+
+        logged = None
+        if self._accumulator is not None:
+            logged = self._accumulator.accumulate_batch(
+                first_step,
+                auxes.style_score,
+                auxes.content_score,
+                auxes.loss,
+            )
+            if logged is not None and self.loss_logger is not None:
+                self.loss_logger.log(
+                    logged.step,
+                    logged.style_loss,
+                    logged.content_loss,
+                    logged.total_loss,
+                )
+        if logged is not None:
+            self._latest_logged = logged
+            self._warn_nonfinite(logged)
+            metrics = StepMetrics(
+                step=logged.step,
+                style_loss=logged.style_loss,
+                content_loss=logged.content_loss,
+                total_loss=logged.total_loss,
+            )
+        else:
+            metrics = StepMetrics(step=last_step)
+
+        self._maybe_write_video_frame(metrics)
+        self._maybe_save_checkpoint(last_step)
+        self.progress_bar.update(k)
 
     def _finalize_step(self, step_idx: int, aux: StepAux) -> None:
         self._step_index = step_idx

@@ -43,10 +43,20 @@ UpdateFn = Callable[
 
 
 class StepBundle(NamedTuple):
-    """A compiled update function with its initial optimizer state."""
+    """A compiled update function with its initial optimizer state.
+
+    ``chunked_update_fn(image, state, k)`` runs ``k`` steps as ONE
+    device dispatch (``lax.scan`` over the update) and returns stacked
+    per-step ``StepAux`` arrays of leading dimension ``k`` — this
+    amortizes the per-dispatch host/tunnel overhead that otherwise
+    dominates small-image steps (~11 ms/step of the 25 ms total at
+    512px on the axon-attached v5e). One executable compiles per
+    distinct ``k``.
+    """
 
     update_fn: UpdateFn
     opt_state: OptState
+    chunked_update_fn: Callable | None = None
 
 
 def resolve_precision(name: str) -> jax.lax.Precision:
@@ -173,4 +183,28 @@ def build_update_step(
     def update_fn(image: jax.Array, state: OptState):
         return jitted(image, state, params, targets)
 
-    return StepBundle(update_fn=update_fn, opt_state=opt_state)
+    def multi(image, state, params, targets, k: int):
+        def body(carry, _):
+            img, st = carry
+            img, st, aux = update(img, st, params, targets)
+            return (img, st), aux
+
+        (img, st), auxes = jax.lax.scan(
+            body, (image, state), None, length=k,
+        )
+        return img, st, auxes
+
+    # Chunks always donate: the k-step scan reuses the carried buffers
+    # anyway, and the per-dispatch donation overhead amortizes over k.
+    jitted_multi = jax.jit(
+        multi, static_argnums=(4,), donate_argnums=(0, 1),
+    )
+
+    def chunked_update_fn(image: jax.Array, state: OptState, k: int):
+        return jitted_multi(image, state, params, targets, k)
+
+    return StepBundle(
+        update_fn=update_fn,
+        opt_state=opt_state,
+        chunked_update_fn=chunked_update_fn,
+    )

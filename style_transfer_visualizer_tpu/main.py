@@ -168,6 +168,7 @@ def _run_on_device(
         intro_crossfade_frames=intro_crossfade_frames,
         start_step=start_step,
         checkpoint_path=checkpoint_path,
+        chunked_update_fn=bundle.chunked_update_fn,
     )
     # The optimized image must survive late media failures: every sink
     # is closed even when one fails, and the final PNG is saved before
@@ -328,22 +329,14 @@ def multi_style_transfer(
         )
         state = bundle.opt_state
 
-        from tqdm import tqdm  # noqa: PLC0415
-
-        bar = tqdm(total=opt_cfg.steps, desc="Multi-Style Transfer")
-        aux = None
-        for step in range(1, opt_cfg.steps + 1):
-            images, state, aux = bundle.update_fn(images, state)
-            bar.update(1)
-            if step % config.output.log_every == 0 and aux is not None:
-                losses = np.asarray(aux.loss)
-                bar.set_postfix({"mean_loss": f"{losses.mean():.4f}"})
-        jax.block_until_ready(images)
-        bar.close()
-
         output_path = stv_runtime.setup_output_directory(
             config.output.output,
         )
+        style_names = [Path(p).stem for p in style_paths]
+        images, state = _run_multi_style_loop(
+            bundle, images, state, config, output_path, style_names,
+        )
+
         content_name = Path(content_path).stem
         saved: list[Path] = []
         for i, style_path in enumerate(style_paths):
@@ -357,6 +350,150 @@ def multi_style_transfer(
             logger.info("Stylized image saved to: %s", out_file)
             saved.append(out_file)
         return saved
+
+
+def _run_multi_style_loop(
+    bundle,
+    images: jax.Array,
+    state,
+    config: StyleTransferConfig,
+    output_path: Path,
+    style_names: list[str],
+):
+    """The batch-mode optimization loop with the full logging contract.
+
+    Batch mode keeps per-style loss CSVs (``<log_loss stem>_<style>``),
+    per-style loss plots, checkpoint/resume of the stacked problem, and
+    cadence-gated host syncs. Timelapse video/GIF remain single-run
+    features — requesting them in batch mode warns loudly instead of
+    silently dropping output (the per-style frame streams would each
+    need their own encoder; use single runs for timelapses).
+    """
+    opt_cfg = config.optimization
+    out_cfg = config.output
+    if config.video.create_video or config.video.create_gif:
+        logger.warning(
+            "Batch (multi-style) mode does not produce timelapse "
+            "video/GIF, intro/outro segments, or per-step frames; only "
+            "final stylized PNGs, loss CSVs/plots, and checkpoints are "
+            "written. Run styles individually for timelapse artifacts.",
+        )
+
+    from style_transfer_visualizer_tpu.engine.loss_logger import (  # noqa: PLC0415
+        LossCSVLogger,
+    )
+
+    start_step = 0
+    if out_cfg.resume_from:
+        from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
+            load_checkpoint,
+        )
+
+        ckpt = load_checkpoint(out_cfg.resume_from, state)
+        images, state = ckpt.image, ckpt.opt_state
+        start_step = min(ckpt.step, opt_cfg.steps)
+        logger.info("Resumed batch run at step %d.", start_step)
+
+    checkpoint_path = None
+    if out_cfg.checkpoint_every > 0:
+        checkpoint_path = (
+            Path(out_cfg.checkpoint_path)
+            if out_cfg.checkpoint_path
+            else output_path / "checkpoint.npz"
+        )
+
+    csv_loggers: list[LossCSVLogger | None] = [None] * len(style_names)
+    if out_cfg.log_loss:
+        base = Path(out_cfg.log_loss)
+        for i, name in enumerate(style_names):
+            per_style = base.with_name(
+                f"{base.stem}_{name}{base.suffix or '.csv'}",
+            )
+            try:
+                csv_loggers[i] = LossCSVLogger(
+                    str(per_style),
+                    out_cfg.log_every,
+                    resume=start_step > 0,
+                )
+            except OSError as exc:
+                logger.error(
+                    "Failed to initialize CSV logging for style %s: %s",
+                    name, exc,
+                )
+        logger.info(
+            "Per-style loss CSV logging enabled under %s.", base.parent,
+        )
+    track_history = config.output.plot_losses and not out_cfg.log_loss
+    histories: list[dict[str, list[float]]] = [
+        {"style_loss": [], "content_loss": [], "total_loss": []}
+        for _ in style_names
+    ]
+
+    from tqdm import tqdm  # noqa: PLC0415
+
+    bar = tqdm(
+        total=opt_cfg.steps, initial=start_step,
+        desc="Multi-Style Transfer",
+    )
+    try:
+        for step in range(start_step + 1, opt_cfg.steps + 1):
+            images, state, aux = bundle.update_fn(images, state)
+            bar.update(1)
+            if step % out_cfg.log_every == 0:
+                # One fused (3, S) transfer per cadence.
+                vals = np.asarray(
+                    jax.numpy.stack(
+                        [aux.style_score, aux.content_score, aux.loss],
+                    ),
+                )
+                for i in range(len(style_names)):
+                    if csv_loggers[i] is not None:
+                        csv_loggers[i].log(
+                            step, float(vals[0, i]), float(vals[1, i]),
+                            float(vals[2, i]),
+                        )
+                    if track_history:
+                        histories[i]["style_loss"].append(
+                            float(vals[0, i]),
+                        )
+                        histories[i]["content_loss"].append(
+                            float(vals[1, i]),
+                        )
+                        histories[i]["total_loss"].append(
+                            float(vals[2, i]),
+                        )
+                bar.set_postfix({"mean_loss": f"{vals[2].mean():.4f}"})
+            if (
+                checkpoint_path is not None
+                and out_cfg.checkpoint_every
+                and step % out_cfg.checkpoint_every == 0
+            ):
+                from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
+                    save_checkpoint,
+                )
+
+                save_checkpoint(checkpoint_path, step, images, state)
+        jax.block_until_ready(images)
+    finally:
+        bar.close()
+        for csv_logger in csv_loggers:
+            if csv_logger is not None:
+                try:
+                    csv_logger.close()
+                except OSError as exc:
+                    logger.error("Error closing loss logger: %s", exc)
+
+    if track_history:
+        from style_transfer_visualizer_tpu.visualization.metrics import (  # noqa: PLC0415
+            plot_loss_curves,
+        )
+
+        for name, history in zip(style_names, histories):
+            if history["total_loss"]:
+                plot_loss_curves(
+                    history, output_path, filename=f"loss_plot_{name}.png",
+                )
+    return images, state
 
 
 def _prepare_model_and_input(

@@ -29,8 +29,16 @@ def _import_pyplot():
     return plt
 
 
-def plot_loss_curves(metrics: LossHistory, output_dir: Path) -> None:
-    """Save ``loss_plot.png`` for the recorded loss series, if any."""
+def plot_loss_curves(
+    metrics: LossHistory,
+    output_dir: Path,
+    filename: str = _PLOT_FILENAME,
+) -> None:
+    """Save a loss plot for the recorded series, if any.
+
+    ``filename`` defaults to the reference's ``loss_plot.png``;
+    multi-style batch runs pass per-style names.
+    """
     if not metrics:
         logger.warning("No loss metrics dictionary provided.")
         return
@@ -54,7 +62,7 @@ def plot_loss_curves(metrics: LossHistory, output_dir: Path) -> None:
         plt.title("Loss Curves")
         plt.legend()
         plt.tight_layout()
-        out = output_dir / _PLOT_FILENAME
+        out = output_dir / filename
         plt.savefig(out)
         logger.info("Loss plot saved to: %s", out)
     finally:

@@ -276,3 +276,92 @@ class TestMultiStyleDeviceFit:
         })
         saved = multi_style_transfer(str(content), styles, cfg)
         assert len(saved) == 3
+
+
+class TestMultiStyleArtifacts:
+    """Batch mode keeps the logging/checkpoint contract (sans video)."""
+
+    def _setup(self, tmp_path):
+        from PIL import Image
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+        return content, [s1, s2]
+
+    def _config(self, tmp_path, **output):
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+
+        return StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 4, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu"},
+            "output": {
+                "output": str(tmp_path / "out"),
+                "log_every": 2,
+                **output,
+            },
+        })
+
+    def test_per_style_csv_logging(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(
+            tmp_path, log_loss=str(tmp_path / "out" / "losses.csv"),
+        )
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("losses_s1.csv", "losses_s2.csv"):
+            csv_file = tmp_path / "out" / name
+            assert csv_file.exists()
+            lines = csv_file.read_text().strip().splitlines()
+            assert lines[0] == "step,style_loss,content_loss,total_loss"
+            assert len(lines) == 3  # header + steps 2 and 4
+
+    def test_per_style_loss_plots(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert (tmp_path / "out" / "loss_plot_s1.png").exists()
+        assert (tmp_path / "out" / "loss_plot_s2.png").exists()
+
+    def test_checkpoint_and_resume(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path, checkpoint_every=2)
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        ckpt = tmp_path / "out" / "checkpoint.npz"
+        assert ckpt.exists()
+
+        cfg2 = self._config(
+            tmp_path, checkpoint_every=2, resume_from=str(ckpt),
+        )
+        saved = multi_style_transfer(
+            str(content), [str(s) for s in styles], cfg2,
+        )
+        assert all(p.exists() for p in saved)
+
+    def test_video_request_warns_loudly(self, tmp_path, caplog) -> None:
+        import logging
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        with caplog.at_level(logging.WARNING):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        assert "does not produce timelapse" in caplog.text

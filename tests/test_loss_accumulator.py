@@ -3,6 +3,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from style_transfer_visualizer_tpu.engine.loss_accumulator import (
     LossAccumulator,
@@ -110,3 +111,70 @@ class TestHostSyncDiscipline:
         for i in range(1, 20):
             _push(acc, i, float(i))
         assert calls["n"] == 0
+
+
+class TestBatchAccumulate:
+    """Chunked (multi-step dispatch) recording."""
+
+    def _arrays(self, values):
+        import jax.numpy as jnp
+
+        arr = jnp.asarray(values, jnp.float32)
+        return arr * 0.6, arr * 0.4, arr
+
+    def test_batch_syncs_only_on_cadence(self) -> None:
+        acc = LossAccumulator(
+            log_every=4, history_capacity=16, track_history=True,
+        )
+        s, c, t = self._arrays([4.0, 3.0])
+        assert acc.accumulate_batch(1, s, c, t) is None   # ends at 2
+        logged = acc.accumulate_batch(3, s, c, t)          # ends at 4
+        assert logged is not None
+        assert logged.step == 4
+        assert logged.total_loss == pytest.approx(3.0)
+
+    def test_batch_history_order_and_wrap(self) -> None:
+        acc = LossAccumulator(
+            log_every=100, history_capacity=5, track_history=True,
+        )
+        s, c, t = self._arrays([1.0, 2.0, 3.0])
+        acc.accumulate_batch(1, s, c, t)
+        s, c, t = self._arrays([4.0, 5.0, 6.0])
+        acc.accumulate_batch(4, s, c, t)
+        hist = acc.export_history()
+        # Capacity 5: the oldest entry (1.0) was overwritten.
+        assert hist["total_loss"] == pytest.approx(
+            [2.0, 3.0, 4.0, 5.0, 6.0],
+        )
+        assert acc.history_truncated
+
+    def test_batch_larger_than_capacity_keeps_tail(self) -> None:
+        acc = LossAccumulator(
+            log_every=100, history_capacity=4, track_history=True,
+        )
+        s, c, t = self._arrays([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+        acc.accumulate_batch(1, s, c, t)
+        hist = acc.export_history()
+        assert hist["total_loss"] == pytest.approx([3.0, 4.0, 5.0, 6.0])
+        assert acc.history_truncated
+
+    def test_batch_mixes_with_single_steps(self) -> None:
+        acc = LossAccumulator(
+            log_every=100, history_capacity=8, track_history=True,
+        )
+        import jax.numpy as jnp
+
+        acc.accumulate(1, jnp.asarray(0.6), jnp.asarray(0.4),
+                       jnp.asarray(1.0))
+        s, c, t = self._arrays([2.0, 3.0])
+        acc.accumulate_batch(2, s, c, t)
+        hist = acc.export_history()
+        assert hist["total_loss"] == pytest.approx([1.0, 2.0, 3.0])
+
+    def test_empty_batch_is_noop(self) -> None:
+        acc = LossAccumulator(
+            log_every=1, history_capacity=4, track_history=True,
+        )
+        s, c, t = self._arrays([])
+        assert acc.accumulate_batch(1, s, c, t) is None
+        assert acc.export_history()["total_loss"] == []

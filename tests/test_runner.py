@@ -369,3 +369,176 @@ class TestCleanupRobustness:
         )
         with pytest.raises(RuntimeError, match="device OOM"):
             runner.run()
+
+
+def fake_chunked(step_value: float = 1.0):
+    """Chunked companion to fake_update: k steps in one call."""
+    counter = {"n": 0}
+
+    def chunked(img, state, k):
+        losses = []
+        for _ in range(k):
+            counter["n"] += 1
+            losses.append(10.0 / counter["n"])
+        arr = jnp.asarray(losses)
+        aux = StepAux(
+            loss=arr,
+            style_score=arr * 0.6,
+            content_score=arr * 0.4,
+            n_evals=jnp.full((k,), 2, jnp.int32),
+        )
+        return img + step_value * k, state, aux
+
+    return chunked
+
+
+class TestChunkedDispatch:
+    """Multi-step dispatch: same results, fewer host round trips."""
+
+    def test_chunk_size_resolution(self, runner_factory) -> None:
+        # No chunked fn -> single steps.
+        runner, _ = runner_factory(steps=10)
+        assert runner._resolve_chunk_size() == 1
+        # Sink attached: save_every constrains the chunk.
+        runner, _ = runner_factory(
+            steps=10, output={"log_every": 6},
+            video={"save_every": 4},
+            chunked_update_fn=fake_chunked(),
+            video_writer=MemorySink(),
+        )
+        assert runner._resolve_chunk_size() == 4
+        # CSV logging active: its cadence constrains too (gcd).
+        runner, _ = runner_factory(
+            steps=10, output={"log_every": 6},
+            video={"save_every": 4},
+            chunked_update_fn=fake_chunked(),
+            video_writer=MemorySink(),
+        )
+        runner.loss_logger = object()  # stand-in: CSV active
+        assert runner._resolve_chunk_size() == 2
+        # No cadence constraints: the measured default chunk.
+        runner, _ = runner_factory(
+            steps=100, output={"log_every": 6},
+            video={"save_every": 4},
+            chunked_update_fn=fake_chunked(),
+        )
+        assert runner._resolve_chunk_size() == 25
+        # User request folds into the gcd (cannot break alignment).
+        runner, _ = runner_factory(
+            steps=10, video={"save_every": 8},
+            chunked_update_fn=fake_chunked(),
+            video_writer=MemorySink(),
+        )
+        runner.config.hardware.steps_per_dispatch = 4
+        assert runner._resolve_chunk_size() == 4
+        # Per-step callbacks force single-step dispatch.
+        runner, _ = runner_factory(
+            steps=10,
+            chunked_update_fn=fake_chunked(),
+            callbacks=OptimizationCallbacks(on_step_end=lambda m: None),
+        )
+        assert runner._resolve_chunk_size() == 1
+
+    def test_chunked_run_matches_single_step(
+        self, make_style_transfer_config,
+    ) -> None:
+        """Real jitted bundle: fused dispatch is bit-identical."""
+        import jax
+
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+        from style_transfer_visualizer_tpu.models import vgg19
+        from style_transfer_visualizer_tpu.models.features import (
+            compute_targets,
+        )
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        key = jax.random.key(3)
+        content = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(
+            jax.random.fold_in(key, 1), (1, 32, 32, 3), jnp.float32,
+        )
+        layers = ((0, 5), (2,))
+        targets = compute_targets(params, style, content, *layers)
+
+        def run_with(steps_per_dispatch: int):
+            bundle = build_update_step(
+                params, targets, tuple(content.shape),
+                optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
+                style_layers=layers[0], content_layers=layers[1],
+                precision="highest",
+            )
+            cfg = make_style_transfer_config(
+                optimization={"steps": 12},
+                output={"log_every": 3},
+                video={"save_every": 6},
+            )
+            cfg.hardware.steps_per_dispatch = steps_per_dispatch
+            sink = MemorySink()
+            runner = OptimizationRunner(
+                bundle.update_fn,
+                bundle.opt_state,
+                jnp.array(content),
+                cfg,
+                progress_bar=NullBar(),
+                video_writer=sink,
+                async_frames=False,
+                chunked_update_fn=bundle.chunked_update_fn,
+            )
+            img, history, _ = runner.run()
+            return np.asarray(img), history, len(sink.frames)
+
+    # chunked (auto -> gcd(3, 6) = 3) vs forced single-step
+        img_c, hist_c, frames_c = run_with(0)
+        img_s, hist_s, frames_s = run_with(1)
+        # The scan body may fuse differently than the standalone
+        # executable, so allow accumulation-order noise only.
+        np.testing.assert_allclose(img_c, img_s, rtol=1e-4, atol=1e-5)
+        assert frames_c == frames_s == 2
+        for series in ("style_loss", "content_loss", "total_loss"):
+            np.testing.assert_allclose(
+                hist_c[series], hist_s[series], rtol=1e-4, atol=1e-8,
+            )
+        assert len(hist_c["total_loss"]) == 12
+
+    def test_chunked_resume_alignment(self, runner_factory) -> None:
+        """A misaligned start runs single steps until the chunk grid."""
+        seen = []
+
+        def tracking_chunked(img, state, k):
+            seen.append(("chunk", k))
+            return fake_chunked()(img, state, k)
+
+        calls = {"n": 0}
+        inner = fake_update()
+
+        def tracking_update(img, state):
+            calls["n"] += 1
+            return inner(img, state)
+
+        runner, _ = runner_factory(
+            steps=10, video={"save_every": 4},
+            update_fn=tracking_update,
+            chunked_update_fn=tracking_chunked,
+            video_writer=MemorySink(),
+            start_step=2,
+        )
+        runner.run()
+        # Steps 3,4 single (to reach the grid), 5-8 chunked, 9,10 single
+        # (remainder below chunk size).
+        assert calls["n"] == 4
+        assert seen == [("chunk", 4)]
+        assert runner._step_index == 10
+
+    def test_chunked_eval_telemetry(self, runner_factory, caplog) -> None:
+        import logging
+
+        runner, _ = runner_factory(
+            steps=8, video={"save_every": 4},
+            chunked_update_fn=fake_chunked(),
+            video_writer=MemorySink(),
+        )
+        with caplog.at_level(logging.INFO):
+            runner.run()
+        assert "2.00 closures/step" in caplog.text
