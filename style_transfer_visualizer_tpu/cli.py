@@ -276,6 +276,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "the measured-fastest backend."
                 ),
             }),
+            ("--conv-backend", {
+                "dest": "conv_backend",
+                "choices": ["auto", "xla", "pallas"],
+                "default": suppress,
+                "help": (
+                    "Convolution kernel: 'pallas' runs the fused "
+                    "conv+bias+ReLU stencil kernel, 'xla' the native "
+                    "conv, 'auto' the measured-fastest backend."
+                ),
+            }),
             ("--spatial-shards", {
                 "dest": "spatial_shards", "type": int, "default": suppress,
                 "help": (

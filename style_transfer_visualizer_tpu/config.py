@@ -21,6 +21,7 @@ from style_transfer_visualizer_tpu.constants import (
     VIDEO_QUALITY_MIN,
 )
 from style_transfer_visualizer_tpu.type_defs import (
+    ConvBackendName,
     GramBackendName,
     InitMethod,
     OptimizerName,
@@ -110,6 +111,7 @@ class HardwareConfig(_ValidatedSection):
     device: str = Field(d.DEFAULT_DEVICE)
     precision: PrecisionName = Field(d.DEFAULT_PRECISION)
     gram_backend: GramBackendName = Field(d.DEFAULT_GRAM_BACKEND)
+    conv_backend: ConvBackendName = Field(d.DEFAULT_CONV_BACKEND)
     # Shard image rows across this many mesh devices (halo-exchange
     # convs + psum'd Gram partials over ICI); 1 = single device.
     spatial_shards: int = Field(1, ge=1)
@@ -277,6 +279,8 @@ def _merge_hardware(
         cfg.hardware.precision = args["precision"]
     if "gram_backend" in args:
         cfg.hardware.gram_backend = args["gram_backend"]
+    if "conv_backend" in args:
+        cfg.hardware.conv_backend = args["conv_backend"]
     if "spatial_shards" in args:
         cfg.hardware.spatial_shards = args["spatial_shards"]
     if "steps_per_dispatch" in args:

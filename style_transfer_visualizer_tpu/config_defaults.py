@@ -7,6 +7,7 @@ knobs (optimizer choice, matmul precision, L-BFGS history size) are new.
 from __future__ import annotations
 
 from style_transfer_visualizer_tpu.type_defs import (
+    ConvBackendName,
     GramBackendName,
     InitMethod,
     OptimizerName,
@@ -25,9 +26,10 @@ DEFAULT_DEVICE = "tpu"
 # than "highest" (8.8e-4) and 45% faster. Both sit inside the 1e-3
 # parity gate; "default" trades gradient fidelity for full throughput.
 DEFAULT_PRECISION: PrecisionName = "high"
-# "auto" runs Gram reductions through the fused Pallas kernel on TPU
-# backends and plain XLA everywhere else.
+# "auto" resolves each kernel family to the measured-fastest backend
+# (see BASELINE.md for the e2e numbers behind the resolution).
 DEFAULT_GRAM_BACKEND: GramBackendName = "auto"
+DEFAULT_CONV_BACKEND: ConvBackendName = "auto"
 
 # --- Optimization -----------------------------------------------------
 DEFAULT_STEPS = 1500

@@ -455,7 +455,10 @@ class OptimizationRunner:
     def _deliver_frame(self, img_np: np.ndarray, metrics: StepMetrics) -> None:
         step_idx = metrics.step
 
-        if self.intro_last_frame is not None and not self.intro_transition_done:
+        if (
+            self.intro_last_frame is not None
+            and not self.intro_transition_done
+        ):
             from style_transfer_visualizer_tpu.media.segments import (  # noqa: PLC0415
                 append_crossfade,
             )

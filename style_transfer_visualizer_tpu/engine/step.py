@@ -86,6 +86,7 @@ def build_update_step(
     donate: bool | None = None,
     remat: bool = False,
     gram_backend: str = "xla",
+    conv_backend: str = "xla",
     tile_rows: int = 0,
     loss_fn: Callable | None = None,
 ) -> StepBundle:
@@ -133,7 +134,7 @@ def build_update_step(
             return total_loss(
                 params, img, targets, style_w, content_w,
                 tuple(style_layers), tuple(content_layers), prec, remat,
-                gram_backend,
+                gram_backend, conv_backend,
             )
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)

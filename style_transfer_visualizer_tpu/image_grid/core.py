@@ -374,7 +374,9 @@ def build_framed_panel(
     )
     frame_img.paste(matte_img, (edge, edge))
 
-    shadow = Image.new("RGBA", (panel_w, panel_h), (*COLOR_BLACK, _SHADOW_ALPHA))
+    shadow = Image.new(
+        "RGBA", (panel_w, panel_h), (*COLOR_BLACK, _SHADOW_ALPHA),
+    )
     shadow = shadow.filter(
         ImageFilter.GaussianBlur(radius=params.shadow_radius),
     )

@@ -526,6 +526,13 @@ def _prepare_model_and_input(
     gram_backend = resolve_gram_backend(config.hardware.gram_backend)
     if gram_backend != config.hardware.gram_backend:
         logger.info("Gram backend resolved to: %s", gram_backend)
+    from style_transfer_visualizer_tpu.ops.pallas_conv import (  # noqa: PLC0415
+        resolve_conv_backend,
+    )
+
+    conv_backend = resolve_conv_backend(config.hardware.conv_backend)
+    if conv_backend != config.hardware.conv_backend:
+        logger.info("Conv backend resolved to: %s", conv_backend)
 
     _, height, width, _ = content_img.shape
     tile_rows = _resolve_tile_rows(config, int(height), int(width))
@@ -560,6 +567,7 @@ def _prepare_model_and_input(
             tuple(opt_cfg.content_layers),
             precision=_precision(precision_name),
             gram_backend=gram_backend,
+            conv_backend=conv_backend,
         )
     remat = not tile_rows and (
         opt_cfg.remat or int(height) * int(width) >= 2048 * 2048
@@ -585,6 +593,7 @@ def _prepare_model_and_input(
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         remat=remat,
         gram_backend=gram_backend,
+        conv_backend=conv_backend,
         tile_rows=tile_rows,
     )
     input_img = initialize_input(content_img, opt_cfg.init_method, key)

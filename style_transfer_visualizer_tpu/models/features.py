@@ -85,6 +85,75 @@ def _apply_layer(
     )
 
 
+def _pallas_conv(
+    params: Params,
+    idx: int,
+    x: jax.Array,
+    precision: jax.lax.Precision | None,
+    fuse_relu: bool,
+) -> jax.Array:
+    from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
+        _running_on_tpu,
+    )
+    from style_transfer_visualizer_tpu.ops.pallas_conv import (  # noqa: PLC0415
+        conv3x3_bias_relu,
+        hwio_to_stencil,
+    )
+
+    layer = params[idx]
+    return conv3x3_bias_relu(
+        x,
+        hwio_to_stencil(layer["w"]),
+        layer["b"],
+        fuse_relu,
+        not _running_on_tpu(),
+        precision,
+    )
+
+
+def _sweep(
+    params: Params,
+    x: jax.Array,
+    indices: tuple[int, ...],
+    tap_set: frozenset[int],
+    precision: jax.lax.Precision | None,
+    conv_backend: str,
+) -> tuple[jax.Array, dict[int, jax.Array]]:
+    """Run a contiguous layer range, fusing conv+ReLU pairs on Pallas.
+
+    A conv fuses with its following ReLU only when the conv itself is
+    not a tap (style taps sample the PRE-ReLU conv output, matching the
+    reference's block slicing) and the ReLU is inside the range.
+    """
+    acts: dict[int, jax.Array] = {}
+    i = 0
+    while i < len(indices):
+        idx = indices[i]
+        kind = LAYER_TABLE[idx][0]
+        if kind == CONV and conv_backend == "pallas":
+            nxt = indices[i + 1] if i + 1 < len(indices) else None
+            fuse = (
+                nxt == idx + 1
+                and LAYER_TABLE[nxt][0] == RELU
+                and idx not in tap_set
+            )
+            x = _pallas_conv(params, idx, x, precision, fuse)
+            if fuse:
+                if nxt in tap_set:
+                    acts[nxt] = x
+                i += 2
+                continue
+            if idx in tap_set:
+                acts[idx] = x
+            i += 1
+            continue
+        x = _apply_layer(params, idx, x, precision)
+        if idx in tap_set:
+            acts[idx] = x
+        i += 1
+    return x, acts
+
+
 def extract_features(
     params: Params,
     x: jax.Array,
@@ -92,6 +161,7 @@ def extract_features(
     *,
     precision: jax.lax.Precision | None = None,
     remat: bool = False,
+    conv_backend: str = "xla",
 ) -> dict[int, jax.Array]:
     """Run the feature stack up to the deepest tap, recording activations.
 
@@ -104,6 +174,9 @@ def extract_features(
     backward pass recomputes intra-segment activations instead of
     keeping them live, trading ~1 extra forward of FLOPs for the HBM
     headroom that lets 4K-class inputs fit on a single chip.
+
+    ``conv_backend="pallas"`` runs each 3x3 conv (+ its following ReLU,
+    fused) through the Pallas stencil kernel (``ops.pallas_conv``).
     """
     if not taps:
         return {}
@@ -113,10 +186,10 @@ def extract_features(
     acts: dict[int, jax.Array] = {}
 
     if not remat:
-        for idx in range(last + 1):
-            x = _apply_layer(params, idx, x, precision)
-            if idx in tap_set:
-                acts[idx] = x
+        _, acts = _sweep(
+            params, x, tuple(range(last + 1)), tap_set, precision,
+            conv_backend,
+        )
         return acts
 
     # Segment boundaries: every tap (its activation must be an output)
@@ -132,17 +205,14 @@ def extract_features(
         segments.append(current)
 
     def run_segment(seg: tuple[int, ...], params: Params, x: jax.Array):
-        for idx in seg:
-            x = _apply_layer(params, idx, x, precision)
-        return x
+        return _sweep(params, x, seg, tap_set, precision, conv_backend)
 
     for seg in segments:
         seg_t = tuple(seg)
-        x = jax.checkpoint(
+        x, seg_acts = jax.checkpoint(
             partial(run_segment, seg_t),
         )(params, x)
-        if seg_t[-1] in tap_set:
-            acts[seg_t[-1]] = x
+        acts.update(seg_acts)
     return acts
 
 
@@ -150,6 +220,7 @@ def extract_features(
     jax.jit,
     static_argnames=(
         "style_layers", "content_layers", "precision", "gram_backend",
+        "conv_backend",
     ),
 )
 def compute_targets(
@@ -160,6 +231,7 @@ def compute_targets(
     content_layers: tuple[int, ...],
     precision: jax.lax.Precision | None = None,
     gram_backend: str = "xla",
+    conv_backend: str = "xla",
 ) -> Targets:
     """Precompute style Gram targets and content activation targets.
 
@@ -169,9 +241,11 @@ def compute_targets(
     """
     style_acts = extract_features(
         params, style_img, style_layers, precision=precision,
+        conv_backend=conv_backend,
     )
     content_acts = extract_features(
         params, content_img, content_layers, precision=precision,
+        conv_backend=conv_backend,
     )
     style_grams = {
         idx: jax.lax.stop_gradient(
@@ -220,11 +294,13 @@ def style_content_losses(
     precision: jax.lax.Precision | None = None,
     remat: bool = False,
     gram_backend: str = "xla",
+    conv_backend: str = "xla",
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Per-layer style (Gram MSE) and content (feature MSE) losses."""
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = extract_features(
         params, x, taps, precision=precision, remat=remat,
+        conv_backend=conv_backend,
     )
     style_losses = [
         _mse(
@@ -246,7 +322,7 @@ def style_content_losses(
     jax.jit,
     static_argnames=(
         "style_layers", "content_layers", "precision", "remat",
-        "gram_backend",
+        "gram_backend", "conv_backend",
     ),
 )
 def total_loss(
@@ -260,6 +336,7 @@ def total_loss(
     precision: jax.lax.Precision | None = None,
     remat: bool = False,
     gram_backend: str = "xla",
+    conv_backend: str = "xla",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss plus (style_score, content_score) aux.
 
@@ -269,6 +346,7 @@ def total_loss(
     style_losses, content_losses = style_content_losses(
         params, x, targets, style_layers, content_layers,
         precision=precision, remat=remat, gram_backend=gram_backend,
+        conv_backend=conv_backend,
     )
     zero = jnp.zeros((), dtype=x.dtype)
     style_score = (

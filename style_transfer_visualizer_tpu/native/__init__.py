@@ -1,0 +1,1 @@
+"""Native (C) fast paths for host-side frame operations."""

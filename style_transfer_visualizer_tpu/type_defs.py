@@ -29,9 +29,13 @@ OptimizerName = Literal["lbfgs", "adam"]
 #: MXU matmul precision tiers (TPU-framework addition).
 PrecisionName = Literal["highest", "high", "default"]
 
-#: Gram-matrix kernel selection: "auto" picks the fused Pallas kernel on
-#: TPU and plain XLA elsewhere (TPU-framework addition).
+#: Gram-matrix kernel selection: "auto" resolves to the measured-fastest
+#: backend (TPU-framework addition).
 GramBackendName = Literal["auto", "xla", "pallas"]
+
+#: Convolution kernel selection: XLA's conv or the fused Pallas
+#: conv+bias+ReLU stencil kernel (TPU-framework addition).
+ConvBackendName = Literal["auto", "xla", "pallas"]
 
 # --- Collection aliases --------------------------------------------------
 

@@ -20,7 +20,9 @@ _DEFAULT_CACHE = (
 _enabled = False
 
 
-def enable_persistent_compilation_cache(path: str | Path | None = None) -> None:
+def enable_persistent_compilation_cache(
+    path: str | Path | None = None,
+) -> None:
     """Point JAX's persistent compilation cache at a durable directory."""
     global _enabled
     if _enabled or os.environ.get("STV_NO_XLA_CACHE"):
