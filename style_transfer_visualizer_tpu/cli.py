@@ -394,6 +394,15 @@ def log_parameters(
     logger.info("Device: %s", cfg.hardware.device)
     logger.info("Matmul Precision: %s", cfg.hardware.precision)
     logger.info("Gram Backend: %s", cfg.hardware.gram_backend)
+    logger.info("Conv Backend: %s", cfg.hardware.conv_backend)
+    if cfg.hardware.spatial_shards > 1:
+        logger.info("Spatial Shards: %d", cfg.hardware.spatial_shards)
+    if cfg.optimization.tile_rows:
+        logger.info("Tile Rows: %d", cfg.optimization.tile_rows)
+    if cfg.hardware.steps_per_dispatch:
+        logger.info(
+            "Steps per Dispatch: %d", cfg.hardware.steps_per_dispatch,
+        )
     logger.info("Metadata Title: %s",
                 cfg.video.metadata_title or "(default)")
     logger.info("Metadata Artist: %s",
