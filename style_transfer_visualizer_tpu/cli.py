@@ -158,8 +158,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "help": (
                     "Evaluate the loss band-by-band over rows of this "
                     "height (exact scan tiling; lets 4K-class inputs "
-                    "compile and fit one chip). 0 disables; omitted = "
-                    "auto above ~4MP."
+                    "compile and fit one chip). 0 forces whole-image; "
+                    "omitted/-1 = auto above ~4MP."
                 ),
             }),
             ("--allow-random-weights", {

@@ -72,8 +72,9 @@ class OptimizationConfig(_ValidatedSection):
     remat: bool = False
     # Evaluate the loss as a lax.scan over row bands of this height
     # (exact; shrinks the compiled graph and activation memory for
-    # 4K-class inputs). 0 = whole-image, auto-tiling above ~4MP.
-    tile_rows: int = Field(0, ge=0)
+    # 4K-class inputs). -1 = auto (tile above ~4MP), 0 = always
+    # whole-image, >0 = forced band height.
+    tile_rows: int = Field(-1, ge=-1)
 
 
 class VideoConfig(_ValidatedSection):

@@ -143,10 +143,12 @@ class LossAccumulator:
         """Record a chunk of k consecutive per-step device scalars.
 
         The chunk comes from a multi-step dispatch (``lax.scan`` over
-        the update); every step lands in the ring buffer, and the sync
-        decision applies to the chunk's LAST step — chunk sizes divide
-        ``log_every`` (runner invariant), so cadence steps are always
-        chunk-final.
+        the update); every step lands in the ring buffer. A host sync
+        happens whenever a ``log_every`` boundary falls inside the
+        chunk, reporting the chunk's LAST step — when chunks divide
+        ``log_every`` (the runner guarantees this whenever CSV logging
+        is active) that is exactly the cadence step; otherwise the
+        display/non-finite checks stay within one chunk of cadence.
         """
         k = int(style_losses.shape[0])
         if k == 0:
@@ -192,7 +194,11 @@ class LossAccumulator:
             if self._total_records > self._capacity:
                 self._truncated = True
 
-        if force or last_step % self._log_every == 0:
+        crossed_boundary = (
+            last_step // self._log_every
+            != (first_step - 1) // self._log_every
+        )
+        if force or crossed_boundary:
             return self._sync_pending()
         return None
 

@@ -314,7 +314,16 @@ class OptimizationRunner:
         if not cadences:
             return _DEFAULT_CHUNK
         chunk = math.gcd(*cadences)
-        return max(1, min(chunk, _MAX_CHUNK))
+        if chunk > _MAX_CHUNK:
+            # Shrink along divisors: a plain min() cap would break the
+            # divides-every-cadence invariant (e.g. gcd 60 capped to 50
+            # skips every 60-step CSV row).
+            chunk = max(
+                d
+                for d in range(1, _MAX_CHUNK + 1)
+                if chunk % d == 0
+            )
+        return max(1, chunk)
 
     def _finalize_chunk(self, first_step: int, k: int, auxes) -> None:
         """Bookkeeping for a k-step dispatch (stacked StepAux arrays)."""

@@ -129,7 +129,7 @@ def build_update_step(
                 return tiled_total_loss(
                     params, img, targets, style_w, content_w,
                     tuple(style_layers), tuple(content_layers),
-                    tile_rows, prec,
+                    tile_rows, prec, conv_backend,
                 )
             return total_loss(
                 params, img, targets, style_w, content_w,

@@ -276,26 +276,50 @@ def multi_style_transfer(
             allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
         )
         n_styles = len(style_imgs)
-        # Largest divisor of S that fits the device count.
+        n_space = config.hardware.spatial_shards
         n_devices = len(jax.devices(device.platform))
+        if n_devices % n_space != 0:
+            msg = (
+                f"--spatial-shards {n_space} must divide the "
+                f"{n_devices} attached {device.platform} devices"
+            )
+            raise ValueError(msg)
+        # Largest divisor of S that fits the devices left after the
+        # space axis takes its share.
+        style_budget = n_devices // n_space
         n_style_axis = max(
-            d for d in range(1, min(n_styles, n_devices) + 1)
+            d for d in range(1, min(n_styles, style_budget) + 1)
             if n_styles % d == 0
         )
         mesh = create_mesh(
-            n_style=n_style_axis, n_space=1,
+            n_style=n_style_axis, n_space=n_space,
             devices=jax.devices(device.platform),
         )
         logger.info(
-            "Multi-style run: %d styles over a %d-device style axis.",
+            "Multi-style run: %d styles over a %d-device style axis"
+            "%s.",
             n_styles, n_style_axis,
+            f" x {n_space}-way row sharding" if n_space > 1 else "",
         )
+        if n_space > 1:
+            return _dp_sp_multi_style(
+                mesh, params, content_img, style_imgs, style_paths,
+                content_path, config, key,
+            )
 
         from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
             resolve_gram_backend,
         )
+        from style_transfer_visualizer_tpu.ops.pallas_conv import (  # noqa: PLC0415
+            resolve_conv_backend,
+        )
 
         gram_backend = resolve_gram_backend(config.hardware.gram_backend)
+        if resolve_conv_backend(config.hardware.conv_backend) == "pallas":
+            logger.warning(
+                "--conv-backend pallas is not supported in batch "
+                "(vmapped multi-style) mode; using the XLA conv.",
+            )
         targets = multi_style_targets(
             params, content_img, style_imgs,
             tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
@@ -337,19 +361,156 @@ def multi_style_transfer(
             bundle, images, state, config, output_path, style_names,
         )
 
-        content_name = Path(content_path).stem
-        saved: list[Path] = []
-        for i, style_path in enumerate(style_paths):
-            final = stv_image_io.prepare_image_for_output(
-                images[i], normalize=opt_cfg.normalize,
+        return _save_multi_style_outputs(
+            images, style_paths, content_path, output_path,
+            normalize=opt_cfg.normalize,
+        )
+
+
+def _dp_sp_multi_style(
+    mesh,
+    params,
+    content_img: jax.Array,
+    style_imgs: list[jax.Array],
+    style_paths: list[str],
+    content_path: str,
+    config: StyleTransferConfig,
+    key: jax.Array,
+) -> list[Path]:
+    """S styles x N row shards on one mesh (configs[2] x configs[3]).
+
+    Each device holds a row block of its styles' images; convolutions
+    halo-exchange over the space axis and Gram partials psum over ICI,
+    while styles stay embarrassingly parallel on the style axis. Style
+    Gram targets compute whole-image (style images need no divisibility
+    property); content targets shard like the images.
+    """
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        Targets,
+    )
+    from style_transfer_visualizer_tpu.parallel.multistyle import (  # noqa: PLC0415
+        MultiStyleBundle,
+        initialize_multi_inputs,
+    )
+    from style_transfer_visualizer_tpu.parallel.spatial import (  # noqa: PLC0415
+        build_dp_sp_update,
+        compute_sharded_targets,
+    )
+
+    opt_cfg = config.optimization
+    if opt_cfg.optimizer != "adam":
+        msg = (
+            "--styles with --spatial-shards currently supports the "
+            "adam optimizer (the sharded L-BFGS history would need a "
+            "per-style two-loop recursion over both axes)."
+        )
+        raise ValueError(msg)
+
+    precision = _precision(config.hardware.precision)
+    style_layers = tuple(opt_cfg.style_layers)
+    content_layers = tuple(opt_cfg.content_layers)
+    n_styles = len(style_imgs)
+
+    grams = [
+        compute_targets(
+            params, s, s, style_layers, (), precision=precision,
+        ).style_grams
+        for s in style_imgs
+    ]
+    content_only = compute_sharded_targets(
+        mesh, params, content_img, content_img, (), content_layers,
+        precision=precision,
+    )
+    # Stack/broadcast directly into the dp x sp sharding: an eager
+    # broadcast would transiently materialize S identical full-size
+    # feature maps (GBs at 4K x 8 styles) before the reshard.
+    from jax.sharding import NamedSharding  # noqa: PLC0415
+    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+    from style_transfer_visualizer_tpu.constants import (  # noqa: PLC0415
+        MESH_AXIS_SPACE,
+        MESH_AXIS_STYLE,
+    )
+
+    target_shardings = Targets(
+        style_grams={
+            k: NamedSharding(mesh, P(MESH_AXIS_STYLE))
+            for k in style_layers
+        },
+        content_feats={
+            k: NamedSharding(
+                mesh,
+                P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None),
             )
-            out_file = stv_runtime.stylized_image_path_from_names(
-                output_path, content_name, Path(style_path).stem,
-            )
-            stv_image_io.save_array_as_image(final, out_file)
-            logger.info("Stylized image saved to: %s", out_file)
-            saved.append(out_file)
-        return saved
+            for k in content_layers
+        },
+    )
+
+    def stack_targets(grams_list, feats):
+        return Targets(
+            style_grams={
+                k: jnp.stack([g[k] for g in grams_list])
+                for k in style_layers
+            },
+            content_feats={
+                k: jnp.broadcast_to(f, (n_styles, *f.shape))
+                for k, f in feats.items()
+            },
+        )
+
+    stacked = jax.jit(stack_targets, out_shardings=target_shardings)(
+        grams, content_only.content_feats,
+    )
+    update_fn, state = build_dp_sp_update(
+        mesh, params, stacked, tuple(content_img.shape), n_styles,
+        lr=opt_cfg.lr,
+        style_w=opt_cfg.style_w,
+        content_w=opt_cfg.content_w,
+        style_layers=style_layers,
+        content_layers=content_layers,
+        precision=precision,
+    )
+    bundle = MultiStyleBundle(
+        update_fn=update_fn, opt_state=state, targets=stacked,
+    )
+    images = initialize_multi_inputs(
+        content_img, opt_cfg.init_method, key, n_styles,
+    )
+    output_path = stv_runtime.setup_output_directory(config.output.output)
+    style_names = [Path(p).stem for p in style_paths]
+    images, state = _run_multi_style_loop(
+        bundle, images, state, config, output_path, style_names,
+    )
+    return _save_multi_style_outputs(
+        images, style_paths, content_path, output_path,
+        normalize=opt_cfg.normalize,
+    )
+
+
+def _save_multi_style_outputs(
+    images: jax.Array,
+    style_paths: list[str],
+    content_path: str,
+    output_path: Path,
+    *,
+    normalize: bool,
+) -> list[Path]:
+    """Persist one stylized PNG per style with canonical names."""
+    content_name = Path(content_path).stem
+    saved: list[Path] = []
+    for i, style_path in enumerate(style_paths):
+        final = stv_image_io.prepare_image_for_output(
+            images[i], normalize=normalize,
+        )
+        out_file = stv_runtime.stylized_image_path_from_names(
+            output_path, content_name, Path(style_path).stem,
+        )
+        stv_image_io.save_array_as_image(final, out_file)
+        logger.info("Stylized image saved to: %s", out_file)
+        saved.append(out_file)
+    return saved
 
 
 def _run_multi_style_loop(
@@ -548,6 +709,12 @@ def _prepare_model_and_input(
             tile_rows_style = auto_tile_rows(
                 style_h, style_w_px, tuple(opt_cfg.style_layers),
             )
+        if gram_backend == "pallas":
+            logger.info(
+                "Banded evaluation accumulates raw Gram partials with "
+                "its own fused path; --gram-backend pallas does not "
+                "apply while tiling.",
+            )
         targets = compute_tiled_targets(
             params,
             style_img,
@@ -557,6 +724,7 @@ def _prepare_model_and_input(
             tile_rows_style=tile_rows_style,
             tile_rows_content=tile_rows,
             precision=_precision(precision_name),
+            conv_backend=conv_backend,
         )
     else:
         targets = compute_targets(
@@ -719,6 +887,9 @@ def _resolve_tile_rows(
 
         validate_tiling(height, opt_cfg.tile_rows, taps)
         return opt_cfg.tile_rows
+    if opt_cfg.tile_rows == 0:
+        # Explicit off-switch: whole-image evaluation regardless of size.
+        return 0
     if height * width < AUTO_TILE_PIXEL_THRESHOLD:
         return 0
     from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415

@@ -181,6 +181,10 @@ def _run_conv(
     if b_ != 1:
         msg = "pallas conv kernel expects batch 1 (the pixel problem)"
         raise ValueError(msg)
+    # The VMEM stage and accumulator are float32.
+    x = x.astype(jnp.float32)
+    w9 = w9.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     # Pad channels to lane width so every matmul maps onto the MXU; pad
     # H by the SAME-padding halo rows; pad W so both the input and
     # output memrefs' second-minor dims are sublane (8) aligned —

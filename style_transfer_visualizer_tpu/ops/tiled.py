@@ -134,6 +134,7 @@ def _raw_band_partials(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     precision: jax.lax.Precision | None,
+    conv_backend: str = "xla",
 ) -> tuple[dict[int, jax.Array], dict[int, jax.Array]]:
     """One band's raw Gram partials and content squared-error sums.
 
@@ -148,6 +149,7 @@ def _raw_band_partials(
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = extract_features(
         params, window, taps, precision=precision,
+        conv_backend=conv_backend,
     )
     grams: dict[int, jax.Array] = {}
     content_sq: dict[int, jax.Array] = {}
@@ -187,8 +189,13 @@ def tiled_style_content_losses(
     *,
     tile_rows: int,
     precision: jax.lax.Precision | None = None,
+    conv_backend: str = "xla",
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Per-layer losses computed band-by-band; exact vs the plain path.
+
+    The band Gram partials are raw (unclamped, unnormalized) sums the
+    fused Pallas Gram kernel cannot produce, so ``gram_backend`` does
+    not apply here; ``conv_backend`` selects the band conv kernel.
 
     The scan body is rematerialized (``jax.checkpoint``) so the backward
     pass replays one band at a time instead of keeping every band's
@@ -209,7 +216,7 @@ def tiled_style_content_losses(
         valid_offset = i * tile_rows - win_start
         return _raw_band_partials(
             params, window, valid_offset, tile_rows, targets, i,
-            style_layers, content_layers, precision,
+            style_layers, content_layers, precision, conv_backend,
         )
 
     contrib = jax.checkpoint(band_contrib)
@@ -256,6 +263,7 @@ def tiled_style_content_losses(
     jax.jit,
     static_argnames=(
         "style_layers", "content_layers", "tile_rows", "precision",
+        "conv_backend",
     ),
 )
 def tiled_total_loss(
@@ -268,11 +276,13 @@ def tiled_total_loss(
     content_layers: tuple[int, ...],
     tile_rows: int,
     precision: jax.lax.Precision | None = None,
+    conv_backend: str = "xla",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss via band tiling; same contract as total_loss."""
     style_losses, content_losses = tiled_style_content_losses(
         params, x, targets, style_layers, content_layers,
         tile_rows=tile_rows, precision=precision,
+        conv_backend=conv_backend,
     )
     zero = jnp.zeros((), dtype=x.dtype)
     style_score = (
@@ -289,7 +299,7 @@ def tiled_total_loss(
     jax.jit,
     static_argnames=(
         "style_layers", "content_layers", "tile_rows_style",
-        "tile_rows_content", "precision",
+        "tile_rows_content", "precision", "conv_backend",
     ),
 )
 def compute_tiled_targets(
@@ -301,6 +311,7 @@ def compute_tiled_targets(
     tile_rows_style: int | None = None,
     tile_rows_content: int | None = None,
     precision: jax.lax.Precision | None = None,
+    conv_backend: str = "xla",
 ):
     """Targets via band tiling (either image may also run untiled).
 
@@ -320,14 +331,14 @@ def compute_tiled_targets(
         return compute_targets(
             params, style_img, content_img,
             tuple(style_layers), tuple(content_layers),
-            precision=precision,
+            precision=precision, conv_backend=conv_backend,
         )
 
     # --- Style Grams -----------------------------------------------------
     if tile_rows_style is None:
         style_grams = compute_targets(
             params, style_img, content_img, tuple(style_layers), (),
-            precision=precision,
+            precision=precision, conv_backend=conv_backend,
         ).style_grams
     else:
         zeros = Targets(style_grams={}, content_feats={})
@@ -348,7 +359,7 @@ def compute_tiled_targets(
             grams, _ = _raw_band_partials(
                 params, window, i * tile_rows_style - win_start,
                 tile_rows_style, zeros, i, tuple(style_layers), (),
-                precision,
+                precision, conv_backend,
             )
             return {k: carry[k] + grams[k] for k in carry}, None
 
@@ -372,7 +383,7 @@ def compute_tiled_targets(
     elif tile_rows_content is None:
         content_feats = compute_targets(
             params, style_img, content_img, (), tuple(content_layers),
-            precision=precision,
+            precision=precision, conv_backend=conv_backend,
         ).content_feats
     else:
         b, gh, gw, _ = content_img.shape
@@ -392,6 +403,7 @@ def compute_tiled_targets(
             )
             acts = extract_features(
                 params, window, taps, precision=precision,
+                conv_backend=conv_backend,
             )
             valid_offset = i * tile_rows_content - win_start
             new_carry = {}

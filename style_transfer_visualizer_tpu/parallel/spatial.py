@@ -463,8 +463,9 @@ def build_dp_sp_update(
     pixel gradients are row-local.
 
     Returns ``(update_fn, initial_state)`` where ``update_fn(images,
-    state) -> (images, state, per_style_losses)`` is jitted with donated
-    carries.
+    state) -> (images, state, StepAux)`` is jitted with donated carries;
+    the aux carries per-style ``(S,)`` loss/style/content arrays (the
+    same telemetry contract as the single-problem step).
     """
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
         Targets,
@@ -487,27 +488,30 @@ def build_dp_sp_update(
     def block_fn(params, x_blk, targets_blk, mu_blk, nu_blk, count):
         def loss_of(xb):
             def one_style(x_s, grams, feats):
-                return _sharded_loss_shard_fn(
-                    params,
-                    x_s,
-                    Targets(style_grams=grams, content_feats=feats),
-                    style_w=style_w,
-                    content_w=content_w,
-                    style_layers=tuple(style_layers),
-                    content_layers=tuple(content_layers),
-                    global_shape=tuple(image_shape),
-                    axis_name=MESH_AXIS_SPACE,
-                    precision=precision,
-                )[0]
+                total, style_score, content_score = (
+                    _sharded_loss_shard_fn(
+                        params,
+                        x_s,
+                        Targets(style_grams=grams, content_feats=feats),
+                        style_w=style_w,
+                        content_w=content_w,
+                        style_layers=tuple(style_layers),
+                        content_layers=tuple(content_layers),
+                        global_shape=tuple(image_shape),
+                        axis_name=MESH_AXIS_SPACE,
+                        precision=precision,
+                    )
+                )
+                return total, (style_score, content_score)
 
-            per_style = jax.vmap(one_style)(
+            per_style, scores = jax.vmap(one_style)(
                 xb, targets_blk.style_grams, targets_blk.content_feats,
             )
-            return jnp.sum(per_style), per_style
+            return jnp.sum(per_style), (per_style, *scores)
 
-        (_, per_style), grad = jax.value_and_grad(
-            loss_of, has_aux=True,
-        )(x_blk)
+        (_, (per_style, style_scores, content_scores)), grad = (
+            jax.value_and_grad(loss_of, has_aux=True)(x_blk)
+        )
 
         # Shard-local Adam on this device's pixel block (shared math
         # with the single-device optimizer; shape-agnostic).
@@ -527,6 +531,8 @@ def build_dp_sp_update(
             new_state.nu,
             new_state.count,
             per_style,
+            style_scores,
+            content_scores,
         )
 
     mapped = jax.shard_map(
@@ -538,16 +544,26 @@ def build_dp_sp_update(
         ),
         out_specs=(
             image_specs, image_specs, image_specs, P(),
-            P(MESH_AXIS_STYLE),
+            P(MESH_AXIS_STYLE), P(MESH_AXIS_STYLE), P(MESH_AXIS_STYLE),
         ),
     )
 
     def update(images, state):
-        mu, nu, count = state
-        x_new, mu, nu, count, per_style = mapped(
-            params, images, stacked_targets, mu, nu, count,
+        from style_transfer_visualizer_tpu.engine.optimizers import (  # noqa: PLC0415
+            StepAux,
         )
-        return x_new, (mu, nu, count), per_style
+
+        mu, nu, count = state
+        x_new, mu, nu, count, per_style, style_scores, content_scores = (
+            mapped(params, images, stacked_targets, mu, nu, count)
+        )
+        aux = StepAux(
+            loss=per_style,
+            style_score=style_scores,
+            content_score=content_scores,
+            n_evals=jnp.ones_like(count),
+        )
+        return x_new, (mu, nu, count), aux
 
     zeros = jnp.zeros((n_styles, *image_shape), jnp.float32)
     init_state = (

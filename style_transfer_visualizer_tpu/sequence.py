@@ -33,6 +33,10 @@ from style_transfer_visualizer_tpu.models.features import (
 )
 from style_transfer_visualizer_tpu.utils.logging import logger
 
+# Per-frame step budgets fuse into scan dispatches of at most this many
+# steps (bounds the compiled executable size; matches the runner's cap).
+_SEQUENCE_MAX_CHUNK = 50
+
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.config import StyleTransferConfig
     from style_transfer_visualizer_tpu.models.vgg19 import Params
@@ -138,7 +142,22 @@ def _build_sequence_update(
             n, opt_cfg.lbfgs_history_size,
         )
 
-    return jax.jit(update), init_state
+    def update_many(x, state, targets, k: int):
+        def body(carry, _):
+            xc, st = carry
+            xc, st, aux = update(xc, st, targets)
+            return (xc, st), aux
+
+        (x, state), auxes = jax.lax.scan(
+            body, (x, state), None, length=k,
+        )
+        return x, state, auxes
+
+    return (
+        jax.jit(update),
+        jax.jit(update_many, static_argnums=(3,)),
+        init_state,
+    )
 
 
 def stylize_sequence(
@@ -185,7 +204,7 @@ def stylize_sequence(
     first_content = stv_image_io.load_image_to_array(
         frames[0], normalize=opt_cfg.normalize,
     )
-    update, init_state = _build_sequence_update(
+    update, update_many, init_state = _build_sequence_update(
         params, tuple(first_content.shape), config,
     )
 
@@ -227,9 +246,17 @@ def stylize_sequence(
             x = initialize_input(content, opt_cfg.init_method, key)
         # else: warm start — keep x from the previous stylized frame.
 
+        # No per-step host work happens inside a frame's budget, so the
+        # whole budget fuses into as few dispatches as possible (the
+        # chunk cap bounds executable compile time).
         state = init_state()
-        for _ in range(opt_cfg.steps):
-            x, state, aux = update(x, state, targets)
+        chunk = min(opt_cfg.steps, _SEQUENCE_MAX_CHUNK)
+        remaining = opt_cfg.steps
+        while remaining > 0:
+            k = min(chunk, remaining)
+            x, state, auxes = update_many(x, state, targets, k)
+            remaining -= k
+        aux = jax.tree.map(lambda a: a[-1], auxes)
         total_steps += opt_cfg.steps
 
         out_path = output_dir / f"stylized_{frame_path.stem}.png"

@@ -335,11 +335,13 @@ class TestDpSpCombined:
         images = jnp.stack([content * 0.5, content * 0.2])
         losses = []
         for _ in range(3):
-            images, state, per_style = update_fn(images, state)
-            losses.append(np.asarray(per_style))
+            images, state, aux = update_fn(images, state)
+            losses.append(np.asarray(aux.loss))
         assert losses[0].shape == (2,)
         assert np.all(losses[-1] < losses[0])
         assert images.shape == (2, 1, 32, 32, 3)
+        assert aux.style_score.shape == (2,)
+        assert aux.content_score.shape == (2,)
 
 
 class TestSpatialStepBundle:
@@ -413,6 +415,28 @@ class TestSpatialStepBundle:
             float(aux_single.style_score), rtol=1e-4,
         )
 
+    def test_spatial_chunked_dispatch(self, tiny_params, images) -> None:
+        """lax.scan over the shard_map'd update: k steps, one dispatch."""
+        content, styles = images
+        _, spatial, row = self._bundles(
+            tiny_params, content, styles[0], "adam", n_space=2,
+        )
+        x1 = jax.device_put(content * 0.5, row)
+        s1 = spatial.opt_state
+        for _ in range(3):
+            x1, s1, _ = spatial.update_fn(x1, s1)
+
+        _, spatial2, _ = self._bundles(
+            tiny_params, content, styles[0], "adam", n_space=2,
+        )
+        x2, s2, auxes = spatial2.chunked_update_fn(
+            jax.device_put(content * 0.5, row), spatial2.opt_state, 3,
+        )
+        assert auxes.loss.shape == (3,)
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x1), rtol=1e-4, atol=1e-6,
+        )
+
     def test_spatial_steps_decrease_loss(self, tiny_params, images) -> None:
         content, styles = images
         _, spatial, row = self._bundles(
@@ -470,6 +494,75 @@ class TestSpatialStepBundle:
         )
         with pytest.raises(ValueError, match="mutually exclusive"):
             style_transfer(make_input_paths(), cfg)
+
+
+class TestDpSpDefaultTaps:
+    @pytest.mark.slow
+    def test_full_step_default_layer_set(self, tiny_params) -> None:
+        """dp x sp update with the production taps (through index 28)."""
+        from style_transfer_visualizer_tpu.models.features import Targets
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            build_dp_sp_update,
+            compute_sharded_targets,
+        )
+
+        style_layers = (0, 5, 10, 19, 28)
+        content_layers = (21,)
+        rng = np.random.default_rng(7)
+        content = jnp.asarray(
+            rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+        )
+        styles = [
+            jnp.asarray(
+                rng.uniform(size=(1, 64, 64, 3)).astype(np.float32),
+            )
+            for _ in range(2)
+        ]
+        mesh = create_mesh(n_style=2, n_space=2)
+        per_style = [
+            compute_sharded_targets(
+                mesh, tiny_params, s, content,
+                style_layers, content_layers, precision=HIGH,
+            )
+            for s in styles
+        ]
+        stacked = Targets(
+            style_grams={
+                k: jnp.stack([t.style_grams[k] for t in per_style])
+                for k in style_layers
+            },
+            content_feats={
+                k: jnp.stack([t.content_feats[k] for t in per_style])
+                for k in content_layers
+            },
+        )
+        update_fn, state = build_dp_sp_update(
+            mesh, tiny_params, stacked, tuple(content.shape), 2,
+            lr=0.05, style_w=1e5, content_w=1.0,
+            style_layers=style_layers, content_layers=content_layers,
+            precision=HIGH,
+        )
+        images = jnp.stack([content * 0.5, content * 0.2])
+        first = None
+        for _ in range(2):
+            images, state, aux = update_fn(images, state)
+            if first is None:
+                first = np.asarray(aux.loss)
+        last = np.asarray(aux.loss)
+        assert np.all(np.isfinite(last))
+        assert np.all(last < first)
+
+        # Cross-check the sharded per-style losses against the
+        # unsharded loss at the same point.
+        ref_targets = compute_targets(
+            tiny_params, styles[0], content, style_layers,
+            content_layers, precision=HIGH,
+        )
+        ref0, _ = total_loss(
+            tiny_params, content * 0.5, ref_targets, 1e5, 1.0,
+            style_layers, content_layers, HIGH,
+        )
+        np.testing.assert_allclose(float(first[0]), float(ref0), rtol=1e-4)
 
 
 class TestShardDivisibility:

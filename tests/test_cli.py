@@ -365,3 +365,74 @@ class TestMultiStyleArtifacts:
                 str(content), [str(s) for s in styles], cfg,
             )
         assert "does not produce timelapse" in caplog.text
+
+
+class TestMultiStyleSpatialCombined:
+    """--styles x --spatial-shards: dp x sp on one mesh."""
+
+    def _inputs(self, tmp_path):
+        from PIL import Image
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (96, 72), (180, 0, 0)).save(s1)  # odd style size
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+        return content, [s1, s2]
+
+    def test_dp_sp_end_to_end(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._inputs(tmp_path)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 3, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0, 5], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu", "spatial_shards": 2},
+            "output": {
+                "output": str(tmp_path / "out"),
+                "log_every": 1,
+                "log_loss": str(tmp_path / "out" / "l.csv"),
+            },
+        })
+        saved = multi_style_transfer(
+            str(content), [str(s) for s in styles], cfg,
+        )
+        assert [p.name for p in saved] == [
+            "stylized_c_x_s1.png", "stylized_c_x_s2.png",
+        ]
+        for p in saved:
+            assert p.exists()
+        # Per-style CSVs carry the sharded per-style telemetry.
+        for name in ("l_s1.csv", "l_s2.csv"):
+            lines = (tmp_path / "out" / name).read_text().splitlines()
+            assert len(lines) == 4  # header + 3 steps
+
+    def test_dp_sp_rejects_lbfgs(self, tmp_path) -> None:
+        import pytest as _pytest
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._inputs(tmp_path)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 1, "optimizer": "lbfgs",
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True,
+            },
+            "hardware": {"device": "cpu", "spatial_shards": 2},
+            "output": {"output": str(tmp_path / "out")},
+        })
+        with _pytest.raises(ValueError, match="adam"):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )

@@ -438,6 +438,29 @@ class TestChunkedDispatch:
             callbacks=OptimizationCallbacks(on_step_end=lambda m: None),
         )
         assert runner._resolve_chunk_size() == 1
+        # A gcd above the cap shrinks along DIVISORS (60 -> 30, never
+        # 50, which would skip every 60-step frame).
+        runner, _ = runner_factory(
+            steps=300, video={"save_every": 60},
+            chunked_update_fn=fake_chunked(),
+            video_writer=MemorySink(),
+        )
+        assert runner._resolve_chunk_size() == 30
+
+    def test_unaligned_chunk_still_syncs_near_cadence(
+        self, runner_factory,
+    ) -> None:
+        """chunk=25 with log_every=10: every chunk crosses a boundary."""
+        runner, _ = runner_factory(
+            steps=50, output={"log_every": 10},
+            chunked_update_fn=fake_chunked(),
+        )
+        assert runner._resolve_chunk_size() == 25
+        runner.run()
+        # The latest logged losses are from a chunk end, within one
+        # chunk of the cadence (not stale by 2+ chunks).
+        assert runner._latest_logged is not None
+        assert runner._latest_logged.step == 50
 
     def test_chunked_run_matches_single_step(
         self, make_style_transfer_config,

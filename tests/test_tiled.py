@@ -212,11 +212,14 @@ def test_resolve_tile_rows_validates_forced_value(
     with pytest.raises(ValueError, match="divisible"):
         _resolve_tile_rows(cfg, 64, 64)
     # Small inputs never auto-tile.
-    cfg.optimization.tile_rows = 0
+    cfg.optimization.tile_rows = -1
     assert _resolve_tile_rows(cfg, 64, 64) == 0
     # 4K-class inputs auto-tile to a valid band height.
     rows = _resolve_tile_rows(cfg, 2160, 3840)
     assert rows and 2160 % rows == 0
+    # 0 is an explicit off-switch, even at 4K.
+    cfg.optimization.tile_rows = 0
+    assert _resolve_tile_rows(cfg, 2160, 3840) == 0
 
 
 def test_tiled_targets_mixed_modes(params) -> None:
