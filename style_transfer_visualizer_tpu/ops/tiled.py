@@ -103,14 +103,16 @@ def auto_tile_rows(
     global_w: int,
     taps: tuple[int, ...],
     *,
-    max_band_pixels: int = 1536 * 2048,
+    max_band_pixels: int = 3_500_000,
 ) -> int | None:
     """Pick a band height for auto-tiling, or None if none fits.
 
     Chooses the largest valid ``tile_rows`` whose *window* (band plus
-    margins) stays under ``max_band_pixels`` — sized to the largest
-    whole-image graph known to compile and fit on one chip (1440p-class,
-    BASELINE.md). Fewer bands means less margin recompute overhead.
+    margins) stays under ``max_band_pixels`` — just under the largest
+    whole-image graph known to compile and fit on one chip (1440p-class
+    3.77MP with remat, BASELINE.md; the band body is checkpointed the
+    same way). Fewer bands means less margin-recompute overhead:
+    measured at 4K, 3 bands of 720 run 17% faster than 5 of 432.
     """
     margin, align = receptive_margin(taps)
     for n_tiles in range(2, 65):
