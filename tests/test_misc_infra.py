@@ -72,3 +72,26 @@ class TestNativeLoader:
         )
         with pytest.raises(loader.NativeBuildError, match="compiler"):
             loader.build_library()
+
+
+def test_profile_dir_writes_trace(
+    make_style_transfer_config, make_input_paths, tmp_path,
+) -> None:
+    """--profile-dir captures a jax.profiler trace of the loop."""
+    from style_transfer_visualizer_tpu.main import style_transfer
+
+    profile_dir = tmp_path / "trace"
+    cfg = make_style_transfer_config(
+        optimization={
+            "style_layers": [0],
+            "content_layers": [2],
+            "allow_random_weights": True,
+            "optimizer": "adam",
+            "steps": 2,
+        },
+        video={"final_only": True},
+        output={"profile_dir": str(profile_dir)},
+    )
+    style_transfer(make_input_paths(), cfg)
+    traces = list(profile_dir.rglob("*"))
+    assert any(p.is_file() for p in traces), traces

@@ -462,8 +462,9 @@ class TestChunkedDispatch:
         assert runner._latest_logged is not None
         assert runner._latest_logged.step == 50
 
+    @pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
     def test_chunked_run_matches_single_step(
-        self, make_style_transfer_config,
+        self, make_style_transfer_config, optimizer,
     ) -> None:
         """Real jitted bundle: fused dispatch is bit-identical."""
         import jax
@@ -488,9 +489,9 @@ class TestChunkedDispatch:
         def run_with(steps_per_dispatch: int):
             bundle = build_update_step(
                 params, targets, tuple(content.shape),
-                optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
+                optimizer=optimizer, lr=0.05, style_w=10.0, content_w=1.0,
                 style_layers=layers[0], content_layers=layers[1],
-                precision="highest",
+                precision="highest", lbfgs_history_size=4,
             )
             cfg = make_style_transfer_config(
                 optimization={"steps": 12},
