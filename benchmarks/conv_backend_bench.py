@@ -4,6 +4,11 @@ from style_transfer_visualizer_tpu.engine.step import build_update_step
 from style_transfer_visualizer_tpu.models import vgg19
 from style_transfer_visualizer_tpu.models.features import compute_targets, initialize_input
 
+from style_transfer_visualizer_tpu.utils.cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
 SIZE = 512
 params = vgg19.init_random_params(jax.random.key(0))
 sl, cl = (0, 5, 10, 19, 28), (21,)

@@ -12,6 +12,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+from style_transfer_visualizer_tpu.utils.cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
 WARMUP = 3
 CHUNK = 10
 CHUNKS = 5

@@ -7,6 +7,11 @@ from style_transfer_visualizer_tpu.models.features import (
 )
 from style_transfer_visualizer_tpu.engine.optimizers import adam_init, adam_step
 
+from style_transfer_visualizer_tpu.utils.cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
 SIZE = 512
 K = 25
 params = vgg19.init_random_params(jax.random.key(0))

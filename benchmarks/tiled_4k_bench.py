@@ -12,6 +12,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+from style_transfer_visualizer_tpu.utils.cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
 H, W = 2160, 3840
 WARMUP = 2
 CHUNK = 5

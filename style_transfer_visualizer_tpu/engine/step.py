@@ -153,14 +153,15 @@ def build_update_step(
             return new_flat.reshape(image_shape), new_state, aux
 
     elif optimizer == "adam":
-        opt_state = adam_init(n)
+        # Adam moments carry the image's own shape: elementwise math
+        # doesn't care, and skipping the flatten avoids a relayout
+        # between the conv-backward output and the optimizer update.
+        opt_state = adam_init(tuple(image_shape))
 
         def update(image, state: AdamState, params, targets):
-            flat = image.reshape(n)
-            new_flat, new_state, aux = adam_step(
-                lambda f: vag(f, params, targets), flat, state, lr,
+            return adam_step(
+                lambda im: vag(im, params, targets), image, state, lr,
             )
-            return new_flat.reshape(image_shape), new_state, aux
 
     else:
         msg = f"Unknown optimizer: {optimizer!r}"

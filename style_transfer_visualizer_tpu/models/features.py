@@ -27,12 +27,12 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     Params,
 )
 from style_transfer_visualizer_tpu.ops.gram import gram_apply
-
-if TYPE_CHECKING:
-    from style_transfer_visualizer_tpu.type_defs import InitMethod
+from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
 
 _CONV_DIMS = ("NHWC", "HWIO", "NHWC")
 
+if TYPE_CHECKING:
+    from style_transfer_visualizer_tpu.type_defs import InitMethod
 
 @dataclass(frozen=True)
 class Targets:
@@ -74,15 +74,8 @@ def _apply_layer(
             precision=precision,
         ) + layer["b"]
     if kind == RELU:
-        return jnp.maximum(x, 0.0)
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+        return relu(x)
+    return maxpool_2x2(x)
 
 
 def _pallas_conv(
@@ -123,7 +116,11 @@ def _sweep(
 
     A conv fuses with its following ReLU only when the conv itself is
     not a tap (style taps sample the PRE-ReLU conv output, matching the
-    reference's block slicing) and the ReLU is inside the range.
+    reference's block slicing) and the ReLU is inside the range. On the
+    XLA backend conv and ReLU stay separate ops — a custom-VJP fused
+    conv+bias+ReLU was built and measured at parity with this (the
+    flipped-kernel backward conv costs exactly what XLA's transposed
+    conv does), so the simpler formulation stands.
     """
     acts: dict[int, jax.Array] = {}
     i = 0

@@ -171,13 +171,17 @@ def build_multi_style_update(
                 lambda _: lbfgs_init(n, lbfgs_history_size),
             )(jnp.arange(n_styles))
     elif optimizer == "adam":
-        def single_update(flat, state, style_targets):
+        # Image-shaped moments (see engine.optimizers.adam_init): the
+        # per-style update runs entirely in the NHWC device layout.
+        def single_update(img, state, style_targets):
             return adam_step(
-                lambda f: single_vag(f, style_targets), flat, state, lr,
+                lambda im: single_vag(im, style_targets), img, state, lr,
             )
 
         def init_state():
-            return jax.vmap(lambda _: adam_init(n))(jnp.arange(n_styles))
+            return jax.vmap(
+                lambda _: adam_init(tuple(image_shape)),
+            )(jnp.arange(n_styles))
     else:
         msg = f"Unknown optimizer: {optimizer!r}"
         raise ValueError(msg)
@@ -193,12 +197,19 @@ def build_multi_style_update(
     opt_state = jax.jit(init_state, out_shardings=state_shardings)()
 
     def update(images: jax.Array, state, step_targets: Targets):
-        flats = images.reshape(n_styles, n)
-        new_flats, new_state, aux = jax.vmap(single_update)(
-            flats, state, step_targets,
+        # L-BFGS needs flat vectors (dot products over history pairs);
+        # Adam stays in image shape. The reshapes are no-ops when the
+        # shape already matches.
+        xs = (
+            images.reshape(n_styles, n)
+            if optimizer == "lbfgs"
+            else images
+        )
+        new_xs, new_state, aux = jax.vmap(single_update)(
+            xs, state, step_targets,
         )
         return (
-            new_flats.reshape(n_styles, *image_shape),
+            new_xs.reshape(n_styles, *image_shape),
             new_state,
             aux,
         )

@@ -36,6 +36,7 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     RELU,
     pools_before,
 )
+from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
 
 if TYPE_CHECKING:
     from jax.sharding import Mesh
@@ -133,16 +134,9 @@ def sharded_extract_features(
                 x, layer["w"], layer["b"], axis_name, precision,
             )
         elif kind == RELU:
-            x = jnp.maximum(x, 0.0)
+            x = relu(x)
         elif kind == POOL:
-            x = jax.lax.reduce_window(
-                x,
-                -jnp.inf,
-                jax.lax.max,
-                window_dimensions=(1, 2, 2, 1),
-                window_strides=(1, 2, 2, 1),
-                padding="VALID",
-            )
+            x = maxpool_2x2(x)
         if idx in tap_set:
             acts[idx] = x
         if idx >= last:

@@ -84,6 +84,17 @@ def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
             "a different optimizer configuration?"
         )
         raise ValueError(msg)
+    # Reshape same-size leaves to the current layout: optimizer state
+    # shapes are an internal detail (e.g. Adam moments moved from flat
+    # vectors to image shape), and a checkpoint written by an older
+    # build should still resume.
+    like_leaves = jax.tree_util.tree_leaves(opt_state_like)
+    leaves = [
+        leaf.reshape(like.shape)
+        if leaf.size == like.size and leaf.shape != like.shape
+        else leaf
+        for leaf, like in zip(leaves, like_leaves)
+    ]
     opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     logger.info(
         "Resumed checkpoint from step %d: %s", meta["step"], path,

@@ -120,13 +120,12 @@ def _build_sequence_update(
 
     if opt_cfg.optimizer == "adam":
         def update(x, state, targets):
-            flat, new_state, aux = adam_step(
-                lambda f: vag_with_targets(f, targets),
-                x.reshape(n), state, opt_cfg.lr,
+            return adam_step(
+                lambda im: vag_with_targets(im, targets),
+                x, state, opt_cfg.lr,
             )
-            return flat.reshape(image_shape), new_state, aux
 
-        init_state = lambda: adam_init(n)  # noqa: E731
+        init_state = lambda: adam_init(tuple(image_shape))  # noqa: E731
     else:
         def update(x, state, targets):
             flat, new_state, aux = lbfgs_step(
