@@ -1,0 +1,82 @@
+"""Multi-style batch throughput: 1 content x 8 styles at 512px.
+
+BASELINE.json configs[2]. On a single chip the style axis is a
+1-device mesh and the batch rides vmap; on a pod slice the same code
+shards styles across chips.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.parallel.mesh import create_mesh
+from style_transfer_visualizer_tpu.parallel.multistyle import (
+    build_multi_style_update,
+    initialize_multi_inputs,
+    multi_style_targets,
+)
+from style_transfer_visualizer_tpu.utils.cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
+
+SIZE = 512
+N_STYLES = 8
+K_CHUNK = 10
+CHUNKS = 4
+
+
+def main() -> None:
+    params = vgg19.init_random_params(jax.random.key(0))
+    sl, cl = (0, 5, 10, 19, 28), (21,)
+    key = jax.random.key(1)
+    shape = (1, SIZE, SIZE, 3)
+    content = jax.random.uniform(key, shape, jnp.float32)
+    styles = [
+        jax.random.uniform(jax.random.fold_in(key, s), shape, jnp.float32)
+        for s in range(N_STYLES)
+    ]
+
+    mesh = create_mesh(n_style=1, n_space=1)
+    targets = multi_style_targets(
+        params, content, styles, sl, cl,
+        precision=jax.lax.Precision.HIGH,
+    )
+    bundle = build_multi_style_update(
+        mesh, params, targets, shape, N_STYLES,
+        optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
+        style_layers=sl, content_layers=cl, precision="high",
+    )
+    images = initialize_multi_inputs(
+        content, "random", jax.random.key(2), N_STYLES,
+    )
+    state = bundle.opt_state
+    update = bundle.update_fn
+
+    # Warm past BOTH compiles: the first call compiles, and because the
+    # carried buffers are donated, the second call sees the output
+    # layouts and compiles once more before reaching the fixed point.
+    for _ in range(3):
+        images, state, _ = update(images, state)
+        jax.block_until_ready(images)
+    best = 1e9
+    for _ in range(CHUNKS):
+        t0 = time.perf_counter()
+        for _ in range(K_CHUNK):
+            images, state, _ = update(images, state)
+        jax.block_until_ready(images)
+        best = min(best, (time.perf_counter() - t0) / K_CHUNK)
+    print(json.dumps({
+        "metric": "multistyle_batch_steps_per_sec_512px",
+        "n_styles": N_STYLES,
+        "precision": "high",
+        "batch_steps_per_sec": round(1 / best, 3),
+        "style_steps_per_sec": round(N_STYLES / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
