@@ -57,7 +57,7 @@ def main() -> None:
         params, targets, tuple(content.shape),
         optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
         style_layers=style_layers, content_layers=content_layers,
-        precision="high",  # the pipeline default (parity-grade)
+        precision="mixed",  # the pipeline default (parity-grade)
     )
 
     x = initialize_input(content, "random", jax.random.key(2))

@@ -258,12 +258,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "help": "Device to run on (e.g., 'tpu' or 'cpu')",
             }),
             ("--precision", {
-                "choices": ["highest", "high", "default"],
+                "choices": ["highest", "mixed", "high", "default"],
                 "default": suppress,
                 "help": (
                     "MXU matmul precision: 'highest' keeps f32 "
-                    "accumulation for loss-curve parity; 'default' allows "
-                    "bf16 passes for speed."
+                    "everywhere; 'mixed' (the default) keeps f32 for the "
+                    "error-dominant early conv blocks and Gram products "
+                    "(holds 1e-3 loss-curve parity at near-'high' "
+                    "speed); 'default' allows bf16 passes for top speed."
                 ),
             }),
             ("--gram-backend", {

@@ -21,11 +21,14 @@ DEFAULT_LOG_EVERY = 10
 
 # --- Hardware ---------------------------------------------------------
 DEFAULT_DEVICE = "tpu"
-# "high" (3-pass bf16 on the MXU, ~f32 fidelity) tracks the f32
-# reference loss curve within 5.1e-4 over 100 steps — measurably closer
-# than "highest" (8.8e-4) and 45% faster. Both sit inside the 1e-3
-# parity gate; "default" trades gradient fidelity for full throughput.
-DEFAULT_PRECISION: PrecisionName = "high"
+# "mixed" runs bf16x3 convs with the first two VGG blocks and the Gram
+# contractions in f32 — the measured sweet spot that holds the 1e-3
+# curve-parity gate with ~2.5x margin (per-eval loss error 6e-5 vs
+# "high"'s 1.9e-4, which chaos-amplifies to 0.5-1.3e-3 over 100 steps)
+# at ~87% of the "high" tier's throughput. "highest" is full f32;
+# "default" trades gradient fidelity (up to 10%) for top speed. See
+# ops/precision.py and BASELINE.md for the error-attribution numbers.
+DEFAULT_PRECISION: PrecisionName = "mixed"
 # "auto" resolves each kernel family to the measured-fastest backend
 # (see BASELINE.md for the e2e numbers behind the resolution).
 DEFAULT_GRAM_BACKEND: GramBackendName = "auto"

@@ -27,9 +27,14 @@ from style_transfer_visualizer_tpu.models.features import (
     total_loss,
 )
 from style_transfer_visualizer_tpu.models.vgg19 import Params
+from style_transfer_visualizer_tpu.ops.precision import (
+    MIXED,
+    PrecisionPolicy,
+)
 
-_PRECISIONS = {
+_PRECISIONS: dict[str, jax.lax.Precision | PrecisionPolicy] = {
     "highest": jax.lax.Precision.HIGHEST,
+    "mixed": MIXED,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
@@ -59,8 +64,14 @@ class StepBundle(NamedTuple):
     chunked_update_fn: Callable | None = None
 
 
-def resolve_precision(name: str) -> jax.lax.Precision:
-    """Map a config precision name to a lax.Precision."""
+def resolve_precision(name: str) -> jax.lax.Precision | PrecisionPolicy:
+    """Map a config precision name to a lax.Precision or policy.
+
+    "mixed" — the pipeline default — resolves to the
+    :data:`~style_transfer_visualizer_tpu.ops.precision.MIXED` policy
+    (bf16x3 convs with the first two blocks and the Gram contractions in
+    f32), which holds the 1e-3 curve-parity gate at near-``high`` speed.
+    """
     try:
         return _PRECISIONS[name]
     except KeyError:

@@ -29,6 +29,7 @@ from style_transfer_visualizer_tpu.models.features import (
     initialize_input,
 )
 from style_transfer_visualizer_tpu.models.vgg19 import load_vgg19_params
+from style_transfer_visualizer_tpu.ops.precision import PrecisionPolicy
 from style_transfer_visualizer_tpu.type_defs import InputPaths, SaveOptions
 from style_transfer_visualizer_tpu.utils.logging import logger
 
@@ -912,7 +913,7 @@ def _resolve_tile_rows(
     return rows
 
 
-def _precision(name: str) -> jax.lax.Precision:
+def _precision(name: str) -> jax.lax.Precision | PrecisionPolicy:
     from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
         resolve_precision,
     )

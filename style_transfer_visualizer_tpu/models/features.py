@@ -28,6 +28,10 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
 )
 from style_transfer_visualizer_tpu.ops.gram import gram_apply
 from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
+from style_transfer_visualizer_tpu.ops.precision import (
+    PrecisionLike,
+    conv_precision,
+)
 
 _CONV_DIMS = ("NHWC", "HWIO", "NHWC")
 
@@ -60,7 +64,7 @@ def _apply_layer(
     params: Params,
     idx: int,
     x: jax.Array,
-    precision: jax.lax.Precision | None,
+    precision: PrecisionLike,
 ) -> jax.Array:
     kind = LAYER_TABLE[idx][0]
     if kind == CONV:
@@ -71,7 +75,7 @@ def _apply_layer(
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=_CONV_DIMS,
-            precision=precision,
+            precision=conv_precision(precision, idx),
         ) + layer["b"]
     if kind == RELU:
         return relu(x)
@@ -82,7 +86,7 @@ def _pallas_conv(
     params: Params,
     idx: int,
     x: jax.Array,
-    precision: jax.lax.Precision | None,
+    precision: PrecisionLike,
     fuse_relu: bool,
 ) -> jax.Array:
     from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
@@ -100,7 +104,7 @@ def _pallas_conv(
         layer["b"],
         fuse_relu,
         not _running_on_tpu(),
-        precision,
+        conv_precision(precision, idx),
     )
 
 
@@ -109,7 +113,7 @@ def _sweep(
     x: jax.Array,
     indices: tuple[int, ...],
     tap_set: frozenset[int],
-    precision: jax.lax.Precision | None,
+    precision: PrecisionLike,
     conv_backend: str,
 ) -> tuple[jax.Array, dict[int, jax.Array]]:
     """Run a contiguous layer range, fusing conv+ReLU pairs on Pallas.
@@ -156,7 +160,7 @@ def extract_features(
     x: jax.Array,
     taps: tuple[int, ...],
     *,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     remat: bool = False,
     conv_backend: str = "xla",
 ) -> dict[int, jax.Array]:
@@ -226,7 +230,7 @@ def compute_targets(
     content_img: jax.Array,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     gram_backend: str = "xla",
     conv_backend: str = "xla",
 ) -> Targets:
@@ -262,7 +266,7 @@ def compute_content_targets(
     params: Params,
     content_img: jax.Array,
     content_layers: tuple[int, ...],
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
 ) -> dict[int, jax.Array]:
     """Content activation targets only (style grams unchanged).
 
@@ -288,7 +292,7 @@ def style_content_losses(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     *,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     remat: bool = False,
     gram_backend: str = "xla",
     conv_backend: str = "xla",
@@ -330,7 +334,7 @@ def total_loss(
     content_w: jax.Array | float,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     remat: bool = False,
     gram_backend: str = "xla",
     conv_backend: str = "xla",

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from style_transfer_visualizer_tpu.constants import GRAM_MATRIX_CLAMP_MAX
+from style_transfer_visualizer_tpu.ops.precision import (
+    PrecisionLike,
+    gram_precision,
+)
 
 
 def gram_matrix(
@@ -71,14 +75,16 @@ def gram_apply(
     features: jax.Array,
     *,
     backend: str = "xla",
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
 ) -> jax.Array:
     """Gram matrix via the selected kernel (same semantics either way).
 
     ``backend`` must already be concrete ("xla" or "pallas" — resolve
     "auto" once at setup with ``resolve_gram_backend`` so the choice is
-    a stable static argument under jit).
+    a stable static argument under jit). A ``PrecisionPolicy`` resolves
+    to its Gram-contraction precision here.
     """
+    precision = gram_precision(precision)
     if backend == "pallas":
         from style_transfer_visualizer_tpu.ops.pallas_gram import (  # noqa: PLC0415
             gram_matrix_pallas,

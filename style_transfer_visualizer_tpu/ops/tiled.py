@@ -39,6 +39,10 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     LAYER_TABLE,
     pools_before,
 )
+from style_transfer_visualizer_tpu.ops.precision import (
+    PrecisionLike,
+    gram_precision,
+)
 
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.models.features import Targets
@@ -135,7 +139,7 @@ def _raw_band_partials(
     tile_index: jax.Array,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
-    precision: jax.lax.Precision | None,
+    precision: PrecisionLike,
     conv_backend: str = "xla",
 ) -> tuple[dict[int, jax.Array], dict[int, jax.Array]]:
     """One band's raw Gram partials and content squared-error sums.
@@ -169,7 +173,7 @@ def _raw_band_partials(
             grams[idx] = jax.lax.dot_general(
                 flat, flat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=precision,
+                precision=gram_precision(precision),
                 preferred_element_type=jnp.float32,
             )
         if idx in content_layers:
@@ -190,7 +194,7 @@ def tiled_style_content_losses(
     content_layers: tuple[int, ...],
     *,
     tile_rows: int,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     conv_backend: str = "xla",
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Per-layer losses computed band-by-band; exact vs the plain path.
@@ -277,7 +281,7 @@ def tiled_total_loss(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     tile_rows: int,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     conv_backend: str = "xla",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss via band tiling; same contract as total_loss."""
@@ -312,7 +316,7 @@ def compute_tiled_targets(
     content_layers: tuple[int, ...],
     tile_rows_style: int | None = None,
     tile_rows_content: int | None = None,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     conv_backend: str = "xla",
 ):
     """Targets via band tiling (either image may also run untiled).

@@ -26,6 +26,7 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
     lbfgs_step,
 )
 from style_transfer_visualizer_tpu.engine.step import resolve_precision
+from style_transfer_visualizer_tpu.ops.precision import PrecisionLike
 from style_transfer_visualizer_tpu.models.features import (
     Targets,
     compute_content_targets,
@@ -57,7 +58,7 @@ def multi_style_targets(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     *,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     gram_backend: str = "xla",
 ) -> Targets:
     """Per-style targets stacked along a leading style axis.

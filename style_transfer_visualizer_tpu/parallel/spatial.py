@@ -37,6 +37,11 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     pools_before,
 )
 from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
+from style_transfer_visualizer_tpu.ops.precision import (
+    PrecisionLike,
+    conv_precision,
+    gram_precision,
+)
 
 if TYPE_CHECKING:
     from jax.sharding import Mesh
@@ -99,7 +104,7 @@ def _sharded_conv(
     w: jax.Array,
     b: jax.Array,
     axis_name: str,
-    precision: jax.lax.Precision | None,
+    precision: PrecisionLike,
 ) -> jax.Array:
     """3x3 stride-1 SAME conv over row-sharded activations."""
     padded = _exchange_halos(x, axis_name)
@@ -119,7 +124,7 @@ def sharded_extract_features(
     taps: tuple[int, ...],
     *,
     axis_name: str = MESH_AXIS_SPACE,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
 ) -> dict[int, jax.Array]:
     """Per-shard activations at each tap (rows stay sharded throughout)."""
     if not taps:
@@ -131,7 +136,8 @@ def sharded_extract_features(
         if kind == CONV:
             layer = params[idx]
             x = _sharded_conv(
-                x, layer["w"], layer["b"], axis_name, precision,
+                x, layer["w"], layer["b"], axis_name,
+                conv_precision(precision, idx),
             )
         elif kind == RELU:
             x = relu(x)
@@ -150,7 +156,7 @@ def sharded_gram(
     *,
     axis_name: str = MESH_AXIS_SPACE,
     clamp_max: float = GRAM_MATRIX_CLAMP_MAX,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
 ) -> jax.Array:
     """Global Gram from a row-sharded feature map: psum of partials.
 
@@ -163,7 +169,7 @@ def sharded_gram(
     partial_gram = jax.lax.dot_general(
         flat, flat,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=precision,
+        precision=gram_precision(precision),
         preferred_element_type=jnp.float32,
     )
     raw = jax.lax.psum(partial_gram, axis_name)
@@ -181,7 +187,7 @@ def _sharded_loss_shard_fn(
     content_layers: tuple[int, ...],
     global_shape: tuple[int, ...],
     axis_name: str,
-    precision: jax.lax.Precision | None,
+    precision: PrecisionLike,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-shard loss body.
 
@@ -234,7 +240,7 @@ def build_sharded_loss(
     content_w: float,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
 ):
     """Return loss_fn(image) computed with rows sharded over ``axis_name``.
@@ -291,7 +297,7 @@ def make_spatial_loss(
     content_w: float,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
 ):
     """Spatially-sharded loss with the single-device loss's contract.
@@ -373,7 +379,7 @@ def compute_sharded_targets(
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     *,
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
 ):
     """Targets for the sharded loss: replicated Grams, sharded content."""
@@ -443,7 +449,7 @@ def build_dp_sp_update(
     content_w: float = 1.0,
     style_layers: tuple[int, ...] = (0, 5),
     content_layers: tuple[int, ...] = (2,),
-    precision: jax.lax.Precision | None = None,
+    precision: PrecisionLike = None,
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 

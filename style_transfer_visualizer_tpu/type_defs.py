@@ -27,7 +27,7 @@ VideoMode = Literal["realtime", "postprocess"]
 OptimizerName = Literal["lbfgs", "adam"]
 
 #: MXU matmul precision tiers (TPU-framework addition).
-PrecisionName = Literal["highest", "high", "default"]
+PrecisionName = Literal["highest", "mixed", "high", "default"]
 
 #: Gram-matrix kernel selection: "auto" resolves to the measured-fastest
 #: backend (TPU-framework addition).

@@ -27,7 +27,7 @@ class TestDefaults:
         assert cfg.video.mode == "realtime"
         assert cfg.video.mode_override is False
         assert cfg.hardware.device == "tpu"
-        assert cfg.hardware.precision == "high"
+        assert cfg.hardware.precision == "mixed"
         assert cfg.output.output == "out"
         assert cfg.output.plot_losses is True
 
