@@ -399,7 +399,7 @@ def log_parameters(
     logger.info("Conv Backend: %s", cfg.hardware.conv_backend)
     if cfg.hardware.spatial_shards > 1:
         logger.info("Spatial Shards: %d", cfg.hardware.spatial_shards)
-    if cfg.optimization.tile_rows:
+    if cfg.optimization.tile_rows > 0:
         logger.info("Tile Rows: %d", cfg.optimization.tile_rows)
     if cfg.hardware.steps_per_dispatch:
         logger.info(

@@ -46,12 +46,20 @@ def _ring_write(
 @partial(jax.jit, donate_argnums=(0,))
 def _ring_write_block(
     buffer: jax.Array,
-    idx: jax.Array,
+    start: jax.Array,
     rows: jax.Array,
 ) -> jax.Array:
-    return jax.lax.dynamic_update_slice(
-        buffer, rows.astype(buffer.dtype), (idx, 0),
-    )
+    """Write k rows at ``start``, wrapping modulo the capacity.
+
+    A modular scatter keeps the row-block shape fixed, so one
+    executable serves every write offset — slicing the block into
+    head/tail pieces would compile a distinct executable per wrap
+    length (dozens over a long run when gcd(chunk, capacity) == 1).
+    Callers must pass k <= capacity (duplicate scatter indices have
+    unspecified write order).
+    """
+    idx = (start + jnp.arange(rows.shape[0])) % buffer.shape[0]
+    return buffer.at[idx].set(rows.astype(buffer.dtype))
 
 
 class LossAccumulator:
@@ -174,18 +182,11 @@ class LossAccumulator:
                 self._write_index = 0
             else:
                 k_eff = k
-                head = min(k, self._capacity - self._write_index)
                 self._buffer = _ring_write_block(
                     self._buffer,
                     jnp.asarray(self._write_index, jnp.int32),
-                    rows[:head],
+                    rows,
                 )
-                if head < k:  # wrap around to the start
-                    self._buffer = _ring_write_block(
-                        self._buffer,
-                        jnp.asarray(0, jnp.int32),
-                        rows[head:],
-                    )
                 self._write_index = (
                     self._write_index + k
                 ) % self._capacity

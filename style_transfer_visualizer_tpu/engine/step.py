@@ -79,6 +79,42 @@ def resolve_precision(name: str) -> jax.lax.Precision | PrecisionPolicy:
         raise ValueError(msg) from None
 
 
+def make_chunked_update(
+    update: Callable,
+    *,
+    n_extra_args: int = 0,
+    donate: bool = True,
+) -> Callable:
+    """Jit a k-step ``lax.scan`` over a single-step update function.
+
+    ``update(image, state, *extra)`` must return ``(image, state,
+    aux)``; the result is ``chunked(image, state, *extra, k)`` running
+    ``k`` steps as one dispatch with per-step aux stacked along a
+    leading ``k`` axis. ``k`` is a static argument (one executable per
+    distinct chunk size). ``donate`` donates the carried image/state
+    buffers — the scan reuses them anyway, and the per-dispatch
+    donation overhead amortizes over ``k``.
+    """
+    def multi(image, state, *rest):
+        *extra, k = rest
+
+        def body(carry, _):
+            img, st = carry
+            img, st, aux = update(img, st, *extra)
+            return (img, st), aux
+
+        (img, st), auxes = jax.lax.scan(
+            body, (image, state), None, length=k,
+        )
+        return img, st, auxes
+
+    return jax.jit(
+        multi,
+        static_argnums=(2 + n_extra_args,),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def build_update_step(
     params: Params,
     targets: Targets,
@@ -196,22 +232,9 @@ def build_update_step(
     def update_fn(image: jax.Array, state: OptState):
         return jitted(image, state, params, targets)
 
-    def multi(image, state, params, targets, k: int):
-        def body(carry, _):
-            img, st = carry
-            img, st, aux = update(img, st, params, targets)
-            return (img, st), aux
-
-        (img, st), auxes = jax.lax.scan(
-            body, (image, state), None, length=k,
-        )
-        return img, st, auxes
-
     # Chunks always donate: the k-step scan reuses the carried buffers
     # anyway, and the per-dispatch donation overhead amortizes over k.
-    jitted_multi = jax.jit(
-        multi, static_argnums=(4,), donate_argnums=(0, 1),
-    )
+    jitted_multi = make_chunked_update(update, n_extra_args=2)
 
     def chunked_update_fn(image: jax.Array, state: OptState, k: int):
         return jitted_multi(image, state, params, targets, k)

@@ -92,6 +92,7 @@ def gram_apply(
 
         return gram_matrix_pallas(
             features, GRAM_MATRIX_CLAMP_MAX, None, not _running_on_tpu(),
+            precision,
         )
     return gram_matrix(features, precision=precision)
 

@@ -32,24 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from style_transfer_visualizer_tpu.ops.kernel_util import (
+    mosaic_precision,
+    round_up,
+)
+
 _LANE = 128
-
-
-def _round_up(value: int, multiple: int) -> int:
-    return ((value + multiple - 1) // multiple) * multiple
-
-
-def mosaic_precision(precision):
-    """Map a lax.Precision to one Mosaic's dot lowering accepts.
-
-    Mosaic supports DEFAULT and HIGHEST but not HIGH (the 3-pass bf16
-    tier); HIGH rounds up to HIGHEST inside the kernel.
-    """
-    if precision in (
-        jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST,
-    ):
-        return jax.lax.Precision.HIGHEST
-    return precision
 
 
 def _pick_tile_h(h: int, w: int, c_in: int, c_out: int) -> int:
@@ -85,7 +73,6 @@ def _conv_kernel(
     *,
     h: int,
     w: int,
-    w_in: int,
     c_in: int,
     c_out: int,
     tile_h: int,
@@ -190,10 +177,10 @@ def _run_conv(
     # output memrefs' second-minor dims are sublane (8) aligned —
     # Mosaic requires aligned slice shapes for strided HBM DMA. The
     # extra zero columns produce relu(bias) junk that is cropped off.
-    c_in_p = _round_up(c_in, _LANE)
-    c_out_p = _round_up(c_out, _LANE)
-    w_out_p = _round_up(w, 8)
-    w_in_p = _round_up(w_out_p + 2, 8)
+    c_in_p = round_up(c_in, _LANE)
+    c_out_p = round_up(c_out, _LANE)
+    w_out_p = round_up(w, 8)
+    w_in_p = round_up(w_out_p + 2, 8)
     x = jnp.pad(
         x,
         ((0, 0), (1, 1), (1, w_in_p - w - 1), (0, c_in_p - c_in)),
@@ -207,7 +194,7 @@ def _run_conv(
     tile_h = _pick_tile_h(h, w_in_p, c_in_p, c_out_p)
     kernel = partial(
         _conv_kernel,
-        h=h, w=w_out_p, w_in=w_in_p,
+        h=h, w=w_out_p,
         c_in=c_in_p, c_out=c_out_p, tile_h=tile_h,
         apply_relu=apply_relu, precision=mosaic_precision(precision),
     )

@@ -24,6 +24,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from style_transfer_visualizer_tpu.constants import GRAM_MATRIX_CLAMP_MAX
+from style_transfer_visualizer_tpu.ops.kernel_util import (
+    mosaic_precision,
+    round_up,
+)
 
 _LANE = 128
 _SUBLANE = 8
@@ -33,16 +37,13 @@ _SUBLANE = 8
 _TILE_P = 512
 
 
-def _round_up(value: int, multiple: int) -> int:
-    return ((value + multiple - 1) // multiple) * multiple
-
-
 def _gram_accumulate_kernel(
     f_ref,
     raw_ref,
     acc_ref,
     *,
     num_tiles: int,
+    precision,
 ) -> None:
     """Grid step: acc += tile^T tile; emit raw Gram on the last step."""
     step = pl.program_id(0)
@@ -57,6 +58,7 @@ def _gram_accumulate_kernel(
         tile,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
     @pl.when(step == num_tiles - 1)
@@ -64,11 +66,13 @@ def _gram_accumulate_kernel(
         raw_ref[:] = acc_ref[:]
 
 
-def _raw_gram(features: jax.Array, interpret: bool) -> jax.Array:
+def _raw_gram(
+    features: jax.Array, interpret: bool, precision,
+) -> jax.Array:
     """Unclamped, unnormalized C x C Gram of a (P, C) block via Pallas."""
     p, c = features.shape
-    c_pad = _round_up(c, _LANE)
-    p_pad = _round_up(max(p, _SUBLANE), _TILE_P)
+    c_pad = round_up(c, _LANE)
+    p_pad = round_up(max(p, _SUBLANE), _TILE_P)
     if (p_pad, c_pad) != (p, c):
         features = jnp.pad(
             features, ((0, p_pad - p), (0, c_pad - c)),
@@ -76,7 +80,11 @@ def _raw_gram(features: jax.Array, interpret: bool) -> jax.Array:
     num_tiles = p_pad // _TILE_P
 
     raw = pl.pallas_call(
-        partial(_gram_accumulate_kernel, num_tiles=num_tiles),
+        partial(
+            _gram_accumulate_kernel,
+            num_tiles=num_tiles,
+            precision=mosaic_precision(precision),
+        ),
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -102,21 +110,23 @@ def _raw_gram(features: jax.Array, interpret: bool) -> jax.Array:
     return raw[:c, :c]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def gram_matrix_pallas(
     features: jax.Array,
     clamp_max: float = GRAM_MATRIX_CLAMP_MAX,
     n_norm: int | None = None,
     interpret: bool = False,
+    precision: jax.lax.Precision | None = None,
 ) -> jax.Array:
     """Gram matrix of (B, H, W, C) features via the fused TPU kernel.
 
     Semantics match ``ops.gram.gram_matrix``: per-element clamp at
     ``clamp_max`` before dividing by ``n_norm`` (defaults to B*C*H*W).
     ``interpret=True`` runs the kernel in the Pallas interpreter for
-    CPU-backend testing.
+    CPU-backend testing. ``precision`` applies to the forward MXU
+    accumulation (via ``mosaic_precision``) and the backward matmul.
     """
-    out, _ = _gram_fwd(features, clamp_max, n_norm, interpret)
+    out, _ = _gram_fwd(features, clamp_max, n_norm, interpret, precision)
     return out
 
 
@@ -132,16 +142,17 @@ def _gram_fwd(
     clamp_max: float,
     n_norm: int | None,
     interpret: bool,
+    precision: jax.lax.Precision | None = None,
 ):
     b, h, w, c = features.shape
     flat = features.reshape(b * h * w, c)
-    raw = _raw_gram(flat, interpret)
+    raw = _raw_gram(flat, interpret, precision)
     norm = _norm_of(features, n_norm)
     out = jnp.minimum(raw, clamp_max) / norm
     return out, (flat, raw, features.shape)
 
 
-def _gram_bwd(clamp_max, n_norm, interpret, residuals, g):
+def _gram_bwd(clamp_max, n_norm, interpret, precision, residuals, g):
     flat, raw, shape = residuals
     norm = jnp.asarray(
         n_norm
@@ -159,6 +170,7 @@ def _gram_bwd(clamp_max, n_norm, interpret, residuals, g):
         sym,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return (dflat.reshape(shape),)
 

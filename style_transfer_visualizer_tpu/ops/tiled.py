@@ -39,6 +39,7 @@ from style_transfer_visualizer_tpu.models.vgg19 import (
     LAYER_TABLE,
     pools_before,
 )
+from style_transfer_visualizer_tpu.ops.kernel_util import round_up
 from style_transfer_visualizer_tpu.ops.precision import (
     PrecisionLike,
     gram_precision,
@@ -47,10 +48,6 @@ from style_transfer_visualizer_tpu.ops.precision import (
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.models.features import Targets
     from style_transfer_visualizer_tpu.models.vgg19 import Params
-
-
-def _round_up(value: int, multiple: int) -> int:
-    return ((value + multiple - 1) // multiple) * multiple
 
 
 def receptive_margin(taps: tuple[int, ...]) -> tuple[int, int]:
@@ -70,7 +67,7 @@ def receptive_margin(taps: tuple[int, ...]) -> tuple[int, int]:
         if kind == CONV
     )
     align = 2 ** pools_before(last)
-    return _round_up(radius, align), align
+    return round_up(radius, align), align
 
 
 def validate_tiling(

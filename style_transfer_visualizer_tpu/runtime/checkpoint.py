@@ -84,17 +84,30 @@ def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
             "a different optimizer configuration?"
         )
         raise ValueError(msg)
-    # Reshape same-size leaves to the current layout: optimizer state
-    # shapes are an internal detail (e.g. Adam moments moved from flat
-    # vectors to image shape), and a checkpoint written by an older
-    # build should still resume.
+    # Migration shim: Adam moments moved from flat (N,) vectors to the
+    # image's own shape, and a checkpoint written by an older build
+    # should still resume. Only flat<->shaped reshapes are accepted —
+    # a blanket same-size reshape would silently scramble state whose
+    # sizes coincide for any other reason (e.g. a transposed layout).
     like_leaves = jax.tree_util.tree_leaves(opt_state_like)
-    leaves = [
-        leaf.reshape(like.shape)
-        if leaf.size == like.size and leaf.shape != like.shape
-        else leaf
-        for leaf, like in zip(leaves, like_leaves)
-    ]
+    reshaped = []
+    for i, (leaf, like) in enumerate(zip(leaves, like_leaves)):
+        if leaf.shape == like.shape:
+            reshaped.append(leaf)
+            continue
+        flat_migration = (
+            leaf.size == like.size
+            and (leaf.ndim == 1 or like.ndim == 1)
+        )
+        if not flat_migration:
+            msg = (
+                f"Checkpoint state leaf {i} has shape {leaf.shape} but "
+                f"the current optimizer expects {like.shape} — the "
+                "checkpoint was saved with an incompatible configuration."
+            )
+            raise ValueError(msg)
+        reshaped.append(leaf.reshape(like.shape))
+    leaves = reshaped
     opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     logger.info(
         "Resumed checkpoint from step %d: %s", meta["step"], path,

@@ -24,7 +24,10 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
     lbfgs_init,
     lbfgs_step,
 )
-from style_transfer_visualizer_tpu.engine.step import resolve_precision
+from style_transfer_visualizer_tpu.engine.step import (
+    make_chunked_update,
+    resolve_precision,
+)
 from style_transfer_visualizer_tpu.models.features import (
     Targets,
     compute_content_targets,
@@ -141,20 +144,11 @@ def _build_sequence_update(
             n, opt_cfg.lbfgs_history_size,
         )
 
-    def update_many(x, state, targets, k: int):
-        def body(carry, _):
-            xc, st = carry
-            xc, st, aux = update(xc, st, targets)
-            return (xc, st), aux
-
-        (x, state), auxes = jax.lax.scan(
-            body, (x, state), None, length=k,
-        )
-        return x, state, auxes
-
     return (
         jax.jit(update),
-        jax.jit(update_many, static_argnums=(3,)),
+        # No donation: the warm-start path re-reads the carried image
+        # across frames.
+        make_chunked_update(update, n_extra_args=1, donate=False),
         init_state,
     )
 

@@ -51,6 +51,24 @@ def test_optimizer_mismatch(tmp_path) -> None:
         load_checkpoint(path, lbfgs_init(12, history_size=3))
 
 
+def test_flat_to_shaped_migration(tmp_path) -> None:
+    """Flat Adam moments from an older build reshape to the image shape."""
+    img = jnp.zeros((1, 4, 4, 3))
+    path = save_checkpoint(tmp_path / "ck.npz", 3, img, adam_init(48))
+    ckpt = load_checkpoint(path, adam_init((1, 4, 4, 3)))
+    assert ckpt.opt_state.mu.shape == (1, 4, 4, 3)
+
+
+def test_same_size_different_shape_rejected(tmp_path) -> None:
+    """Non-flat shape mismatches raise instead of silently reshaping."""
+    img = jnp.zeros((1, 4, 4, 3))
+    path = save_checkpoint(
+        tmp_path / "ck.npz", 3, img, adam_init((1, 4, 4, 3)),
+    )
+    with pytest.raises(ValueError, match="incompatible configuration"):
+        load_checkpoint(path, adam_init((1, 3, 4, 4)))
+
+
 def test_runner_saves_checkpoints(
     tmp_path, make_style_transfer_config,
 ) -> None:
