@@ -10,6 +10,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from style_transfer_visualizer_tpu.engine.step import (
+    resolve_precision,
+)
 from style_transfer_visualizer_tpu.models import vgg19
 from style_transfer_visualizer_tpu.parallel.mesh import create_mesh
 from style_transfer_visualizer_tpu.parallel.multistyle import (
@@ -43,12 +46,12 @@ def main() -> None:
     mesh = create_mesh(n_style=1, n_space=1)
     targets = multi_style_targets(
         params, content, styles, sl, cl,
-        precision=jax.lax.Precision.HIGH,
+        precision=resolve_precision("mixed"),
     )
     bundle = build_multi_style_update(
         mesh, params, targets, shape, N_STYLES,
         optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
-        style_layers=sl, content_layers=cl, precision="high",
+        style_layers=sl, content_layers=cl, precision="mixed",
     )
     images = initialize_multi_inputs(
         content, "random", jax.random.key(2), N_STYLES,
@@ -72,7 +75,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "multistyle_batch_steps_per_sec_512px",
         "n_styles": N_STYLES,
-        "precision": "high",
+        "precision": "mixed",
         "batch_steps_per_sec": round(1 / best, 3),
         "style_steps_per_sec": round(N_STYLES / best, 2),
     }))

@@ -61,7 +61,7 @@ def main() -> None:
         params, targets, tuple(content.shape),
         optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
         style_layers=style_layers, content_layers=content_layers,
-        precision="high", tile_rows=tile_rows,
+        precision="mixed", tile_rows=tile_rows,
     )
     x = initialize_input(content, "random", jax.random.key(2))
     state = bundle.opt_state
@@ -87,7 +87,7 @@ def main() -> None:
                 "metric": "adam_steps_per_sec_4k_tiled",
                 "size": [H, W],
                 "tile_rows": tile_rows,
-                "precision": "high",
+                "precision": "mixed",
                 "steps_per_sec": round(CHUNK / best, 3),
             },
         ),
