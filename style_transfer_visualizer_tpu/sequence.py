@@ -12,6 +12,7 @@ length — recompiling per frame would dwarf the optimization cost.
 """
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import TYPE_CHECKING, NamedTuple
 
@@ -48,10 +49,16 @@ _FRAME_SUFFIXES = (".png", ".jpg", ".jpeg", ".bmp")
 
 
 class SequenceResult(NamedTuple):
-    """Outcome of a sequence run."""
+    """Outcome of a sequence run.
+
+    ``frame_seconds[i]`` is frame i's wall time (load -> targets ->
+    optimize -> save); frame 0 additionally pays the one-time compile,
+    so steady-state throughput is ``frame_seconds[1:]``.
+    """
 
     frame_paths: list[Path]
     total_steps: int
+    frame_seconds: list[float] = []
 
 
 def _natural_key(path: Path) -> tuple:
@@ -209,9 +216,11 @@ def stylize_sequence(
     )
 
     outputs: list[Path] = []
+    frame_seconds: list[float] = []
     total_steps = 0
     x = None
     for i, frame_path in enumerate(frames):
+        frame_start = time.perf_counter()
         content = (
             first_content
             if i == 0
@@ -258,9 +267,11 @@ def stylize_sequence(
         )
         stv_image_io.save_array_as_image(prepared, out_path)
         outputs.append(out_path)
+        frame_seconds.append(time.perf_counter() - frame_start)
         logger.info(
-            "Frame %d/%d stylized (loss %.4g): %s",
-            i + 1, len(frames), float(aux.loss), out_path,
+            "Frame %d/%d stylized (loss %.4g, %.2fs): %s",
+            i + 1, len(frames), float(aux.loss), frame_seconds[-1],
+            out_path,
         )
 
     if assemble_gif and outputs:
@@ -284,4 +295,8 @@ def stylize_sequence(
             collector.close()
         logger.info("Sequence GIF saved to: %s", gif_path)
 
-    return SequenceResult(frame_paths=outputs, total_steps=total_steps)
+    return SequenceResult(
+        frame_paths=outputs,
+        total_steps=total_steps,
+        frame_seconds=frame_seconds,
+    )
