@@ -26,7 +26,10 @@ from style_transfer_visualizer_tpu.models.features import (
     Targets,
     total_loss,
 )
-from style_transfer_visualizer_tpu.models.vgg19 import Params
+from style_transfer_visualizer_tpu.models.vgg19 import (
+    Params,
+    add_flipped_kernels as vgg19_add_flipped,
+)
 from style_transfer_visualizer_tpu.ops.precision import (
     MIXED,
     PrecisionPolicy,
@@ -155,6 +158,12 @@ def build_update_step(
     shared unchanged.
     """
     prec = resolve_precision(precision)
+    if conv_backend != "pallas" and loss_fn is None:
+        # Ship pre-flipped kernels so the conv backward runs as a plain
+        # forward conv (ops/frozen_conv.py; ~4% off the step on TPU).
+        # Custom loss_fns (the mesh-sharded spatial loss) use their own
+        # conv path and would only replicate unused weight copies.
+        params = vgg19_add_flipped(params)
     n = 1
     for dim in image_shape:
         n *= int(dim)

@@ -69,6 +69,18 @@ def _apply_layer(
     kind = LAYER_TABLE[idx][0]
     if kind == CONV:
         layer = params[idx]
+        if "w_flip" in layer:
+            # Frozen-backbone VJP: backward is a plain forward conv on
+            # the pre-flipped kernel (ops/frozen_conv.py) — faster than
+            # XLA's transposed-conv autodiff on TPU.
+            from style_transfer_visualizer_tpu.ops.frozen_conv import (  # noqa: PLC0415
+                conv3x3_frozen,
+            )
+
+            return conv3x3_frozen(
+                x, layer["w"], layer["w_flip"],
+                conv_precision(precision, idx),
+            ) + layer["b"]
         return jax.lax.conv_general_dilated(
             x,
             layer["w"],

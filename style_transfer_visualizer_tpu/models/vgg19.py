@@ -79,6 +79,28 @@ def pools_before(idx: int) -> int:
 # Params: {layer_index: {"w": (3,3,in,out) f32, "b": (out,) f32}}
 Params = dict[int, dict[str, jax.Array]]
 
+
+def add_flipped_kernels(params: Params) -> Params:
+    """Attach the backward-conv kernel to every conv layer.
+
+    Adds ``"w_flip"`` (rot180 + I/O-transposed ``"w"``) to each conv
+    entry; the feature sweep then routes through the frozen-backbone
+    custom VJP (``ops.frozen_conv``), whose backward is a plain forward
+    conv — measurably faster than XLA's transposed-conv autodiff on
+    TPU. Idempotent; returns a new dict (inputs never mutated).
+    """
+    from style_transfer_visualizer_tpu.ops.frozen_conv import (  # noqa: PLC0415
+        flip_kernel,
+    )
+
+    out: Params = {}
+    for idx, layer in params.items():
+        if "w" in layer and "w_flip" not in layer:
+            out[idx] = {**layer, "w_flip": flip_kernel(layer["w"])}
+        else:
+            out[idx] = layer
+    return out
+
 _DEFAULT_CACHE_DIR = Path(
     os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"),
 ) / "style_transfer_visualizer_tpu"

@@ -137,15 +137,22 @@ def build_multi_style_update(
     buffers are donated.
     """
     prec = resolve_precision(precision)
+    from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
+        add_flipped_kernels,
+    )
+
+    # Pre-flipped kernels route the conv backward through the frozen-
+    # backbone VJP (ops/frozen_conv.py) — replicated like the weights.
+    params = add_flipped_kernels(params)
     n = 1
     for dim in image_shape:
         n *= int(dim)
 
-    def single_vag(flat: jax.Array, style_targets: Targets):
+    def single_vag(flat: jax.Array, p: Params, style_targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
             return total_loss(
-                params, img, style_targets, style_w, content_w,
+                p, img, style_targets, style_w, content_w,
                 tuple(style_layers), tuple(content_layers), prec, remat,
                 gram_backend,
             )
@@ -158,9 +165,9 @@ def build_multi_style_update(
         )
 
     if optimizer == "lbfgs":
-        def single_update(flat, state, style_targets):
+        def single_update(flat, state, p, style_targets):
             return lbfgs_step(
-                lambda f: single_vag(f, style_targets),
+                lambda f: single_vag(f, p, style_targets),
                 flat, state, lr,
                 max_iter=lbfgs_max_iter,
                 max_eval=lbfgs_max_eval,
@@ -174,9 +181,9 @@ def build_multi_style_update(
     elif optimizer == "adam":
         # Image-shaped moments (see engine.optimizers.adam_init): the
         # per-style update runs entirely in the NHWC device layout.
-        def single_update(img, state, style_targets):
+        def single_update(img, state, p, style_targets):
             return adam_step(
-                lambda im: single_vag(im, style_targets), img, state, lr,
+                lambda im: single_vag(im, p, style_targets), img, state, lr,
             )
 
         def init_state():
@@ -197,7 +204,7 @@ def build_multi_style_update(
     )
     opt_state = jax.jit(init_state, out_shardings=state_shardings)()
 
-    def update(images: jax.Array, state, step_targets: Targets):
+    def update(images: jax.Array, state, p: Params, step_targets: Targets):
         # L-BFGS needs flat vectors (dot products over history pairs);
         # Adam stays in image shape. The reshapes are no-ops when the
         # shape already matches.
@@ -206,9 +213,9 @@ def build_multi_style_update(
             if optimizer == "lbfgs"
             else images
         )
-        new_xs, new_state, aux = jax.vmap(single_update)(
-            xs, state, step_targets,
-        )
+        new_xs, new_state, aux = jax.vmap(
+            single_update, in_axes=(0, 0, None, 0),
+        )(xs, state, p, step_targets)
         return (
             new_xs.reshape(n_styles, *image_shape),
             new_state,
@@ -228,18 +235,24 @@ def build_multi_style_update(
         content_score=style_sharding,
         n_evals=style_sharding,
     )
+    # Weights ride as replicated runtime arguments, not closure
+    # constants: baked-in weights bloat the serialized HLO and explode
+    # remote compile times (BASELINE.md backend notes).
+    replicated = NamedSharding(mesh, P())
     jitted = jax.jit(
         update,
         donate_argnums=(0, 1),
         in_shardings=(
-            images_sharding, state_shardings, target_shardings,
+            images_sharding, state_shardings, replicated,
+            target_shardings,
         ),
         out_shardings=(images_sharding, state_shardings, aux_shardings),
     )
     targets = jax.device_put(targets, target_shardings)
+    params = jax.device_put(params, replicated)
 
     def update_fn(images: jax.Array, state):
-        return jitted(images, state, targets)
+        return jitted(images, state, params, targets)
 
     return MultiStyleBundle(
         update_fn=update_fn, opt_state=opt_state, targets=targets,

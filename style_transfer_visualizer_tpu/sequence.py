@@ -107,6 +107,11 @@ def _build_sequence_update(
     executable.
     """
     opt_cfg = cfg.optimization
+    from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
+        add_flipped_kernels,
+    )
+
+    params = add_flipped_kernels(params)
     prec = resolve_precision(cfg.hardware.precision)
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)

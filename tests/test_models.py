@@ -399,3 +399,61 @@ class TestRemat:
         np.testing.assert_allclose(
             np.asarray(gr), np.asarray(gp), rtol=1e-5, atol=1e-8,
         )
+
+
+class TestFrozenConvVJP:
+    """The pre-flipped-kernel backward matches XLA autodiff exactly."""
+
+    def test_gradient_matches_autodiff(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from style_transfer_visualizer_tpu.models import vgg19
+        from style_transfer_visualizer_tpu.models.features import total_loss
+        from style_transfer_visualizer_tpu.models.vgg19 import (
+            add_flipped_kernels,
+        )
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        flipped = add_flipped_kernels(params)
+        sl, cl = (0, 5), (2,)
+        key = jax.random.key(1)
+        x = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+        from style_transfer_visualizer_tpu.models.features import (
+            compute_targets,
+        )
+
+        targets = compute_targets(params, x * 0.5, x, sl, cl)
+
+        def loss_with(p):
+            def f(img):
+                return total_loss(p, img, targets, 1e5, 1.0, sl, cl)
+
+            return jax.grad(f, has_aux=True)(x)[0]
+
+        g_std = loss_with(params)
+        g_frozen = loss_with(flipped)
+        import numpy as np
+
+        np.testing.assert_allclose(
+            np.asarray(g_frozen), np.asarray(g_std), rtol=2e-5, atol=1e-7,
+        )
+
+    def test_add_flipped_idempotent(self) -> None:
+        import jax
+
+        from style_transfer_visualizer_tpu.models import vgg19
+        from style_transfer_visualizer_tpu.models.vgg19 import (
+            add_flipped_kernels,
+        )
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        once = add_flipped_kernels(params)
+        twice = add_flipped_kernels(once)
+        assert all(
+            once[i]["w_flip"] is twice[i]["w_flip"]
+            for i in once
+            if "w_flip" in once[i]
+        )
+        # Originals untouched.
+        assert all("w_flip" not in layer for layer in params.values())
