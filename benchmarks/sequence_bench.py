@@ -92,6 +92,12 @@ def main() -> None:
                 "steady_frame_s": round(per_frame, 3),
                 "frames_per_min": round(60 / per_frame, 2),
                 "steps_per_sec": round(STEPS_PER_FRAME / per_frame, 2),
+                "frame0_final_loss": round(result.frame_losses[0], 3),
+                "warm_mean_final_loss": round(
+                    sum(result.frame_losses[1:])
+                    / len(result.frame_losses[1:]),
+                    3,
+                ),
             },
         ),
     )

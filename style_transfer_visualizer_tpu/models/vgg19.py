@@ -93,13 +93,24 @@ def add_flipped_kernels(params: Params) -> Params:
         flip_kernel,
     )
 
-    out: Params = {}
-    for idx, layer in params.items():
-        if "w" in layer and "w_flip" not in layer:
-            out[idx] = {**layer, "w_flip": flip_kernel(layer["w"])}
-        else:
-            out[idx] = layer
-    return out
+    to_flip = {
+        idx: layer["w"]
+        for idx, layer in params.items()
+        if "w" in layer and "w_flip" not in layer
+    }
+    # One jitted dispatch for all flips: eager per-layer ops cost
+    # seconds each on remote-attached backends (BASELINE.md).
+    flips = (
+        jax.jit(lambda ws: {i: flip_kernel(w) for i, w in ws.items()})(
+            to_flip,
+        )
+        if to_flip
+        else {}
+    )
+    return {
+        idx: {**layer, "w_flip": flips[idx]} if idx in flips else layer
+        for idx, layer in params.items()
+    }
 
 _DEFAULT_CACHE_DIR = Path(
     os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"),

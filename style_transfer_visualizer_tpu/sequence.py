@@ -54,11 +54,14 @@ class SequenceResult(NamedTuple):
     ``frame_seconds[i]`` is frame i's wall time (load -> targets ->
     optimize -> save); frame 0 additionally pays the one-time compile,
     so steady-state throughput is ``frame_seconds[1:]``.
+    ``frame_losses[i]`` is frame i's final total loss — warm-started
+    frames (1..) end lower than frame 0 at equal budgets.
     """
 
     frame_paths: list[Path]
     total_steps: int
-    frame_seconds: list[float] = []
+    frame_seconds: tuple[float, ...] = ()
+    frame_losses: tuple[float, ...] = ()
 
 
 def _natural_key(path: Path) -> tuple:
@@ -123,28 +126,28 @@ def _build_sequence_update(
         total_loss,
     )
 
-    def vag_with_targets(flat: jax.Array, targets: Targets):
+    def vag_with_targets(flat: jax.Array, p: Params, targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
             return total_loss(
-                params, img, targets, opt_cfg.style_w, opt_cfg.content_w,
+                p, img, targets, opt_cfg.style_w, opt_cfg.content_w,
                 style_layers, content_layers, prec,
             )
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 
     if opt_cfg.optimizer == "adam":
-        def update(x, state, targets):
+        def update(x, state, p, targets):
             return adam_step(
-                lambda im: vag_with_targets(im, targets),
+                lambda im: vag_with_targets(im, p, targets),
                 x, state, opt_cfg.lr,
             )
 
         init_state = lambda: adam_init(tuple(image_shape))  # noqa: E731
     else:
-        def update(x, state, targets):
+        def update(x, state, p, targets):
             flat, new_state, aux = lbfgs_step(
-                lambda f: vag_with_targets(f, targets),
+                lambda f: vag_with_targets(f, p, targets),
                 x.reshape(n), state, opt_cfg.lr,
                 max_iter=opt_cfg.lbfgs_max_iter,
                 max_eval=opt_cfg.lbfgs_max_eval,
@@ -156,12 +159,16 @@ def _build_sequence_update(
             n, opt_cfg.lbfgs_history_size,
         )
 
+    # Weights (with their flipped copies) ride as runtime arguments,
+    # not closure constants — baked weights bloat the serialized HLO
+    # and explode remote compile times (BASELINE.md backend notes).
     return (
         jax.jit(update),
         # No donation: the warm-start path re-reads the carried image
         # across frames.
-        make_chunked_update(update, n_extra_args=1, donate=False),
+        make_chunked_update(update, n_extra_args=2, donate=False),
         init_state,
+        params,
     )
 
 
@@ -209,7 +216,7 @@ def stylize_sequence(
     first_content = stv_image_io.load_image_to_array(
         frames[0], normalize=opt_cfg.normalize,
     )
-    update, update_many, init_state = _build_sequence_update(
+    update, update_many, init_state, run_params = _build_sequence_update(
         params, tuple(first_content.shape), config,
     )
 
@@ -222,6 +229,7 @@ def stylize_sequence(
 
     outputs: list[Path] = []
     frame_seconds: list[float] = []
+    frame_losses: list[float] = []
     total_steps = 0
     x = None
     for i, frame_path in enumerate(frames):
@@ -261,7 +269,7 @@ def stylize_sequence(
         remaining = opt_cfg.steps
         while remaining > 0:
             k = min(chunk, remaining)
-            x, state, auxes = update_many(x, state, targets, k)
+            x, state, auxes = update_many(x, state, run_params, targets, k)
             remaining -= k
         aux = jax.tree.map(lambda a: a[-1], auxes)
         total_steps += opt_cfg.steps
@@ -273,9 +281,10 @@ def stylize_sequence(
         stv_image_io.save_array_as_image(prepared, out_path)
         outputs.append(out_path)
         frame_seconds.append(time.perf_counter() - frame_start)
+        frame_losses.append(float(aux.loss))
         logger.info(
             "Frame %d/%d stylized (loss %.4g, %.2fs): %s",
-            i + 1, len(frames), float(aux.loss), frame_seconds[-1],
+            i + 1, len(frames), frame_losses[-1], frame_seconds[-1],
             out_path,
         )
 
@@ -303,5 +312,6 @@ def stylize_sequence(
     return SequenceResult(
         frame_paths=outputs,
         total_steps=total_steps,
-        frame_seconds=frame_seconds,
+        frame_seconds=tuple(frame_seconds),
+        frame_losses=tuple(frame_losses),
     )
