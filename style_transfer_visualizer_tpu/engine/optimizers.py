@@ -17,7 +17,6 @@ closure churn, no host syncs.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

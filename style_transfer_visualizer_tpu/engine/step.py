@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from style_transfer_visualizer_tpu.engine.optimizers import (
     AdamState,

@@ -61,8 +61,11 @@ def style_transfer(
     )
 
     enable_persistent_compilation_cache()
-    key = stv_runtime.setup_random_seed(config.optimization.seed)
+    # Device FIRST: an explicit --device cpu pins the platform before
+    # jax.random.key initializes backends, skipping remote-accelerator
+    # plugin startup (the axon tunnel costs ~1-4 min) entirely.
     device = stv_runtime.setup_device(config.hardware.device)
+    key = stv_runtime.setup_random_seed(config.optimization.seed)
 
     with jax.default_device(device):
         return _run_on_device(paths, config, key)
@@ -259,8 +262,8 @@ def multi_style_transfer(
         stv_runtime.validate_input_paths(content_path, style_path)
 
     opt_cfg = config.optimization
-    key = stv_runtime.setup_random_seed(opt_cfg.seed)
     device = stv_runtime.setup_device(config.hardware.device)
+    key = stv_runtime.setup_random_seed(opt_cfg.seed)
 
     with jax.default_device(device):
         content_img = stv_image_io.load_image_to_array(

@@ -31,6 +31,17 @@ def setup_device(device_name: str) -> jax.Device:
         msg = f"Unknown device: {device_name!r}"
         raise ValueError(msg)
 
+    if platform == "cpu":
+        # Pin the platform BEFORE the first backend use: otherwise
+        # jax.devices() initializes every plugin, and remote-attached
+        # accelerators (the axon tunnel) can block startup for minutes
+        # on a run that never touches them. No-op/harmless if backends
+        # are already up (e.g. under the test suite's global pin).
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:  # pragma: no cover - backend-state dependent
+            pass
+
     if platform != "cpu":
         try:
             device = jax.devices(platform)[0]

@@ -117,3 +117,74 @@ def test_no_wildcard_imports() -> None:
             ):
                 offenders.append(f"{path.name}:{node.lineno}")
     assert not offenders, f"wildcard imports: {offenders}"
+
+
+def test_no_unused_imports() -> None:
+    """Every imported name is referenced somewhere in its module.
+
+    ``__init__.py`` re-exports are exempt (their imports ARE the public
+    API); so are names re-exported via ``__all__`` and conventional
+    underscore-aliased imports.
+    """
+    offenders: list[str] = []
+    for path in _package_sources():
+        if path.name == "__init__.py":
+            continue
+        tree = _parse(path)
+        exported: set[str] = set()
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and any(
+                    isinstance(t, ast.Name) and t.id == "__all__"
+                    for t in node.targets
+                )
+                and isinstance(node.value, (ast.List, ast.Tuple))
+            ):
+                exported |= {
+                    elt.value
+                    for elt in node.value.elts
+                    if isinstance(elt, ast.Constant)
+                }
+        imported: dict[str, int] = {}
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.ImportFrom)
+                and node.module == "__future__"
+            ):
+                continue
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    name = alias.asname or alias.name.split(".")[0]
+                    imported[name] = node.lineno
+            elif isinstance(node, ast.ImportFrom):
+                for alias in node.names:
+                    name = alias.asname or alias.name
+                    imported[name] = node.lineno
+        used: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                used.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                root = node
+                while isinstance(root, ast.Attribute):
+                    root = root.value
+                if isinstance(root, ast.Name):
+                    used.add(root.id)
+        # String annotations ("Params", TYPE_CHECKING-only names) count.
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Constant) and isinstance(
+                node.value, str,
+            ):
+                used |= {
+                    part
+                    for part in node.value.replace(
+                        "[", " ",
+                    ).replace("]", " ").replace("|", " ").split()
+                    if part.isidentifier()
+                }
+        for name, lineno in imported.items():
+            if name.startswith("_") or name in exported or name in used:
+                continue
+            offenders.append(f"{path.name}:{lineno} {name}")
+    assert not offenders, f"unused imports: {offenders}"
