@@ -36,6 +36,7 @@ enable_persistent_compilation_cache()
 
 precision = sys.argv[2]
 steps, size = int(sys.argv[3]), int(sys.argv[4])
+optimizer = sys.argv[5] if len(sys.argv) > 5 else "adam"
 params = vgg19.init_random_params(jax.random.key(0))
 sl, cl = (0, 5, 10, 19, 28), (21,)
 key = jax.random.key(1)
@@ -47,7 +48,8 @@ targets = compute_targets(
     params, style, content, sl, cl, resolve_precision(precision),
 )
 bundle = build_update_step(
-    params, targets, shape, optimizer="adam", lr=0.05,
+    params, targets, shape, optimizer=optimizer,
+    lr=0.05 if optimizer == "adam" else 1.0,
     style_w=1e5, content_w=1.0, style_layers=sl, content_layers=cl,
     precision=precision,
 )
@@ -61,10 +63,12 @@ print(json.dumps([float(v) for v in losses]))
 """
 
 
-def run(backend: str, precision: str) -> list[float]:
+def run(
+    backend: str, precision: str, optimizer: str = "adam",
+) -> list[float]:
     out = subprocess.run(
         [sys.executable, "-c", _CHILD, backend, precision,
-         str(STEPS), str(SIZE)],
+         str(STEPS), str(SIZE), optimizer],
         capture_output=True, text=True, check=True,
         env={**os.environ},
     )
@@ -72,14 +76,22 @@ def run(backend: str, precision: str) -> list[float]:
 
 
 def main() -> None:
-    ref = run("cpu", "highest")
-    for tier in ("highest", "mixed", "high"):
-        got = run("default", tier)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--optimizer", default="adam",
+                    choices=("adam", "lbfgs"))
+    ap.add_argument("--tiers", default="highest,mixed,high")
+    args = ap.parse_args()
+    ref = run("cpu", "highest", args.optimizer)
+    for tier in args.tiers.split(","):
+        got = run("default", tier, args.optimizer)
         rel = max(
             abs(a - b) / max(abs(b), 1e-12) for a, b in zip(got, ref)
         )
         print(json.dumps({
             "metric": "loss_curve_max_rel_dev_vs_cpu_f32",
+            "optimizer": args.optimizer,
             "precision": tier, "steps": STEPS, "size": SIZE,
             "max_rel_dev": f"{rel:.3e}",
             "within_1e3_gate": rel < 1e-3,

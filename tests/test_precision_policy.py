@@ -134,3 +134,71 @@ class TestEndToEnd:
         x, state, aux = bundle.update_fn(x, bundle.opt_state)
         x, state, aux = bundle.chunked_update_fn(x, state, 2)
         assert jnp.isfinite(aux.loss).all()
+
+
+class TestPolicyThroughAlternatePaths:
+    """MIXED flows through the tiled and sharded losses unchanged.
+
+    CPU executes every tier in f32, so agreement with the HIGHEST path
+    proves the policy threads (a leaked policy object would crash the
+    leaf lax ops; a dropped one would be caught by the TPU parity
+    benches).
+    """
+
+    def test_tiled_loss_accepts_policy(self) -> None:
+        from style_transfer_visualizer_tpu.ops.tiled import (
+            tiled_total_loss,
+        )
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        sl, cl = (0, 5), (2,)
+        key = jax.random.key(1)
+        shape = (1, 64, 48, 3)
+        content = jax.random.uniform(key, shape, jnp.float32)
+        style = jax.random.uniform(
+            jax.random.fold_in(key, 1), shape, jnp.float32,
+        )
+        targets = compute_targets(params, style, content, sl, cl, MIXED)
+        x = initialize_input(content, "random", jax.random.key(2))
+        got, _ = tiled_total_loss(
+            params, x, targets, 1e5, 1.0, sl, cl, 16, MIXED,
+        )
+        want, _ = total_loss(
+            params, x, targets, 1e5, 1.0, sl, cl, HIGHEST,
+        )
+        assert float(got) == pytest.approx(float(want), rel=1e-6)
+
+    def test_sharded_loss_accepts_policy(self) -> None:
+        from style_transfer_visualizer_tpu.parallel.mesh import (
+            create_mesh,
+        )
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            compute_sharded_targets,
+            make_spatial_loss,
+        )
+
+        mesh = create_mesh(n_style=1, n_space=2)
+        params = vgg19.init_random_params(jax.random.key(0))
+        sl, cl = (0, 5), (2,)
+        key = jax.random.key(1)
+        shape = (1, 32, 32, 3)
+        content = jax.random.uniform(key, shape, jnp.float32)
+        style = jax.random.uniform(
+            jax.random.fold_in(key, 1), shape, jnp.float32,
+        )
+        targets = compute_sharded_targets(
+            mesh, params, style, content, sl, cl, precision=MIXED,
+        )
+        loss_fn = make_spatial_loss(
+            mesh, shape, style_w=1e5, content_w=1.0,
+            style_layers=sl, content_layers=cl, precision=MIXED,
+        )
+        x = initialize_input(content, "random", jax.random.key(2))
+        total, (s_score, c_score) = loss_fn(params, x, targets)
+        ref_targets = compute_targets(
+            params, style, content, sl, cl, HIGHEST,
+        )
+        want, _ = total_loss(
+            params, x, ref_targets, 1e5, 1.0, sl, cl, HIGHEST,
+        )
+        assert float(total) == pytest.approx(float(want), rel=1e-5)
