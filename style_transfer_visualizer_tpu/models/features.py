@@ -30,6 +30,7 @@ from style_transfer_visualizer_tpu.ops.gram import gram_apply
 from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
 from style_transfer_visualizer_tpu.ops.precision import (
     PrecisionLike,
+    conv_bwd_precision,
     conv_precision,
 )
 
@@ -80,6 +81,7 @@ def _apply_layer(
             return conv3x3_frozen(
                 x, layer["w"], layer["w_flip"],
                 conv_precision(precision, idx),
+                conv_bwd_precision(precision, idx),
             ) + layer["b"]
         return jax.lax.conv_general_dilated(
             x,

@@ -46,29 +46,36 @@ def _conv(x: jax.Array, w: jax.Array, precision) -> jax.Array:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3x3_frozen(
     x: jax.Array,
     w: jax.Array,
     w_flip: jax.Array,
-    precision=None,
+    precision,
+    bwd_precision,
 ) -> jax.Array:
     """``conv3x3_same(x, w)`` whose backward is ``conv(g, w_flip)``.
 
     ``w_flip`` must equal :func:`flip_kernel`\\ ``(w)``; both travel as
-    runtime arguments. Weight cotangents are zeros (frozen backbone).
+    runtime arguments. ``bwd_precision`` lets the input-gradient conv
+    run at a different tier than the forward (the mixed policy keeps
+    forward activations in f32 for the early blocks but tolerates
+    bf16x3 gradient noise there — measured at the curve-parity chaos
+    floor, BASELINE.md; pass ``None`` to inherit the backend default,
+    or the same value as ``precision`` for a symmetric VJP). Weight
+    cotangents are zeros (frozen backbone).
     """
     return _conv(x, w, precision)
 
 
-def _frozen_fwd(x, w, w_flip, precision):
+def _frozen_fwd(x, w, w_flip, precision, bwd_precision):
     return _conv(x, w, precision), w_flip
 
 
-def _frozen_bwd(precision, w_flip, g):
+def _frozen_bwd(precision, bwd_precision, w_flip, g):
     kh, kw, c_out, c_in = w_flip.shape
     return (
-        _conv(g, w_flip, precision),
+        _conv(g, w_flip, bwd_precision),
         # Frozen backbone: weight cotangents are unused and DCE'd in
         # the pixel-only gradient; zeros keep the VJP signature valid.
         jnp.zeros((kh, kw, c_in, c_out), g.dtype),

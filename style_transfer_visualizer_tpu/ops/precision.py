@@ -43,7 +43,10 @@ class PrecisionPolicy:
 
     ``conv_overrides`` maps torchvision layer indices to a precision
     that replaces ``conv_base`` for that conv only; ``gram`` applies to
-    every Gram contraction (style-target and loss side alike). Frozen
+    every Gram contraction (style-target and loss side alike).
+    ``conv_bwd_overrides`` optionally gives the *backward* (input-
+    gradient) convs their own override table: ``None`` mirrors the
+    forward, ``()`` runs every backward conv at ``conv_base``. Frozen
     with tuple fields so instances hash — they ride through jit static
     arguments unchanged.
     """
@@ -51,10 +54,22 @@ class PrecisionPolicy:
     conv_base: jax.lax.Precision | None
     conv_overrides: tuple[tuple[int, jax.lax.Precision], ...] = ()
     gram: jax.lax.Precision | None = None
+    conv_bwd_overrides: (
+        tuple[tuple[int, jax.lax.Precision], ...] | None
+    ) = None
 
     def conv(self, layer_idx: int) -> jax.lax.Precision | None:
         """Precision for the conv at torchvision index ``layer_idx``."""
         for idx, prec in self.conv_overrides:
+            if idx == layer_idx:
+                return prec
+        return self.conv_base
+
+    def conv_bwd(self, layer_idx: int) -> jax.lax.Precision | None:
+        """Precision for layer ``layer_idx``'s backward (input-grad) conv."""
+        if self.conv_bwd_overrides is None:
+            return self.conv(layer_idx)
+        for idx, prec in self.conv_bwd_overrides:
             if idx == layer_idx:
                 return prec
         return self.conv_base
@@ -66,6 +81,15 @@ def conv_precision(
     """Precision for the conv at ``layer_idx`` under a policy or tier."""
     if isinstance(precision, PrecisionPolicy):
         return precision.conv(layer_idx)
+    return precision
+
+
+def conv_bwd_precision(
+    precision: object, layer_idx: int,
+) -> jax.lax.Precision | None:
+    """Precision for the backward conv at ``layer_idx``."""
+    if isinstance(precision, PrecisionPolicy):
+        return precision.conv_bwd(layer_idx)
     return precision
 
 
@@ -89,4 +113,9 @@ MIXED = PrecisionPolicy(
         (7, jax.lax.Precision.HIGHEST),
     ),
     gram=jax.lax.Precision.HIGHEST,
+    # Backward convs all run bf16x3: with the forward activations in
+    # f32 the gradient noise this injects leaves the 100-step curve at
+    # the chaos floor (4.57e-4 measured vs 4.47e-4 fully symmetric)
+    # while returning ~13% of step time (43.7 -> 49.3 steps/s @512px).
+    conv_bwd_overrides=(),
 )

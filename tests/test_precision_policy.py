@@ -84,8 +84,30 @@ class TestHelpers:
                 conv_base=MIXED.conv_base,
                 conv_overrides=MIXED.conv_overrides,
                 gram=MIXED.gram,
+                conv_bwd_overrides=MIXED.conv_bwd_overrides,
             ),
         )
+
+    def test_mixed_backward_demoted_to_base(self) -> None:
+        # Forward f32 for blocks 1-2, backward bf16x3 everywhere: the
+        # measured sweet spot (BASELINE.md).
+        for idx in (0, 2, 5, 7, 10, 28):
+            assert MIXED.conv_bwd(idx) == HIGH
+
+    def test_bwd_mirrors_forward_when_unset(self) -> None:
+        policy = PrecisionPolicy(
+            conv_base=HIGH, conv_overrides=((0, HIGHEST),),
+        )
+        assert policy.conv_bwd(0) == HIGHEST
+        assert policy.conv_bwd(10) == HIGH
+
+    def test_conv_bwd_precision_helper(self) -> None:
+        from style_transfer_visualizer_tpu.ops.precision import (
+            conv_bwd_precision,
+        )
+
+        assert conv_bwd_precision(MIXED, 0) == HIGH
+        assert conv_bwd_precision(HIGHEST, 0) == HIGHEST
 
 
 class TestEndToEnd:
