@@ -19,11 +19,66 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from style_transfer_visualizer_tpu.constants import GRAM_MATRIX_CLAMP_MAX
 from style_transfer_visualizer_tpu.ops.precision import (
     PrecisionLike,
+    gram_bwd_precision,
     gram_precision,
 )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _gram_core(
+    flat: jax.Array,
+    clamp_max: float,
+    precision,
+    bwd_precision,
+) -> jax.Array:
+    """clamp(flat^T flat, max) / flat.size for a (P, C) block.
+
+    The custom VJP reproduces autodiff exactly — with ``S = (M . dG +
+    (M . dG)^T) / n`` (M the clamp pass-through mask), ``dF = F S`` —
+    but lets the backward matmul run at its own precision
+    (``PrecisionPolicy.gram_bwd``): gradient-side rounding sits below
+    the trajectory chaos floor while forward Gram fidelity is
+    loss-visible (BASELINE.md error attribution).
+    """
+    out, _ = _gram_core_fwd(flat, clamp_max, precision, bwd_precision)
+    return out
+
+
+def _raw_dot(flat: jax.Array, precision) -> jax.Array:
+    return jax.lax.dot_general(
+        flat, flat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gram_core_fwd(flat, clamp_max, precision, bwd_precision):
+    raw = _raw_dot(flat, precision)
+    out = jnp.minimum(raw, clamp_max) / flat.size
+    return out, (flat, raw)
+
+
+def _gram_core_bwd(clamp_max, precision, bwd_precision, residuals, g):
+    flat, raw = residuals
+    mask = (raw <= clamp_max).astype(g.dtype)
+    scaled = mask * g / flat.size
+    sym = scaled + scaled.T
+    dflat = jax.lax.dot_general(
+        flat, sym,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=bwd_precision,
+        preferred_element_type=jnp.float32,
+    )
+    return (dflat,)
+
+
+_gram_core.defvjp(_gram_core_fwd, _gram_core_bwd)
 
 
 def gram_matrix(
@@ -31,23 +86,19 @@ def gram_matrix(
     clamp_max: float = GRAM_MATRIX_CLAMP_MAX,
     *,
     precision: jax.lax.Precision | None = None,
+    bwd_precision: jax.lax.Precision | None = None,
 ) -> jax.Array:
     """Return the (C, C) Gram matrix of an (B, H, W, C) feature map.
 
     For B > 1 the batch is folded into the pixel sum, which for B == 1
     (the style-transfer case) is identical to the reference's
     channels-merged formulation; normalization divides by B*C*H*W.
+    ``bwd_precision`` applies to the VJP's matmul only (defaults to the
+    backend default; pass ``precision`` for a symmetric op).
     """
     b, h, w, c = features.shape
     flat = features.reshape(b * h * w, c)
-    gram = jax.lax.dot_general(
-        flat, flat,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    gram = jnp.minimum(gram, clamp_max)
-    return gram / (b * c * h * w)
+    return _gram_core(flat, clamp_max, precision, bwd_precision)
 
 
 def resolve_gram_backend(name: str) -> str:
@@ -84,6 +135,7 @@ def gram_apply(
     a stable static argument under jit). A ``PrecisionPolicy`` resolves
     to its Gram-contraction precision here.
     """
+    bwd = gram_bwd_precision(precision)
     precision = gram_precision(precision)
     if backend == "pallas":
         from style_transfer_visualizer_tpu.ops.pallas_gram import (  # noqa: PLC0415
@@ -94,7 +146,9 @@ def gram_apply(
             features, GRAM_MATRIX_CLAMP_MAX, None, not _running_on_tpu(),
             precision,
         )
-    return gram_matrix(features, precision=precision)
+    return gram_matrix(
+        features, precision=precision, bwd_precision=bwd,
+    )
 
 
 def _running_on_tpu() -> bool:

@@ -57,6 +57,7 @@ class PrecisionPolicy:
     conv_bwd_overrides: (
         tuple[tuple[int, jax.lax.Precision], ...] | None
     ) = None
+    gram_bwd: jax.lax.Precision | None = None
 
     def conv(self, layer_idx: int) -> jax.lax.Precision | None:
         """Precision for the conv at torchvision index ``layer_idx``."""
@@ -64,6 +65,13 @@ class PrecisionPolicy:
             if idx == layer_idx:
                 return prec
         return self.conv_base
+
+    def gram_bwd_or_mirror(self) -> jax.lax.Precision | None:
+        """Backward precision for Gram contractions (mirrors ``gram``
+        when unset)."""
+        if self.gram_bwd is not None:
+            return self.gram_bwd
+        return self.gram if self.gram is not None else self.conv_base
 
     def conv_bwd(self, layer_idx: int) -> jax.lax.Precision | None:
         """Precision for layer ``layer_idx``'s backward (input-grad) conv."""
@@ -93,6 +101,13 @@ def conv_bwd_precision(
     return precision
 
 
+def gram_bwd_precision(precision: object) -> jax.lax.Precision | None:
+    """Precision for the backward of a Gram contraction."""
+    if isinstance(precision, PrecisionPolicy):
+        return precision.gram_bwd_or_mirror()
+    return precision
+
+
 def gram_precision(precision: object) -> jax.lax.Precision | None:
     """Precision for Gram contractions under a policy or tier."""
     if isinstance(precision, PrecisionPolicy):
@@ -113,9 +128,11 @@ MIXED = PrecisionPolicy(
         (7, jax.lax.Precision.HIGHEST),
     ),
     gram=jax.lax.Precision.HIGHEST,
-    # Backward convs all run bf16x3: with the forward activations in
-    # f32 the gradient noise this injects leaves the 100-step curve at
-    # the chaos floor (4.57e-4 measured vs 4.47e-4 fully symmetric)
-    # while returning ~13% of step time (43.7 -> 49.3 steps/s @512px).
+    # Backward convs and the Gram backward all run bf16x3: with the
+    # forward activations in f32 the gradient noise this injects
+    # leaves the 100-step curve at the chaos floor (4.57e-4 measured
+    # vs 4.47e-4 fully symmetric) while returning the backward f32
+    # premium (43.7 -> 49.3 steps/s @512px from the convs alone).
     conv_bwd_overrides=(),
+    gram_bwd=jax.lax.Precision.HIGH,
 )

@@ -79,14 +79,13 @@ class TestHelpers:
         assert gram_precision(MIXED) == HIGHEST
 
     def test_policy_hashable_for_jit_statics(self) -> None:
-        assert hash(MIXED) == hash(
-            PrecisionPolicy(
-                conv_base=MIXED.conv_base,
-                conv_overrides=MIXED.conv_overrides,
-                gram=MIXED.gram,
-                conv_bwd_overrides=MIXED.conv_bwd_overrides,
-            ),
-        )
+        import dataclasses
+
+        clone = PrecisionPolicy(**{
+            f.name: getattr(MIXED, f.name)
+            for f in dataclasses.fields(PrecisionPolicy)
+        })
+        assert hash(MIXED) == hash(clone)
 
     def test_mixed_backward_demoted_to_base(self) -> None:
         # Forward f32 for blocks 1-2, backward bf16x3 everywhere: the
