@@ -265,7 +265,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "everywhere; 'mixed' (the default) keeps f32 for the "
                     "error-dominant early conv blocks and Gram products "
                     "(holds 1e-3 loss-curve parity at near-'high' "
-                    "speed); 'default' allows bf16 passes for top speed."
+                    "speed); 'high' runs 3-pass bf16 everywhere and is "
+                    "MARGINAL against the 1e-3 parity gate (measured "
+                    "1.3e-3 over 100 steps — pick 'mixed' when parity "
+                    "matters); 'default' allows bf16 passes for top speed."
                 ),
             }),
             ("--gram-backend", {

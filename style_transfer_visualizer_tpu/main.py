@@ -177,8 +177,9 @@ def _run_on_device(
     # The optimized image must survive late media failures: every sink
     # is closed even when one fails, and the final PNG is saved before
     # any close error is re-raised (the reference loses both,
-    # main.py:144-165 unprotected).
-    close_error: Exception | None = None
+    # main.py:144-165 unprotected). Close errors are tracked per sink so
+    # a failed GIF encode does not mislabel a fine MP4 (or vice versa).
+    close_errors: dict[str, Exception] = {}
     try:
         if config.output.profile_dir:
             logger.info(
@@ -200,14 +201,19 @@ def _run_on_device(
             normalize=opt_cfg.normalize,
         )
     finally:
-        for sink in (video_writer, gif_collector):
+        for sink_name, sink in (
+            ("video", video_writer),
+            ("gif", gif_collector),
+        ):
             if not sink:
                 continue
             try:
                 sink.close()
             except Exception as exc:  # noqa: BLE001
-                logger.error("Error closing media sink: %s", exc)
-                close_error = close_error or exc
+                logger.error(
+                    "Error closing %s media sink: %s", sink_name, exc,
+                )
+                close_errors[sink_name] = exc
 
     save_opts = SaveOptions(
         content_name=content_name,
@@ -215,15 +221,16 @@ def _run_on_device(
         video_name=video_name if video_writer else None,
         gif_name=gif_name if gif_collector else None,
         normalize=opt_cfg.normalize,
-        video_created=video_writer is not None and close_error is None,
-        gif_created=gif_collector is not None,
+        video_created=video_writer is not None
+        and "video" not in close_errors,
+        gif_created=gif_collector is not None and "gif" not in close_errors,
         plot_losses=config.output.plot_losses,
     )
     stv_runtime.save_outputs(
         input_img, loss_metrics, output_path, elapsed, save_opts,
     )
-    if close_error is not None:
-        raise close_error
+    if close_errors:
+        raise next(iter(close_errors.values()))
 
     return stv_image_io.prepare_image_for_output(
         input_img, normalize=opt_cfg.normalize,

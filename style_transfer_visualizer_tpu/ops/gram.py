@@ -144,7 +144,7 @@ def gram_apply(
 
         return gram_matrix_pallas(
             features, GRAM_MATRIX_CLAMP_MAX, None, not _running_on_tpu(),
-            precision,
+            precision, bwd,
         )
     return gram_matrix(
         features, precision=precision, bwd_precision=bwd,

@@ -110,13 +110,14 @@ def _raw_gram(
     return raw[:c, :c]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def gram_matrix_pallas(
     features: jax.Array,
     clamp_max: float = GRAM_MATRIX_CLAMP_MAX,
     n_norm: int | None = None,
     interpret: bool = False,
     precision: jax.lax.Precision | None = None,
+    bwd_precision: jax.lax.Precision | None = None,
 ) -> jax.Array:
     """Gram matrix of (B, H, W, C) features via the fused TPU kernel.
 
@@ -124,9 +125,13 @@ def gram_matrix_pallas(
     ``clamp_max`` before dividing by ``n_norm`` (defaults to B*C*H*W).
     ``interpret=True`` runs the kernel in the Pallas interpreter for
     CPU-backend testing. ``precision`` applies to the forward MXU
-    accumulation (via ``mosaic_precision``) and the backward matmul.
+    accumulation (via ``mosaic_precision``); ``bwd_precision`` to the
+    VJP's matmul (defaults to ``precision``, mirroring
+    ``ops.gram.gram_matrix``'s asymmetric-backward support).
     """
-    out, _ = _gram_fwd(features, clamp_max, n_norm, interpret, precision)
+    out, _ = _gram_fwd(
+        features, clamp_max, n_norm, interpret, precision, bwd_precision,
+    )
     return out
 
 
@@ -143,6 +148,7 @@ def _gram_fwd(
     n_norm: int | None,
     interpret: bool,
     precision: jax.lax.Precision | None = None,
+    bwd_precision: jax.lax.Precision | None = None,
 ):
     b, h, w, c = features.shape
     flat = features.reshape(b * h * w, c)
@@ -152,7 +158,9 @@ def _gram_fwd(
     return out, (flat, raw, features.shape)
 
 
-def _gram_bwd(clamp_max, n_norm, interpret, precision, residuals, g):
+def _gram_bwd(
+    clamp_max, n_norm, interpret, precision, bwd_precision, residuals, g,
+):
     flat, raw, shape = residuals
     norm = jnp.asarray(
         n_norm
@@ -170,7 +178,7 @@ def _gram_bwd(clamp_max, n_norm, interpret, precision, residuals, g):
         sym,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision,
+        precision=precision if bwd_precision is None else bwd_precision,
     )
     return (dflat.reshape(shape),)
 

@@ -89,6 +89,9 @@ def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
     # should still resume. Only flat<->shaped reshapes are accepted —
     # a blanket same-size reshape would silently scramble state whose
     # sizes coincide for any other reason (e.g. a transposed layout).
+    # Multi-style (vmapped) moments carry a leading style axis on both
+    # sides — (S, N) <-> (S, 1, H, W, C) — so the same rule applies per
+    # style when the leading dims agree and one side is flat below it.
     like_leaves = jax.tree_util.tree_leaves(opt_state_like)
     reshaped = []
     for i, (leaf, like) in enumerate(zip(leaves, like_leaves)):
@@ -99,7 +102,14 @@ def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
             leaf.size == like.size
             and (leaf.ndim == 1 or like.ndim == 1)
         )
-        if not flat_migration:
+        batched_flat_migration = (
+            leaf.size == like.size
+            and leaf.ndim >= 1
+            and like.ndim >= 1
+            and leaf.shape[0] == like.shape[0]
+            and (leaf.ndim == 2 or like.ndim == 2)
+        )
+        if not (flat_migration or batched_flat_migration):
             msg = (
                 f"Checkpoint state leaf {i} has shape {leaf.shape} but "
                 f"the current optimizer expects {like.shape} — the "

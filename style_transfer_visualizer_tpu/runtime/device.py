@@ -25,7 +25,17 @@ _PLATFORM_ALIASES = {
 
 
 def setup_device(device_name: str) -> jax.Device:
-    """Return the JAX device to run on, falling back to CPU if needed."""
+    """Return the JAX device to run on, falling back to CPU if needed.
+
+    .. warning:: ``device_name='cpu'`` pins ``jax_platforms='cpu'``
+       **process-wide** (before first backend use) so CPU-only runs skip
+       remote-accelerator plugin startup. A later call in the same
+       process requesting ``'tpu'`` will then fall back to CPU — the
+       accelerator backend was never initialized. Library callers that
+       need to mix devices in one process should manage
+       ``jax.default_device`` themselves instead of calling this with
+       ``'cpu'`` first; the CLI entry points run one device per process.
+    """
     platform = _PLATFORM_ALIASES.get(device_name.lower())
     if platform is None:
         msg = f"Unknown device: {device_name!r}"

@@ -59,6 +59,22 @@ def test_flat_to_shaped_migration(tmp_path) -> None:
     assert ckpt.opt_state.mu.shape == (1, 4, 4, 3)
 
 
+def test_batched_flat_to_shaped_migration(tmp_path) -> None:
+    """Multi-style (S, N) moments from 0.1.0 migrate to (S, 1, H, W, C)."""
+    img = jnp.zeros((2, 1, 4, 4, 3))
+    path = save_checkpoint(tmp_path / "ck.npz", 3, img, adam_init((2, 48)))
+    ckpt = load_checkpoint(path, adam_init((2, 1, 4, 4, 3)))
+    assert ckpt.opt_state.mu.shape == (2, 1, 4, 4, 3)
+
+
+def test_batched_migration_needs_matching_style_count(tmp_path) -> None:
+    """Equal sizes with different leading (style) dims still reject."""
+    img = jnp.zeros((2, 1, 4, 4, 3))
+    path = save_checkpoint(tmp_path / "ck.npz", 3, img, adam_init((2, 48)))
+    with pytest.raises(ValueError, match="incompatible configuration"):
+        load_checkpoint(path, adam_init((3, 32)))
+
+
 def test_same_size_different_shape_rejected(tmp_path) -> None:
     """Non-flat shape mismatches raise instead of silently reshaping."""
     img = jnp.zeros((1, 4, 4, 3))

@@ -193,6 +193,93 @@ class TestStyleTransferOrchestration:
             stv_main.style_transfer(make_input_paths(), cfg)
 
 
+class FailingCloseWriter(StubWriter):
+    def close(self) -> None:
+        super().close()
+        msg = "encode blew up"
+        raise OSError(msg)
+
+
+class TestSinkCloseAccounting:
+    """A close failure in one sink must not mislabel the other's artifact."""
+
+    @pytest.fixture
+    def recorded_save(self, monkeypatch):
+        saved: dict = {}
+
+        def fake_save_outputs(img, metrics, out, elapsed, opts):
+            saved["opts"] = opts
+
+        monkeypatch.setattr(
+            stv_main.stv_runtime, "save_outputs", fake_save_outputs,
+        )
+        return saved
+
+    def _run_with_failing(
+        self, patched_pipeline, make_input_paths,
+        make_style_transfer_config, monkeypatch, *, failing: str,
+    ):
+        def fake_video_writer(cfg, out, name):
+            w = FailingCloseWriter() if failing == "video" else StubWriter()
+            patched_pipeline["writers"]["video"] = w
+            return w
+
+        def fake_gif_collector(cfg, out, name):
+            w = FailingCloseWriter() if failing == "gif" else StubWriter()
+            patched_pipeline["writers"]["gif"] = w
+            return w
+
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer", fake_video_writer,
+        )
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_gif_collector", fake_gif_collector,
+        )
+        cfg = make_style_transfer_config(
+            optimization={"steps": 2},
+            video={"create_video": True, "create_gif": True,
+                   "save_every": 1, "intro_enabled": False,
+                   "final_frame_compare": False},
+        )
+        with pytest.raises(OSError, match="encode blew up"):
+            stv_main.style_transfer(make_input_paths(), cfg)
+
+    def test_gif_close_failure_keeps_video_created(
+        self, patched_pipeline, recorded_save, make_input_paths,
+        make_style_transfer_config, monkeypatch,
+    ) -> None:
+        self._run_with_failing(
+            patched_pipeline, make_input_paths, make_style_transfer_config,
+            monkeypatch, failing="gif",
+        )
+        opts = recorded_save["opts"]
+        assert opts.video_created is True
+        assert opts.gif_created is False
+
+    def test_video_close_failure_keeps_gif_created(
+        self, patched_pipeline, recorded_save, make_input_paths,
+        make_style_transfer_config, monkeypatch,
+    ) -> None:
+        self._run_with_failing(
+            patched_pipeline, make_input_paths, make_style_transfer_config,
+            monkeypatch, failing="video",
+        )
+        opts = recorded_save["opts"]
+        assert opts.video_created is False
+        assert opts.gif_created is True
+
+    def test_both_sinks_closed_despite_first_failure(
+        self, patched_pipeline, recorded_save, make_input_paths,
+        make_style_transfer_config, monkeypatch,
+    ) -> None:
+        self._run_with_failing(
+            patched_pipeline, make_input_paths, make_style_transfer_config,
+            monkeypatch, failing="video",
+        )
+        assert patched_pipeline["writers"]["video"].closed
+        assert patched_pipeline["writers"]["gif"].closed
+
+
 class TestPrepareModelAndInput:
     def test_real_prepare_with_tiny_model(
         self, monkeypatch, make_style_transfer_config,

@@ -8,11 +8,9 @@ backend comes up (e.g. plain CI hosts).
 """
 from __future__ import annotations
 
-import os
-import subprocess
-import sys
-
 import pytest
+
+from tests.tpu_subprocess import run_tpu_snippet
 
 _SNIPPET = r"""
 import jax, sys
@@ -46,20 +44,4 @@ print("TPU_PARITY_OK")
 @pytest.mark.tpu
 @pytest.mark.slow
 def test_pallas_gram_parity_on_real_tpu() -> None:
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
-    }
-    result = subprocess.run(
-        [sys.executable, "-c", _SNIPPET],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=540,
-        check=False,
-    )
-    if result.returncode == 42:
-        pytest.skip("No TPU backend available")
-    assert result.returncode == 0, result.stderr[-2000:]
-    assert "TPU_PARITY_OK" in result.stdout
+    run_tpu_snippet(_SNIPPET, "TPU_PARITY_OK")
