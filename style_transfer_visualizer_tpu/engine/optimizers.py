@@ -80,7 +80,11 @@ def lbfgs_init(n: int, history_size: int) -> LbfgsState:
     )
 
 
-def _f32_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+def _f32_dot(
+    a: jax.Array,
+    b: jax.Array,
+    axis_name: str | None = None,
+) -> jax.Array:
     """Inner product pinned to full f32 (torch L-BFGS semantics).
 
     Measured on TPU v5e: XLA already lowers rank-1 dots to an f32
@@ -89,14 +93,43 @@ def _f32_dot(a: jax.Array, b: jax.Array) -> jax.Array:
     the two-loop recursion's f32 guarantee explicit instead of
     depending on how a backend happens to lower vector dots. O(N),
     negligible next to the VGG convs.
+
+    ``axis_name`` makes the dot global over a mesh axis: each shard
+    contributes its local partial and the psum rides ICI — this one
+    hook is all the two-loop recursion needs to run sharded (the rest
+    of L-BFGS is elementwise on the local block).
     """
-    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    d = jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    if axis_name is not None:
+        d = jax.lax.psum(d, axis_name)
+    return d
+
+
+def _sum_abs(
+    v: jax.Array, axis_name: str | None = None,
+) -> jax.Array:
+    """Global L1 norm (first-step scaling uses it, torch semantics)."""
+    s = jnp.sum(jnp.abs(v))
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def _max_abs(
+    v: jax.Array, axis_name: str | None = None,
+) -> jax.Array:
+    """Global infinity norm for the convergence/step-size breaks."""
+    m = jnp.max(jnp.abs(v))
+    if axis_name is not None:
+        m = jax.lax.pmax(m, axis_name)
+    return m
 
 
 def _two_loop(
     grad: jax.Array,
     state: LbfgsState,
     history_size: int,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Two-loop recursion: approximate -H^{-1} g from curvature pairs."""
     m = history_size
@@ -107,12 +140,15 @@ def _two_loop(
         return (state.hist_pos - num + i) % m
 
     q = -grad
-    alphas = jnp.zeros((m,), jnp.float32)
+    # zeros_like(rho) rather than zeros((m,)): inside shard_map the
+    # alphas written below inherit rho's varying mesh axes, and the
+    # fori_loop carry must start with the same vma type.
+    alphas = jnp.zeros_like(state.rho)
 
     def backward(i: jax.Array, carry):
         q, alphas = carry
         j = slot(num - 1 - i)  # newest to oldest
-        alpha = state.rho[j] * _f32_dot(state.s_hist[j], q)
+        alpha = state.rho[j] * _f32_dot(state.s_hist[j], q, axis_name)
         q = q - alpha * state.y_hist[j]
         return q, alphas.at[j].set(alpha)
 
@@ -121,10 +157,24 @@ def _two_loop(
 
     def forward(i: jax.Array, r):
         j = slot(i)  # oldest to newest
-        beta = state.rho[j] * _f32_dot(state.y_hist[j], r)
+        beta = state.rho[j] * _f32_dot(state.y_hist[j], r, axis_name)
         return r + state.s_hist[j] * (alphas[j] - beta)
 
     return jax.lax.fori_loop(0, num, forward, r)
+
+
+def _vary_like(x: jax.Array, like: jax.Array) -> jax.Array:
+    """Give ``x`` the varying mesh axes of ``like``.
+
+    Inside ``shard_map`` the loop carries must enter ``while_loop``
+    with the same varying-manual-axes type they leave the body with;
+    fresh counters start unvarying while their updates depend on the
+    (mesh-varying) loss. No-op outside shard_map (empty vma sets).
+    """
+    missing = tuple(jax.typeof(like).vma - jax.typeof(x).vma)
+    if missing:
+        x = jax.lax.pcast(x, missing, to="varying")
+    return x
 
 
 class _Carry(NamedTuple):
@@ -148,6 +198,7 @@ def lbfgs_step(
     max_iter: int,
     max_eval: int,
     history_size: int,
+    axis_name: str | None = None,
 ) -> tuple[jax.Array, LbfgsState, StepAux]:
     """One outer L-BFGS step (torch semantics, fixed-step strategy).
 
@@ -155,15 +206,23 @@ def lbfgs_step(
     persistent state, and device-side metrics from the *last* function
     evaluation of the step (which is what the reference's re-entrant
     closure records, optimization.py:274-284).
+
+    With ``axis_name``, ``x`` (and the history in ``state``) is one
+    mesh shard of the global vector and every reduction — two-loop
+    dots, curvature products, and the L1/Linf norms in the first-step
+    scaling and break conditions — goes global via psum/pmax over that
+    axis. Elementwise math stays shard-local, so the sharded trajectory
+    is bit-comparable to the whole-vector one (tests prove it on the
+    CPU mesh).
     """
     (loss0, (style0, content0)), grad0 = vag(x)
-    opt_cond0 = jnp.max(jnp.abs(grad0)) <= TOLERANCE_GRAD
+    opt_cond0 = _max_abs(grad0, axis_name) <= TOLERANCE_GRAD
 
     init = _Carry(
         x=x, loss=loss0, style=style0, content=content0, grad=grad0,
         state=state,
         n_iter=jnp.zeros((), jnp.int32),
-        evals=jnp.ones((), jnp.int32),
+        evals=_vary_like(jnp.ones((), jnp.int32), loss0),
         done=opt_cond0,
     )
 
@@ -180,7 +239,11 @@ def lbfgs_step(
         # or when the curvature condition y.s > eps fails) ---
         y = c.grad - st.prev_grad
         s = st.direction * st.step_size
-        ys = _f32_dot(y, s)
+        # Both curvature products are computed OUTSIDE the cond branch:
+        # when sharded they are collectives, and keeping them out of the
+        # conditional keeps every shard's collective schedule identical.
+        ys = _f32_dot(y, s, axis_name)
+        yy = _f32_dot(y, y, axis_name)
         do_insert = jnp.logical_and(~first, ys > _CURVATURE_EPS)
 
         def insert(st: LbfgsState) -> LbfgsState:
@@ -191,7 +254,7 @@ def lbfgs_step(
                 rho=st.rho.at[pos].set(1.0 / ys),
                 hist_pos=(pos + 1) % history_size,
                 hist_len=jnp.minimum(st.hist_len + 1, history_size),
-                h_diag=ys / _f32_dot(y, y),
+                h_diag=ys / yy,
             )
 
         st = jax.lax.cond(do_insert, insert, lambda s: s, st)
@@ -199,15 +262,15 @@ def lbfgs_step(
         direction = jnp.where(
             first,
             -c.grad,
-            _two_loop(c.grad, st, history_size),
+            _two_loop(c.grad, st, history_size, axis_name),
         )
         t = jnp.where(
             first,
-            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(c.grad))) * lr,
+            jnp.minimum(1.0, 1.0 / _sum_abs(c.grad, axis_name)) * lr,
             jnp.asarray(lr, jnp.float32),
         )
 
-        gtd = _f32_dot(c.grad, direction)
+        gtd = _f32_dot(c.grad, direction, axis_name)
         break_gtd = gtd > -TOLERANCE_CHANGE
 
         x_new = jnp.where(break_gtd, c.x, c.x + t * direction)
@@ -227,8 +290,8 @@ def lbfgs_step(
         )
         evals = c.evals + reeval.astype(jnp.int32)
 
-        opt_cond = jnp.max(jnp.abs(grad)) <= TOLERANCE_GRAD
-        small_step = jnp.max(jnp.abs(t * direction)) <= TOLERANCE_CHANGE
+        opt_cond = _max_abs(grad, axis_name) <= TOLERANCE_GRAD
+        small_step = _max_abs(t * direction, axis_name) <= TOLERANCE_CHANGE
         flat_loss = jnp.abs(loss - c.loss) < TOLERANCE_CHANGE
         done = (
             break_gtd

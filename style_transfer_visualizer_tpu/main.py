@@ -8,6 +8,7 @@ return the clipped result image ((1, H, W, 3) NHWC in [0, 1]).
 """
 from __future__ import annotations
 
+import math
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -411,14 +412,6 @@ def _dp_sp_multi_style(
     )
 
     opt_cfg = config.optimization
-    if opt_cfg.optimizer != "adam":
-        msg = (
-            "--styles with --spatial-shards currently supports the "
-            "adam optimizer (the sharded L-BFGS history would need a "
-            "per-style two-loop recursion over both axes)."
-        )
-        raise ValueError(msg)
-
     precision = _precision(config.hardware.precision)
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)
@@ -474,17 +467,22 @@ def _dp_sp_multi_style(
     stacked = jax.jit(stack_targets, out_shardings=target_shardings)(
         grams, content_only.content_feats,
     )
-    update_fn, state = build_dp_sp_update(
+    update_fn, state, chunked_update_fn = build_dp_sp_update(
         mesh, params, stacked, tuple(content_img.shape), n_styles,
+        optimizer=opt_cfg.optimizer,
         lr=opt_cfg.lr,
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
         style_layers=style_layers,
         content_layers=content_layers,
         precision=precision,
+        lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
+        lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
+        lbfgs_history_size=opt_cfg.lbfgs_history_size,
     )
     bundle = MultiStyleBundle(
         update_fn=update_fn, opt_state=state, targets=stacked,
+        chunked_update_fn=chunked_update_fn,
     )
     images = initialize_multi_inputs(
         content_img, opt_cfg.init_method, key, n_styles,
@@ -522,6 +520,42 @@ def _save_multi_style_outputs(
         logger.info("Stylized image saved to: %s", out_file)
         saved.append(out_file)
     return saved
+
+
+def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
+    """Steps fused into one batch-mode dispatch (``lax.scan``).
+
+    Same invariant as the single-run engine
+    (engine/runner.py:_resolve_chunk_size) minus the logging cadence:
+    chunked dispatch stacks every step's losses, so CSV rows and plot
+    history can be read off interior steps of a chunk — only
+    checkpointing (which needs the materialized state at an exact
+    step) must land on a chunk boundary. A user ``--steps-per-dispatch``
+    folds into the same gcd.
+    """
+    if getattr(bundle, "chunked_update_fn", None) is None:
+        return 1
+    from style_transfer_visualizer_tpu.engine.runner import (  # noqa: PLC0415
+        _DEFAULT_CHUNK,
+        _MAX_CHUNK,
+    )
+
+    requested = config.hardware.steps_per_dispatch
+    if requested == 1:
+        return 1
+    cadences = []
+    if config.output.checkpoint_every:
+        cadences.append(config.output.checkpoint_every)
+    if requested > 1:
+        cadences.append(requested)
+    if not cadences:
+        return _DEFAULT_CHUNK
+    chunk = math.gcd(*cadences)
+    if chunk > _MAX_CHUNK:
+        chunk = max(
+            d for d in range(1, _MAX_CHUNK + 1) if chunk % d == 0
+        )
+    return max(1, chunk)
 
 
 def _run_multi_style_loop(
@@ -603,13 +637,71 @@ def _run_multi_style_loop(
 
     from tqdm import tqdm  # noqa: PLC0415
 
+    def log_step(step: int, vals) -> None:
+        """One (3, S) row of host-side telemetry (style, content, total)."""
+        for i in range(len(style_names)):
+            if csv_loggers[i] is not None:
+                csv_loggers[i].log(
+                    step, float(vals[0, i]), float(vals[1, i]),
+                    float(vals[2, i]),
+                )
+            if track_history:
+                histories[i]["style_loss"].append(float(vals[0, i]))
+                histories[i]["content_loss"].append(float(vals[1, i]))
+                histories[i]["total_loss"].append(float(vals[2, i]))
+        bar.set_postfix({"mean_loss": f"{vals[2].mean():.4f}"})
+
+    def maybe_checkpoint(step: int) -> None:
+        if (
+            checkpoint_path is not None
+            and out_cfg.checkpoint_every
+            and step % out_cfg.checkpoint_every == 0
+        ):
+            from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
+                save_checkpoint,
+            )
+
+            save_checkpoint(checkpoint_path, step, images, state)
+
+    chunk = _resolve_batch_chunk(bundle, config)
     bar = tqdm(
         total=opt_cfg.steps, initial=start_step,
         desc="Multi-Style Transfer",
     )
     try:
-        for step in range(start_step + 1, opt_cfg.steps + 1):
+        step = start_step
+        while step < opt_cfg.steps:
+            remaining = opt_cfg.steps - step
+            # Stay chunked only while chunk ends stay aligned to the
+            # cadence grid (resume offsets may start misaligned).
+            if chunk > 1 and remaining >= chunk and step % chunk == 0:
+                images, state, auxes = bundle.chunked_update_fn(
+                    images, state, chunk,
+                )
+                log_steps = [
+                    j for j in range(chunk)
+                    if (step + j + 1) % out_cfg.log_every == 0
+                ]
+                if log_steps:
+                    # One fused (3, k, S) transfer per dispatch.
+                    vals = np.asarray(
+                        jax.numpy.stack(
+                            [
+                                auxes.style_score,
+                                auxes.content_score,
+                                auxes.loss,
+                            ],
+                        ),
+                    )
+                    for j in log_steps:
+                        log_step(step + j + 1, vals[:, j])
+                step += chunk
+                bar.update(chunk)
+                maybe_checkpoint(step)
+                continue
+
             images, state, aux = bundle.update_fn(images, state)
+            step += 1
             bar.update(1)
             if step % out_cfg.log_every == 0:
                 # One fused (3, S) transfer per cadence.
@@ -618,33 +710,8 @@ def _run_multi_style_loop(
                         [aux.style_score, aux.content_score, aux.loss],
                     ),
                 )
-                for i in range(len(style_names)):
-                    if csv_loggers[i] is not None:
-                        csv_loggers[i].log(
-                            step, float(vals[0, i]), float(vals[1, i]),
-                            float(vals[2, i]),
-                        )
-                    if track_history:
-                        histories[i]["style_loss"].append(
-                            float(vals[0, i]),
-                        )
-                        histories[i]["content_loss"].append(
-                            float(vals[1, i]),
-                        )
-                        histories[i]["total_loss"].append(
-                            float(vals[2, i]),
-                        )
-                bar.set_postfix({"mean_loss": f"{vals[2].mean():.4f}"})
-            if (
-                checkpoint_path is not None
-                and out_cfg.checkpoint_every
-                and step % out_cfg.checkpoint_every == 0
-            ):
-                from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
-                    save_checkpoint,
-                )
-
-                save_checkpoint(checkpoint_path, step, images, state)
+                log_step(step, vals)
+            maybe_checkpoint(step)
         jax.block_until_ready(images)
     finally:
         bar.close()

@@ -44,11 +44,19 @@ if TYPE_CHECKING:
 
 
 class MultiStyleBundle(NamedTuple):
-    """Stacked update function with initial stacked optimizer state."""
+    """Stacked update function with initial stacked optimizer state.
+
+    ``chunked_update_fn(images, state, k)`` — when present — runs ``k``
+    stacked steps as ONE dispatch (``lax.scan`` over the vmapped
+    update), returning per-step aux stacked along a leading ``k`` axis;
+    the same dispatch-amortization the single-run engine uses
+    (engine/step.py StepBundle).
+    """
 
     update_fn: object       # (images (S,*shape), opt_state) -> ...
     opt_state: object
     targets: Targets        # stacked along a leading style axis
+    chunked_update_fn: object | None = None
 
 
 def multi_style_targets(
@@ -254,6 +262,16 @@ def build_multi_style_update(
     def update_fn(images: jax.Array, state):
         return jitted(images, state, params, targets)
 
+    from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
+        make_chunked_update,
+    )
+
+    jitted_multi = make_chunked_update(update, n_extra_args=2)
+
+    def chunked_update_fn(images: jax.Array, state, k: int):
+        return jitted_multi(images, state, params, targets, k)
+
     return MultiStyleBundle(
         update_fn=update_fn, opt_state=opt_state, targets=targets,
+        chunked_update_fn=chunked_update_fn,
     )

@@ -444,12 +444,16 @@ def build_dp_sp_update(
     image_shape: tuple[int, ...],
     n_styles: int,
     *,
+    optimizer: str = "adam",
     lr: float = 0.05,
     style_w: float = 1e4,
     content_w: float = 1.0,
     style_layers: tuple[int, ...] = (0, 5),
     content_layers: tuple[int, ...] = (2,),
     precision: PrecisionLike = None,
+    lbfgs_max_iter: int = 1,
+    lbfgs_max_eval: int = 1,
+    lbfgs_history_size: int = 100,
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 
@@ -457,25 +461,49 @@ def build_dp_sp_update(
     ``style`` axis (data parallelism) and rows over the ``space`` axis
     (spatial/sequence parallelism): each device holds a row-block of its
     styles' images, halo-exchanges with its spatial neighbors inside the
-    convolutions, and psums Gram partials over ICI. The Adam update then
-    runs shard-locally on each device's own pixel block — no gradient
-    collective is needed because the problems are style-independent and
-    pixel gradients are row-local.
+    convolutions, and psums Gram partials over ICI.
 
-    Returns ``(update_fn, initial_state)`` where ``update_fn(images,
-    state) -> (images, state, StepAux)`` is jitted with donated carries;
-    the aux carries per-style ``(S,)`` loss/style/content arrays (the
-    same telemetry contract as the single-problem step).
+    With ``optimizer="adam"`` the update runs shard-locally on each
+    device's own pixel block — no gradient collective is needed because
+    the problems are style-independent and pixel gradients are
+    row-local. With ``optimizer="lbfgs"`` the curvature history shards
+    like the pixels (a flat (m, N) ring whose N axis is exactly the
+    row-block order, since row-major flattening keeps row blocks
+    contiguous) and every two-loop dot product and norm goes global via
+    psum/pmax over the space axis
+    (``engine.optimizers.lbfgs_step(axis_name=...)``); elementwise math
+    stays shard-local, so the sharded trajectory matches the
+    single-device one.
+
+    Returns ``(update_fn, initial_state, chunked_update_fn)`` where
+    ``update_fn(images, state) -> (images, state, StepAux)`` is jitted
+    with donated carries and ``chunked_update_fn(images, state, k)``
+    fuses ``k`` steps into one dispatch (``lax.scan``). The aux carries
+    per-style ``(S,)`` loss/style/content arrays (the same telemetry
+    contract as the single-problem step). Weights and targets ride as
+    runtime jit arguments, never baked HLO constants (BASELINE.md
+    backend notes: baked constants explode remote compiles).
     """
+    from style_transfer_visualizer_tpu.engine.optimizers import (  # noqa: PLC0415
+        AdamState,
+        StepAux,
+        _adam_update_math,
+        lbfgs_init,
+        lbfgs_step,
+    )
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
         Targets,
     )
 
+    n_space = mesh.shape[MESH_AXIS_SPACE]
     validate_shard_divisibility(
         int(image_shape[1]),
-        mesh.shape[MESH_AXIS_SPACE],
+        n_space,
         tuple(set(style_layers) | set(content_layers)),
     )
+    n_global = 1
+    for dim in image_shape:
+        n_global *= int(dim)
     image_specs = P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None)
     target_specs = Targets(
         style_grams={k: P(MESH_AXIS_STYLE) for k in style_layers},
@@ -485,90 +513,178 @@ def build_dp_sp_update(
         },
     )
 
-    def block_fn(params, x_blk, targets_blk, mu_blk, nu_blk, count):
-        def loss_of(xb):
-            def one_style(x_s, grams, feats):
-                total, style_score, content_score = (
-                    _sharded_loss_shard_fn(
-                        params,
-                        x_s,
-                        Targets(style_grams=grams, content_feats=feats),
-                        style_w=style_w,
-                        content_w=content_w,
-                        style_layers=tuple(style_layers),
-                        content_layers=tuple(content_layers),
-                        global_shape=tuple(image_shape),
-                        axis_name=MESH_AXIS_SPACE,
-                        precision=precision,
-                    )
-                )
-                return total, (style_score, content_score)
+    def style_loss_fn(p, x_s, grams, feats):
+        """Per-style sharded loss on this device's row block."""
+        total, style_score, content_score = _sharded_loss_shard_fn(
+            p,
+            x_s,
+            Targets(style_grams=grams, content_feats=feats),
+            style_w=style_w,
+            content_w=content_w,
+            style_layers=tuple(style_layers),
+            content_layers=tuple(content_layers),
+            global_shape=tuple(image_shape),
+            axis_name=MESH_AXIS_SPACE,
+            precision=precision,
+        )
+        return total, (style_score, content_score)
 
-            per_style, scores = jax.vmap(one_style)(
-                xb, targets_blk.style_grams, targets_blk.content_feats,
+    if optimizer == "adam":
+        def block_fn(p, x_blk, targets_blk, state_blk):
+            mu_blk, nu_blk, count = state_blk
+
+            def loss_of(xb):
+                per_style, scores = jax.vmap(
+                    lambda x_s, g, f: style_loss_fn(p, x_s, g, f),
+                )(xb, targets_blk.style_grams, targets_blk.content_feats)
+                return jnp.sum(per_style), (per_style, *scores)
+
+            (_, (per_style, style_scores, content_scores)), grad = (
+                jax.value_and_grad(loss_of, has_aux=True)(x_blk)
             )
-            return jnp.sum(per_style), (per_style, *scores)
+            # Shard-local Adam on this device's pixel block (shared
+            # math with the single-device optimizer; shape-agnostic).
+            delta, new_state = _adam_update_math(
+                grad,
+                AdamState(mu=mu_blk, nu=nu_blk, count=count),
+                jnp.asarray(lr, jnp.float32),
+            )
+            aux = StepAux(
+                loss=per_style,
+                style_score=style_scores,
+                content_score=content_scores,
+                n_evals=jnp.ones_like(per_style, dtype=jnp.int32),
+            )
+            return (
+                x_blk + delta,
+                (new_state.mu, new_state.nu, new_state.count),
+                aux,
+            )
 
-        (_, (per_style, style_scores, content_scores)), grad = (
-            jax.value_and_grad(loss_of, has_aux=True)(x_blk)
-        )
+        state_specs = (image_specs, image_specs, P())
 
-        # Shard-local Adam on this device's pixel block (shared math
-        # with the single-device optimizer; shape-agnostic).
+        def init_state_fn():
+            zeros = jnp.zeros((n_styles, *image_shape), jnp.float32)
+            return (zeros, jnp.zeros_like(zeros), jnp.zeros((), jnp.int32))
+
+    elif optimizer == "lbfgs":
+        def block_fn(p, x_blk, targets_blk, state_blk):
+            block_shape = x_blk.shape[1:]
+            n_local = 1
+            for dim in block_shape:
+                n_local *= int(dim)
+
+            # The replicated weights must carry the image block's full
+            # varying-axes type up front: the re-eval `lax.cond`
+            # (style-varying predicate) and the outer `while_loop`
+            # otherwise auto-pvary the same captured constants to two
+            # different axis sets and collide. Targets stay as-is —
+            # style Grams must remain space-invariant so the psum'd
+            # Gram residual (and hence the loss) stays space-invariant.
+            from style_transfer_visualizer_tpu.engine.optimizers import (  # noqa: PLC0415
+                _vary_like,
+            )
+
+            p = jax.tree.map(lambda w: _vary_like(w, x_blk), p)
+
+            def one_style(x_s, grams, feats, st):
+                def vag(flat):
+                    return jax.value_and_grad(
+                        lambda f: style_loss_fn(
+                            p, f.reshape(block_shape), grams, feats,
+                        ),
+                        has_aux=True,
+                    )(flat)
+
+                new_flat, new_st, aux = lbfgs_step(
+                    vag, x_s.reshape(n_local), st, lr,
+                    max_iter=lbfgs_max_iter,
+                    max_eval=lbfgs_max_eval,
+                    history_size=lbfgs_history_size,
+                    axis_name=MESH_AXIS_SPACE,
+                )
+                return new_flat.reshape(block_shape), new_st, aux
+
+            return jax.vmap(one_style)(
+                x_blk,
+                targets_blk.style_grams,
+                targets_blk.content_feats,
+                state_blk,
+            )
+
         from style_transfer_visualizer_tpu.engine.optimizers import (  # noqa: PLC0415
-            AdamState,
-            _adam_update_math,
+            LbfgsState,
         )
 
-        delta, new_state = _adam_update_math(
-            grad,
-            AdamState(mu=mu_blk, nu=nu_blk, count=count),
-            jnp.asarray(lr, jnp.float32),
-        )
-        return (
-            x_blk + delta,
-            new_state.mu,
-            new_state.nu,
-            new_state.count,
-            per_style,
-            style_scores,
-            content_scores,
+        # Flat-vector leaves shard their N axis over space (row-major
+        # flattening keeps row blocks contiguous); ring metadata and
+        # scalars replicate over space, everything shards over style.
+        state_specs = LbfgsState(
+            s_hist=P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE),
+            y_hist=P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE),
+            rho=P(MESH_AXIS_STYLE),
+            hist_len=P(MESH_AXIS_STYLE),
+            hist_pos=P(MESH_AXIS_STYLE),
+            h_diag=P(MESH_AXIS_STYLE),
+            prev_grad=P(MESH_AXIS_STYLE, MESH_AXIS_SPACE),
+            direction=P(MESH_AXIS_STYLE, MESH_AXIS_SPACE),
+            step_size=P(MESH_AXIS_STYLE),
+            prev_loss=P(MESH_AXIS_STYLE),
+            n_total_iters=P(MESH_AXIS_STYLE),
+            func_evals=P(MESH_AXIS_STYLE),
         )
 
+        def init_state_fn():
+            return jax.vmap(
+                lambda _: lbfgs_init(n_global, lbfgs_history_size),
+            )(jnp.arange(n_styles))
+
+    else:
+        msg = f"Unknown optimizer: {optimizer!r}"
+        raise ValueError(msg)
+
+    aux_specs = StepAux(
+        loss=P(MESH_AXIS_STYLE),
+        style_score=P(MESH_AXIS_STYLE),
+        content_score=P(MESH_AXIS_STYLE),
+        n_evals=P(MESH_AXIS_STYLE),
+    )
     mapped = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(
-            P(), image_specs, target_specs, image_specs, image_specs,
-            P(),
-        ),
-        out_specs=(
-            image_specs, image_specs, image_specs, P(),
-            P(MESH_AXIS_STYLE), P(MESH_AXIS_STYLE), P(MESH_AXIS_STYLE),
-        ),
+        in_specs=(P(), image_specs, target_specs, state_specs),
+        out_specs=(image_specs, state_specs, aux_specs),
     )
 
-    def update(images, state):
-        from style_transfer_visualizer_tpu.engine.optimizers import (  # noqa: PLC0415
-            StepAux,
-        )
+    def update(images, state, p, targets):
+        return mapped(p, images, targets, state)
 
-        mu, nu, count = state
-        x_new, mu, nu, count, per_style, style_scores, content_scores = (
-            mapped(params, images, stacked_targets, mu, nu, count)
-        )
-        aux = StepAux(
-            loss=per_style,
-            style_score=style_scores,
-            content_score=content_scores,
-            n_evals=jnp.ones_like(count),
-        )
-        return x_new, (mu, nu, count), aux
+    jitted = jax.jit(update, donate_argnums=(0, 1))
 
-    zeros = jnp.zeros((n_styles, *image_shape), jnp.float32)
-    init_state = (
-        zeros,
-        jnp.zeros_like(zeros),
-        jnp.zeros((), jnp.int32),
+    # Allocate the state directly into its sharding — materializing the
+    # L-BFGS history unsharded first would put the full S x m x N ring
+    # on one device before the reshard.
+    from jax.sharding import NamedSharding  # noqa: PLC0415
+
+    state_shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        state_specs,
+        is_leaf=lambda leaf: isinstance(leaf, P),
     )
-    return jax.jit(update, donate_argnums=(0, 1)), init_state
+    init_state = jax.jit(
+        init_state_fn, out_shardings=state_shardings,
+    )()
+
+    def update_fn(images, state):
+        return jitted(images, state, params, stacked_targets)
+
+    from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
+        make_chunked_update,
+    )
+
+    jitted_multi = make_chunked_update(update, n_extra_args=2)
+
+    def chunked_update_fn(images, state, k: int):
+        return jitted_multi(images, state, params, stacked_targets, k)
+
+    return update_fn, init_state, chunked_update_fn

@@ -144,6 +144,43 @@ class TestMultiStyle:
                 float(aux.loss[s]), float(aux_s.loss), rtol=1e-4,
             )
 
+    def test_chunked_matches_stepwise(self, tiny_params, images) -> None:
+        """k scanned stacked steps in one dispatch == k eager steps."""
+        content, styles = images
+        mesh = create_mesh(n_style=4, n_space=1)
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        kwargs = dict(
+            optimizer="adam", lr=0.1, style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest",
+        )
+        bundle = build_multi_style_update(
+            mesh, tiny_params, targets, tuple(content.shape), 4, **kwargs,
+        )
+        images0 = initialize_multi_inputs(
+            content, "content", jax.random.key(1), 4,
+        )
+        x1, s1 = images0, bundle.opt_state
+        for _ in range(3):
+            x1, s1, _ = bundle.update_fn(x1, s1)
+
+        bundle2 = build_multi_style_update(
+            mesh, tiny_params, targets, tuple(content.shape), 4, **kwargs,
+        )
+        images0 = initialize_multi_inputs(
+            content, "content", jax.random.key(1), 4,
+        )
+        x2, _, auxes = bundle2.chunked_update_fn(
+            images0, bundle2.opt_state, 3,
+        )
+        assert auxes.loss.shape == (3, 4)
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x1), rtol=1e-4, atol=1e-6,
+        )
+
     def test_sharding_layout(self, tiny_params, images) -> None:
         content, styles = images
         mesh = create_mesh(n_style=4, n_space=1)
@@ -285,52 +322,55 @@ class TestSpatialSharding:
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
 
 
+def _dp_sp_setup(tiny_params, n_styles=2, size=32, seed=5, **kwargs):
+    """2x2 mesh dp x sp bundle over fresh random content/styles."""
+    from style_transfer_visualizer_tpu.models.features import Targets
+    from style_transfer_visualizer_tpu.parallel.spatial import (
+        build_dp_sp_update,
+        compute_sharded_targets,
+    )
+
+    rng = np.random.default_rng(seed)
+    content = jnp.asarray(
+        rng.uniform(size=(1, size, size, 3)).astype(np.float32),
+    )
+    styles = [
+        jnp.asarray(
+            rng.uniform(size=(1, size, size, 3)).astype(np.float32),
+        )
+        for _ in range(n_styles)
+    ]
+    mesh = create_mesh(n_style=2, n_space=2)
+    per_style_targets = [
+        compute_sharded_targets(
+            mesh, tiny_params, s, content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        for s in styles
+    ]
+    stacked = Targets(
+        style_grams={
+            k: jnp.stack([t.style_grams[k] for t in per_style_targets])
+            for k in STYLE_LAYERS
+        },
+        content_feats={
+            k: jnp.stack([t.content_feats[k] for t in per_style_targets])
+            for k in CONTENT_LAYERS
+        },
+    )
+    built = build_dp_sp_update(
+        mesh, tiny_params, stacked, tuple(content.shape), n_styles,
+        style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+        precision=HIGH, **kwargs,
+    )
+    return built, content, styles
+
+
 class TestDpSpCombined:
     def test_full_step_runs_and_decreases_loss(self, tiny_params) -> None:
         """2x2 mesh: styles x row-shards, one full Adam training step."""
-        from style_transfer_visualizer_tpu.parallel.spatial import (
-            build_dp_sp_update,
-            compute_sharded_targets,
-        )
-
-        rng = np.random.default_rng(5)
-        content = jnp.asarray(
-            rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
-        )
-        styles = [
-            jnp.asarray(
-                rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
-            )
-            for _ in range(2)
-        ]
-        mesh = create_mesh(n_style=2, n_space=2)
-
-        per_style_targets = [
-            compute_sharded_targets(
-                mesh, tiny_params, s, content, STYLE_LAYERS, CONTENT_LAYERS,
-                precision=HIGH,
-            )
-            for s in styles
-        ]
-        from style_transfer_visualizer_tpu.models.features import Targets
-
-        stacked = Targets(
-            style_grams={
-                k: jnp.stack([t.style_grams[k] for t in per_style_targets])
-                for k in STYLE_LAYERS
-            },
-            content_feats={
-                k: jnp.stack(
-                    [t.content_feats[k] for t in per_style_targets],
-                )
-                for k in CONTENT_LAYERS
-            },
-        )
-        update_fn, state = build_dp_sp_update(
-            mesh, tiny_params, stacked, tuple(content.shape), 2,
-            lr=0.05, style_w=100.0, content_w=1.0,
-            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
-            precision=HIGH,
+        (update_fn, state, _), content, _ = _dp_sp_setup(
+            tiny_params, lr=0.05, style_w=100.0, content_w=1.0,
         )
         images = jnp.stack([content * 0.5, content * 0.2])
         losses = []
@@ -342,6 +382,82 @@ class TestDpSpCombined:
         assert images.shape == (2, 1, 32, 32, 3)
         assert aux.style_score.shape == (2,)
         assert aux.content_score.shape == (2,)
+
+    @pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
+    def test_dp_sp_trajectory_matches_single_device(
+        self, tiny_params, optimizer,
+    ) -> None:
+        """3 dp x sp steps == 3 single-device steps, per style.
+
+        Three steps take the sharded L-BFGS through history insertion
+        and the two-loop recursion, so every psum'd dot product and
+        pmax'd norm is exercised against the whole-vector math.
+        """
+        kwargs = dict(
+            optimizer=optimizer, lr=0.1, style_w=10.0, content_w=1.0,
+            lbfgs_history_size=4, lbfgs_max_iter=1, lbfgs_max_eval=1,
+        )
+        (update_fn, state, _), content, styles = _dp_sp_setup(
+            tiny_params, **kwargs,
+        )
+        images = jnp.stack([content, content])
+        traj = []
+        for _ in range(3):
+            images, state, aux = update_fn(images, state)
+            traj.append((np.asarray(images), np.asarray(aux.loss)))
+
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+
+        single_kwargs = dict(kwargs)
+        single_kwargs["style_layers"] = STYLE_LAYERS
+        single_kwargs["content_layers"] = CONTENT_LAYERS
+        single_kwargs["precision"] = "highest"
+        for s in range(2):
+            targets = compute_targets(
+                tiny_params, styles[s], content,
+                STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+            )
+            single = build_update_step(
+                tiny_params, targets, tuple(content.shape),
+                **single_kwargs,
+            )
+            x, st = jnp.array(content), single.opt_state
+            for step in range(3):
+                x, st, aux_s = single.update_fn(x, st)
+                np.testing.assert_allclose(
+                    traj[step][0][s], np.asarray(x),
+                    rtol=2e-3, atol=1e-5,
+                )
+                np.testing.assert_allclose(
+                    traj[step][1][s], float(aux_s.loss), rtol=1e-3,
+                )
+
+    def test_dp_sp_chunked_matches_stepwise(self, tiny_params) -> None:
+        """k scanned dp x sp steps in one dispatch == k eager steps."""
+        kwargs = dict(
+            optimizer="adam", lr=0.05, style_w=100.0, content_w=1.0,
+        )
+        (update_fn, state, _), content, _ = _dp_sp_setup(
+            tiny_params, **kwargs,
+        )
+        images = jnp.stack([content * 0.5, content * 0.2])
+        x1, s1 = images, state
+        for _ in range(3):
+            x1, s1, _ = update_fn(x1, s1)
+
+        (_, state2, chunked), content, _ = _dp_sp_setup(
+            tiny_params, **kwargs,
+        )
+        images2 = jnp.stack([content * 0.5, content * 0.2])
+        x2, _, auxes = chunked(images2, state2, 3)
+        assert auxes.loss.shape == (3, 2)
+        # scan vs eager re-associates fusions; tolerance covers the
+        # few-ulp drift that amplifies over 3 steps.
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x1), rtol=1e-3, atol=1e-5,
+        )
 
 
 class TestSpatialStepBundle:
@@ -536,7 +652,7 @@ class TestDpSpDefaultTaps:
                 for k in content_layers
             },
         )
-        update_fn, state = build_dp_sp_update(
+        update_fn, state, _ = build_dp_sp_update(
             mesh, tiny_params, stacked, tuple(content.shape), 2,
             lr=0.05, style_w=1e5, content_w=1.0,
             style_layers=style_layers, content_layers=content_layers,

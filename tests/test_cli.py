@@ -335,6 +335,48 @@ class TestMultiStyleArtifacts:
         assert (tmp_path / "out" / "loss_plot_s1.png").exists()
         assert (tmp_path / "out" / "loss_plot_s2.png").exists()
 
+    def test_chunked_dispatch_logs_interior_steps(self, tmp_path) -> None:
+        """One 4-step dispatch still emits CSV rows for interior steps."""
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(
+            tmp_path, log_loss=str(tmp_path / "out" / "losses.csv"),
+        )
+        cfg.hardware.steps_per_dispatch = 4
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("losses_s1.csv", "losses_s2.csv"):
+            lines = (
+                (tmp_path / "out" / name).read_text().strip().splitlines()
+            )
+            # Steps 2 (interior to the chunk) and 4 (boundary).
+            assert [ln.split(",")[0] for ln in lines] == [
+                "step", "2", "4",
+            ]
+
+    def test_chunked_dispatch_matches_stepwise(self, tmp_path) -> None:
+        """k scanned batch steps produce the same PNGs as k eager steps."""
+        import numpy as np
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        results = {}
+        for label, per_dispatch in (("eager", 1), ("chunked", 4)):
+            cfg = self._config(tmp_path)
+            cfg.output.output = str(tmp_path / f"out_{label}")
+            cfg.hardware.steps_per_dispatch = per_dispatch
+            saved = multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+            results[label] = [
+                np.asarray(Image.open(p), dtype=np.int16) for p in saved
+            ]
+        for eager, chunked in zip(results["eager"], results["chunked"]):
+            # uint8 pixels; allow 1 count of scan-vs-eager rounding drift.
+            assert np.abs(eager - chunked).max() <= 1
+
     def test_checkpoint_and_resume(self, tmp_path) -> None:
         from style_transfer_visualizer_tpu.main import multi_style_transfer
 
@@ -414,9 +456,8 @@ class TestMultiStyleSpatialCombined:
             lines = (tmp_path / "out" / name).read_text().splitlines()
             assert len(lines) == 4  # header + 3 steps
 
-    def test_dp_sp_rejects_lbfgs(self, tmp_path) -> None:
-        import pytest as _pytest
-
+    def test_dp_sp_lbfgs_end_to_end(self, tmp_path) -> None:
+        """L-BFGS with its history sharded over the space axis runs e2e."""
         from style_transfer_visualizer_tpu.config import (
             StyleTransferConfig,
         )
@@ -425,14 +466,17 @@ class TestMultiStyleSpatialCombined:
         content, styles = self._inputs(tmp_path)
         cfg = StyleTransferConfig.model_validate({
             "optimization": {
-                "steps": 1, "optimizer": "lbfgs",
+                "steps": 2, "optimizer": "lbfgs",
                 "style_layers": [0], "content_layers": [2],
                 "allow_random_weights": True,
+                "lbfgs_history_size": 4,
             },
             "hardware": {"device": "cpu", "spatial_shards": 2},
             "output": {"output": str(tmp_path / "out")},
         })
-        with _pytest.raises(ValueError, match="adam"):
-            multi_style_transfer(
-                str(content), [str(s) for s in styles], cfg,
-            )
+        saved = multi_style_transfer(
+            str(content), [str(s) for s in styles], cfg,
+        )
+        assert len(saved) == 2
+        for p in saved:
+            assert p.exists()
