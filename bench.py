@@ -10,11 +10,14 @@ Prints ONE JSON line:
 
 ``vs_baseline`` is relative to the reference implementation's hot loop
 on CPU (measured by benchmarks/reference_cpu_baseline.py on this
-machine; see BASELINE.md). L-BFGS throughput is within noise of Adam
-here — both cost one forward+backward per accepted step — but Adam is
-the benchmark workload because it compiles once (the L-BFGS while_loop
-roughly doubles compile time on backends where the VGG19 backward graph
-is slow to build).
+machine; see BASELINE.md). The same line also carries the L-BFGS rate
+at the reference's *default* workload (lr=1, max_iter/max_eval=1,
+history 100 — config_defaults.py:5-13 and torch's LBFGS default) as
+``lbfgs_steps_per_sec_512px`` / ``lbfgs_vs_baseline`` (vs the 0.1351
+steps/s torch-CPU L-BFGS baseline), so the flagship configuration has
+a recorded speed on the flagship hardware; Adam stays the primary
+metric because its smooth fixed-step dynamics are what the 1e-3
+curve-parity gate is certified on (BASELINE.md).
 """
 from __future__ import annotations
 
@@ -28,6 +31,7 @@ import jax.numpy as jnp
 # Adam) measured on this host; LBFGS variant measured at 0.1351.
 # See BASELINE.md.
 REFERENCE_CPU_STEPS_PER_SEC = 0.137  # steps/s, 512px, torch 2.13 CPU
+REFERENCE_CPU_LBFGS_STEPS_PER_SEC = 0.1351  # same rig, L-BFGS default
 
 SIZE = 512
 TIMED_STEPS = 150
@@ -80,14 +84,42 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
 
     steps_per_sec = chunk / best
-    baseline = REFERENCE_CPU_STEPS_PER_SEC
+
+    # Secondary metric: the reference's DEFAULT workload — L-BFGS at
+    # lr=1, max_iter=max_eval=1, torch-default history 100.
+    lbfgs = build_update_step(
+        params, targets, tuple(content.shape),
+        optimizer="lbfgs", lr=1.0, style_w=1e5, content_w=1.0,
+        style_layers=style_layers, content_layers=content_layers,
+        precision="mixed",
+        lbfgs_max_iter=1, lbfgs_max_eval=1, lbfgs_history_size=100,
+    )
+    x = initialize_input(content, "random", jax.random.key(2))
+    state = lbfgs.opt_state
+    x, state, aux = lbfgs.chunked_update_fn(x, state, chunk)  # compile
+    jax.block_until_ready(x)
+    lbfgs_best = float("inf")
+    for _ in range(TIMED_STEPS // chunk):
+        start = time.perf_counter()
+        x, state, aux = lbfgs.chunked_update_fn(x, state, chunk)
+        jax.block_until_ready(x)
+        lbfgs_best = min(lbfgs_best, time.perf_counter() - start)
+    lbfgs_steps_per_sec = chunk / lbfgs_best
+
     print(
         json.dumps(
             {
                 "metric": "adam_steps_per_sec_512px",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / baseline, 2),
+                "vs_baseline": round(
+                    steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC, 2,
+                ),
+                "lbfgs_steps_per_sec_512px": round(lbfgs_steps_per_sec, 3),
+                "lbfgs_vs_baseline": round(
+                    lbfgs_steps_per_sec / REFERENCE_CPU_LBFGS_STEPS_PER_SEC,
+                    2,
+                ),
             },
         ),
     )
