@@ -72,12 +72,28 @@ def main() -> None:
             images, state, _ = update(images, state)
         jax.block_until_ready(images)
         best = min(best, (time.perf_counter() - t0) / K_CHUNK)
+
+    # The production batch loop since 0.3.0: k steps fused into one
+    # lax.scan dispatch (main.py:_run_multi_style_loop picks k=25 when
+    # no checkpoint cadence constrains it).
+    k = 25
+    images, state, _ = bundle.chunked_update_fn(images, state, k)
+    jax.block_until_ready(images)
+    best_chunked = 1e9
+    for _ in range(CHUNKS):
+        t0 = time.perf_counter()
+        images, state, _ = bundle.chunked_update_fn(images, state, k)
+        jax.block_until_ready(images)
+        best_chunked = min(best_chunked, (time.perf_counter() - t0) / k)
     print(json.dumps({
         "metric": "multistyle_batch_steps_per_sec_512px",
         "n_styles": N_STYLES,
         "precision": "mixed",
         "batch_steps_per_sec": round(1 / best, 3),
         "style_steps_per_sec": round(N_STYLES / best, 2),
+        "chunked_batch_steps_per_sec": round(1 / best_chunked, 3),
+        "chunked_style_steps_per_sec": round(N_STYLES / best_chunked, 2),
+        "chunk": k,
     }))
 
 

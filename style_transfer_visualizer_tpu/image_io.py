@@ -141,6 +141,18 @@ def pack_uint8_frame(x: jax.Array) -> jax.Array:
     return jnp.clip(frame, 0, 255).astype(jnp.uint8)
 
 
+@jax.jit
+def pack_uint8_frames_batch(x: jax.Array) -> jax.Array:
+    """(S, 1, H, W, 3) float in [0,1] -> (S, H, W, 3) uint8, on device.
+
+    Batch-mode analog of :func:`pack_uint8_frame`: one dispatch packs
+    every style's timelapse frame, so S*H*W*3 bytes cross the host
+    boundary instead of S full f32 images.
+    """
+    frames = jnp.round(x[:, 0] * 255.0)
+    return jnp.clip(frames, 0, 255).astype(jnp.uint8)
+
+
 def array_to_uint8_frame(
     x: jax.Array,
     *,

@@ -247,8 +247,8 @@ def multi_style_transfer(
 
     Styles shard across available devices on the ``style`` mesh axis
     (vmapped stacked update); outputs save as
-    ``stylized_{content}_x_{style_i}.png``. Video/GIF outputs are not
-    produced in batch mode.
+    ``stylized_{content}_x_{style_i}.png``. ``--gif`` produces one
+    timelapse GIF per style; MP4 video remains a single-run feature.
     """
     from style_transfer_visualizer_tpu.parallel.mesh import (  # noqa: PLC0415
         create_mesh,
@@ -266,6 +266,11 @@ def multi_style_transfer(
     if not style_paths:
         msg = "multi_style_transfer requires at least one style path"
         raise ValueError(msg)
+    # Final-only mode disables timelapse outputs (same cascade as the
+    # single-run path).
+    if config.video.final_only:
+        config.video.create_video = False
+        config.video.create_gif = False
     for style_path in style_paths:
         stv_runtime.validate_input_paths(content_path, style_path)
 
@@ -369,14 +374,18 @@ def multi_style_transfer(
             config.output.output,
         )
         style_names = [Path(p).stem for p in style_paths]
-        images, state = _run_multi_style_loop(
+        images, state, close_errors = _run_multi_style_loop(
             bundle, images, state, config, output_path, style_names,
+            content_name=Path(content_path).stem,
         )
 
-        return _save_multi_style_outputs(
+        saved = _save_multi_style_outputs(
             images, style_paths, content_path, output_path,
             normalize=opt_cfg.normalize,
         )
+        if close_errors:
+            raise close_errors[0]
+        return saved
 
 
 def _dp_sp_multi_style(
@@ -489,13 +498,17 @@ def _dp_sp_multi_style(
     )
     output_path = stv_runtime.setup_output_directory(config.output.output)
     style_names = [Path(p).stem for p in style_paths]
-    images, state = _run_multi_style_loop(
+    images, state, close_errors = _run_multi_style_loop(
         bundle, images, state, config, output_path, style_names,
+        content_name=Path(content_path).stem,
     )
-    return _save_multi_style_outputs(
+    saved = _save_multi_style_outputs(
         images, style_paths, content_path, output_path,
         normalize=opt_cfg.normalize,
     )
+    if close_errors:
+        raise close_errors[0]
+    return saved
 
 
 def _save_multi_style_outputs(
@@ -529,9 +542,9 @@ def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
     (engine/runner.py:_resolve_chunk_size) minus the logging cadence:
     chunked dispatch stacks every step's losses, so CSV rows and plot
     history can be read off interior steps of a chunk — only
-    checkpointing (which needs the materialized state at an exact
-    step) must land on a chunk boundary. A user ``--steps-per-dispatch``
-    folds into the same gcd.
+    checkpointing and per-style GIF frame extraction (which need the
+    materialized image/state at an exact step) must land on a chunk
+    boundary. A user ``--steps-per-dispatch`` folds into the same gcd.
     """
     if getattr(bundle, "chunked_update_fn", None) is None:
         return 1
@@ -546,6 +559,8 @@ def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
     cadences = []
     if config.output.checkpoint_every:
         cadences.append(config.output.checkpoint_every)
+    if config.video.create_gif and config.video.save_every:
+        cadences.append(config.video.save_every)
     if requested > 1:
         cadences.append(requested)
     if not cadences:
@@ -565,24 +580,34 @@ def _run_multi_style_loop(
     config: StyleTransferConfig,
     output_path: Path,
     style_names: list[str],
+    content_name: str = "content",
 ):
     """The batch-mode optimization loop with the full logging contract.
 
     Batch mode keeps per-style loss CSVs (``<log_loss stem>_<style>``),
-    per-style loss plots, checkpoint/resume of the stacked problem, and
-    cadence-gated host syncs. Timelapse video/GIF remain single-run
-    features — requesting them in batch mode warns loudly instead of
-    silently dropping output (the per-style frame streams would each
-    need their own encoder; use single runs for timelapses).
+    per-style loss plots, checkpoint/resume of the stacked problem,
+    cadence-gated host syncs, and (``--gif``) one timelapse GIF per
+    style: frames for all S styles are packed on-device in a single
+    dispatch at the ``save_every`` cadence and fan out to per-style
+    ``GifFrameCollector`` sinks on the async frame worker, so encoding
+    never stalls step dispatch. Batch GIFs contain stylized frames only
+    (always ending on the final image); intro/outro segments and MP4
+    remain single-run features — requesting MP4 warns loudly instead of
+    silently dropping output (S concurrent ffmpeg encoders would
+    serialize on the host; use single runs for MP4 timelapses).
+
+    Returns ``(images, state, close_errors)``; callers persist the
+    stylized PNGs before re-raising any sink close error, matching the
+    single-run artifact-survival contract.
     """
     opt_cfg = config.optimization
     out_cfg = config.output
-    if config.video.create_video or config.video.create_gif:
+    if config.video.create_video:
         logger.warning(
-            "Batch (multi-style) mode does not produce timelapse "
-            "video/GIF, intro/outro segments, or per-step frames; only "
-            "final stylized PNGs, loss CSVs/plots, and checkpoints are "
-            "written. Run styles individually for timelapse artifacts.",
+            "Batch (multi-style) mode does not produce timelapse MP4 "
+            "video or intro/outro segments; final stylized PNGs, loss "
+            "CSVs/plots, checkpoints, and (with --gif) per-style GIFs "
+            "are written. Run styles individually for MP4 timelapses.",
         )
 
     from style_transfer_visualizer_tpu.engine.loss_logger import (  # noqa: PLC0415
@@ -607,6 +632,40 @@ def _run_multi_style_loop(
             if out_cfg.checkpoint_path
             else output_path / "checkpoint.npz"
         )
+
+    # One GIF sink per style, fed by a single on-device packing dispatch
+    # at the save_every cadence (S*H*W*3 uint8 bytes per extraction).
+    gif_collectors: list = []
+    gif_names: list[str] = []
+    frame_stream = None
+    save_every = config.video.save_every
+    if config.video.create_gif and save_every:
+        from style_transfer_visualizer_tpu.media.stream import (  # noqa: PLC0415
+            AsyncFrameStream,
+        )
+
+        for name in style_names:
+            gif_name = f"timelapse_{content_name}_x_{name}.gif"
+            gif_names.append(gif_name)
+            gif_collectors.append(
+                stv_encode.GifFrameCollector(
+                    (output_path / gif_name).resolve(), config.video.fps,
+                ),
+            )
+        frame_stream = AsyncFrameStream()
+
+    def submit_frames(imgs: jax.Array) -> None:
+        """Pack all styles' frames on-device; deliver off-thread."""
+        prepared = stv_image_io.prepare_image_for_output(
+            imgs, normalize=opt_cfg.normalize,
+        )
+        packed = stv_image_io.pack_uint8_frames_batch(prepared)
+
+        def deliver(frames: np.ndarray) -> None:
+            for sink, frame in zip(gif_collectors, frames):
+                sink.append_data(frame)
+
+        frame_stream.submit(packed, deliver)
 
     csv_loggers: list[LossCSVLogger | None] = [None] * len(style_names)
     if out_cfg.log_loss:
@@ -697,12 +756,16 @@ def _run_multi_style_loop(
                         log_step(step + j + 1, vals[:, j])
                 step += chunk
                 bar.update(chunk)
+                if frame_stream is not None and step % save_every == 0:
+                    submit_frames(images)
                 maybe_checkpoint(step)
                 continue
 
             images, state, aux = bundle.update_fn(images, state)
             step += 1
             bar.update(1)
+            if frame_stream is not None and step % save_every == 0:
+                submit_frames(images)
             if step % out_cfg.log_every == 0:
                 # One fused (3, S) transfer per cadence.
                 vals = np.asarray(
@@ -712,9 +775,28 @@ def _run_multi_style_loop(
                 )
                 log_step(step, vals)
             maybe_checkpoint(step)
+        if frame_stream is not None and opt_cfg.steps % save_every != 0:
+            # End every GIF on the finished image even when the step
+            # count does not land on the frame cadence.
+            submit_frames(images)
         jax.block_until_ready(images)
     finally:
         bar.close()
+        close_errors: list[Exception] = []
+        if frame_stream is not None:
+            try:
+                frame_stream.close()
+            except Exception as exc:  # noqa: BLE001
+                logger.error("Error closing frame stream: %s", exc)
+                close_errors.append(exc)
+        for gif_name, sink in zip(gif_names, gif_collectors):
+            try:
+                sink.close()
+            except Exception as exc:  # noqa: BLE001
+                logger.error(
+                    "Error closing GIF sink %s: %s", gif_name, exc,
+                )
+                close_errors.append(exc)
         for csv_logger in csv_loggers:
             if csv_logger is not None:
                 try:
@@ -732,7 +814,10 @@ def _run_multi_style_loop(
                 plot_loss_curves(
                     history, output_path, filename=f"loss_plot_{name}.png",
                 )
-    return images, state
+    if gif_collectors and not close_errors:
+        for gif_name in gif_names:
+            logger.info("Timelapse GIF saved to: %s", output_path / gif_name)
+    return images, state, close_errors
 
 
 def _prepare_model_and_input(

@@ -401,12 +401,101 @@ class TestMultiStyleArtifacts:
 
         content, styles = self._setup(tmp_path)
         cfg = self._config(tmp_path)
-        cfg.video.create_gif = True
+        cfg.video.create_video = True
         with caplog.at_level(logging.WARNING):
             multi_style_transfer(
                 str(content), [str(s) for s in styles], cfg,
             )
-        assert "does not produce timelapse" in caplog.text
+        assert "does not produce timelapse MP4" in caplog.text
+
+    def test_per_style_gifs(self, tmp_path) -> None:
+        """--gif in batch mode yields one timelapse GIF per style."""
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
+            gif = tmp_path / "out" / name
+            assert gif.exists()
+            with Image.open(gif) as img:
+                assert img.n_frames == 2  # steps 2 and 4
+
+    def test_gif_ends_on_final_image_off_cadence(self, tmp_path) -> None:
+        """steps=3, save_every=2: frames at step 2 plus the final image."""
+        import numpy as np
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.optimization.steps = 3
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        saved = multi_style_transfer(
+            str(content), [str(s) for s in styles], cfg,
+        )
+        for i, name in enumerate(
+            ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"),
+        ):
+            with Image.open(tmp_path / "out" / name) as img:
+                assert img.n_frames == 2
+                img.seek(img.n_frames - 1)
+                last = np.asarray(img.convert("RGB"), dtype=np.int16)
+            final = np.asarray(
+                Image.open(saved[i]), dtype=np.int16,
+            )
+            # GIF palette quantization costs a few counts per channel.
+            assert np.abs(last - final).max() <= 16
+
+    def test_chunked_dispatch_respects_gif_cadence(self, tmp_path) -> None:
+        """steps_per_dispatch folds to the frame cadence gcd."""
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        cfg.hardware.steps_per_dispatch = 4
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
+            with Image.open(tmp_path / "out" / name) as img:
+                assert img.n_frames == 2
+
+    def test_pngs_survive_gif_close_failure(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """A failed GIF encode still saves every stylized PNG."""
+        import pytest
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+        from style_transfer_visualizer_tpu.media.encode import (
+            GifFrameCollector,
+        )
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+
+        def boom(self) -> None:
+            msg = "encoder exploded"
+            raise RuntimeError(msg)
+
+        monkeypatch.setattr(GifFrameCollector, "close", boom)
+        with pytest.raises(RuntimeError, match="encoder exploded"):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        for name in ("stylized_c_x_s1.png", "stylized_c_x_s2.png"):
+            assert (tmp_path / "out" / name).exists()
 
 
 class TestMultiStyleSpatialCombined:
@@ -455,6 +544,31 @@ class TestMultiStyleSpatialCombined:
         for name in ("l_s1.csv", "l_s2.csv"):
             lines = (tmp_path / "out" / name).read_text().splitlines()
             assert len(lines) == 4  # header + 3 steps
+
+    def test_dp_sp_per_style_gifs(self, tmp_path) -> None:
+        """Sharded batch frames gather off the mesh into per-style GIFs."""
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._inputs(tmp_path)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu", "spatial_shards": 2},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_gif": True, "save_every": 1},
+        })
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
+            with Image.open(tmp_path / "out" / name) as img:
+                assert img.n_frames == 2
 
     def test_dp_sp_lbfgs_end_to_end(self, tmp_path) -> None:
         """L-BFGS with its history sharded over the space axis runs e2e."""
