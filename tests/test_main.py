@@ -280,6 +280,336 @@ class TestSinkCloseAccounting:
         assert patched_pipeline["writers"]["gif"].closed
 
 
+class FakeRunner:
+    """Capture OptimizationRunner wiring without running real steps."""
+
+    captured: dict = {}
+
+    def __init__(self, update_fn, opt_state, input_img, config, **kwargs):
+        FakeRunner.captured = dict(kwargs)
+        FakeRunner.captured["input_img"] = input_img
+        self._img = input_img
+
+    def run(self):
+        return self._img, {}, 0.0
+
+
+class TestIntroWiring:
+    """Intro segment metadata must reach the runner exactly as prepared."""
+
+    @pytest.fixture
+    def fake_runner(self, monkeypatch):
+        FakeRunner.captured = {}
+        monkeypatch.setattr(stv_main, "OptimizationRunner", FakeRunner)
+        return FakeRunner
+
+    def test_intro_info_propagates_to_runner(
+        self, patched_pipeline, fake_runner, make_input_paths,
+        make_style_transfer_config, monkeypatch,
+    ) -> None:
+        sentinel = np.full((64, 64, 3), 7, np.uint8)
+
+        def fake_prepare_intro(cfg, writer, paths, gif_options=None):
+            return sentinel, 5
+
+        monkeypatch.setattr(
+            stv_main.stv_segments, "prepare_intro_segment",
+            fake_prepare_intro,
+        )
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1},
+            video={"mode": "postprocess", "final_frame_compare": False},
+        )
+        stv_main.style_transfer(make_input_paths(), cfg)
+        assert fake_runner.captured["intro_last_frame"] is sentinel
+        assert fake_runner.captured["intro_crossfade_frames"] == 5
+
+    def test_missing_intro_segment_handled(
+        self, patched_pipeline, fake_runner, make_input_paths,
+        make_style_transfer_config, monkeypatch,
+    ) -> None:
+        """prepare_intro_segment=None (e.g. intro disabled) -> no intro."""
+        monkeypatch.setattr(
+            stv_main.stv_segments, "prepare_intro_segment",
+            lambda *a, **k: None,
+        )
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1},
+            video={"mode": "postprocess", "final_frame_compare": False},
+        )
+        stv_main.style_transfer(make_input_paths(), cfg)
+        assert fake_runner.captured["intro_last_frame"] is None
+        assert fake_runner.captured["intro_crossfade_frames"] == 0
+
+    def test_intro_not_prepared_without_any_sink_request(
+        self, patched_pipeline, fake_runner, make_input_paths,
+        make_style_transfer_config, monkeypatch,
+    ) -> None:
+        """No video writer + gif intro off -> intro work is skipped."""
+        def boom(*a, **k):
+            msg = "intro must not be prepared"
+            raise AssertionError(msg)
+
+        monkeypatch.setattr(
+            stv_main.stv_segments, "prepare_intro_segment", boom,
+        )
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1},
+            video={"create_video": False, "create_gif": True,
+                   "gif_include_intro": False,
+                   "final_frame_compare": False},
+        )
+        stv_main.style_transfer(make_input_paths(), cfg)
+        assert fake_runner.captured["intro_last_frame"] is None
+
+    def test_resume_start_step_clamped_to_steps(
+        self, patched_pipeline, fake_runner, make_input_paths,
+        make_style_transfer_config, monkeypatch, tmp_path,
+    ) -> None:
+        """A checkpoint past --steps resumes at steps, not beyond."""
+        from style_transfer_visualizer_tpu.runtime import checkpoint
+
+        restored = jnp.zeros((1, 64, 64, 3), jnp.float32)
+
+        def fake_load(path, like):
+            return checkpoint.Checkpoint(
+                step=99, image=restored, opt_state=None,
+            )
+
+        monkeypatch.setattr(checkpoint, "load_checkpoint", fake_load)
+        cfg = make_style_transfer_config(
+            optimization={"steps": 3},
+            video={"create_video": False},
+            output={"resume_from": str(tmp_path / "ck.npz")},
+        )
+        stv_main.style_transfer(make_input_paths(), cfg)
+        assert fake_runner.captured["start_step"] == 3
+        assert fake_runner.captured["input_img"] is restored
+
+
+class TestMaybeAppendFinalSegments:
+    """Outro gating: final_frame_compare x sink availability."""
+
+    @pytest.fixture
+    def recorded_append(self, monkeypatch):
+        calls: list = []
+
+        def fake_append(cfg, writer, paths, final_frame, **kwargs):
+            calls.append({"writer": writer, **kwargs})
+
+        monkeypatch.setattr(
+            stv_main.stv_segments, "append_final_comparison_frame",
+            fake_append,
+        )
+        return calls
+
+    def _gif_options(self, sink, *, outro: bool):
+        return stv_main.stv_segments.GifSegmentOptions(
+            sink=sink, include_intro=False, include_outro=outro,
+        )
+
+    def _call(self, cfg, writer, gif_options, tmp_path):
+        from PIL import Image
+
+        content = tmp_path / "c.png"
+        style = tmp_path / "s.png"
+        Image.new("RGB", (8, 8)).save(content)
+        Image.new("RGB", (8, 8)).save(style)
+        stv_main._maybe_append_final_segments(
+            cfg.video, writer, gif_options, content, style,
+            jnp.zeros((1, 8, 8, 3)), normalize=True,
+        )
+
+    def test_disabled_compare_skips(
+        self, recorded_append, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            video={"final_frame_compare": False},
+        )
+        self._call(cfg, StubWriter(), None, tmp_path)
+        assert recorded_append == []
+
+    def test_no_sinks_skips(
+        self, recorded_append, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            video={"final_frame_compare": True},
+        )
+        self._call(
+            cfg, None, self._gif_options(StubWriter(), outro=False),
+            tmp_path,
+        )
+        assert recorded_append == []
+
+    def test_gif_outro_without_video_appends(
+        self, recorded_append, make_style_transfer_config, tmp_path,
+    ) -> None:
+        """The reference's gif-outro-only path (test_main.py:794-896)."""
+        cfg = make_style_transfer_config(
+            video={"final_frame_compare": True},
+        )
+        sink = StubWriter()
+        self._call(cfg, None, self._gif_options(sink, outro=True), tmp_path)
+        assert len(recorded_append) == 1
+        assert recorded_append[0]["gif_options"].sink is sink
+
+    def test_video_without_gif_appends(
+        self, recorded_append, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            video={"final_frame_compare": True},
+        )
+        writer = StubWriter()
+        self._call(cfg, writer, None, tmp_path)
+        assert len(recorded_append) == 1
+        assert recorded_append[0]["writer"] is writer
+        assert "gif_options" not in recorded_append[0]
+
+
+class TestResolveTileRows:
+    def _config(self, make_style_transfer_config, tile_rows):
+        return make_style_transfer_config(
+            optimization={"tile_rows": tile_rows, "style_layers": [0],
+                          "content_layers": [2]},
+        )
+
+    def test_explicit_valid(self, make_style_transfer_config) -> None:
+        cfg = self._config(make_style_transfer_config, 32)
+        assert stv_main._resolve_tile_rows(cfg, 64, 64) == 32
+
+    def test_explicit_invalid_raises(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(make_style_transfer_config, 48)
+        with pytest.raises(ValueError, match="divisible by tile_rows"):
+            stv_main._resolve_tile_rows(cfg, 64, 64)
+
+    def test_explicit_zero_disables(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(make_style_transfer_config, 0)
+        assert stv_main._resolve_tile_rows(cfg, 4096, 4096) == 0
+
+    def test_auto_small_input_whole_image(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(make_style_transfer_config, -1)
+        assert stv_main._resolve_tile_rows(cfg, 512, 512) == 0
+
+    def test_auto_large_input_tiles(
+        self, make_style_transfer_config, monkeypatch, caplog,
+    ) -> None:
+        import logging
+
+        from style_transfer_visualizer_tpu.ops import tiled
+
+        monkeypatch.setattr(
+            tiled, "auto_tile_rows", lambda h, w, taps: 432,
+        )
+        cfg = self._config(make_style_transfer_config, -1)
+        with caplog.at_level(logging.INFO):
+            rows = stv_main._resolve_tile_rows(cfg, 2160, 3840)
+        assert rows == 432
+        assert "Auto-enabling banded" in caplog.text
+
+    def test_auto_untileable_height_warns_whole_image(
+        self, make_style_transfer_config, monkeypatch, caplog,
+    ) -> None:
+        import logging
+
+        from style_transfer_visualizer_tpu.ops import tiled
+
+        monkeypatch.setattr(
+            tiled, "auto_tile_rows", lambda h, w, taps: None,
+        )
+        cfg = self._config(make_style_transfer_config, -1)
+        with caplog.at_level(logging.WARNING):
+            rows = stv_main._resolve_tile_rows(cfg, 2161, 3840)
+        assert rows == 0
+        assert "admits no exact band tiling" in caplog.text
+
+
+class TestResolveBatchChunk:
+    def _config(self, make_style_transfer_config, **kw):
+        return make_style_transfer_config(**kw)
+
+    def _bundle(self, *, chunked):
+        class B:
+            chunked_update_fn = (lambda *a: None) if chunked else None
+
+        return B()
+
+    def test_no_chunked_path_is_stepwise(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(make_style_transfer_config)
+        assert stv_main._resolve_batch_chunk(
+            self._bundle(chunked=False), cfg,
+        ) == 1
+
+    def test_explicit_one_disables(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(
+            make_style_transfer_config,
+            hardware={"steps_per_dispatch": 1},
+        )
+        assert stv_main._resolve_batch_chunk(
+            self._bundle(chunked=True), cfg,
+        ) == 1
+
+    def test_unconstrained_uses_default(
+        self, make_style_transfer_config,
+    ) -> None:
+        from style_transfer_visualizer_tpu.engine.runner import (
+            _DEFAULT_CHUNK,
+        )
+
+        cfg = self._config(make_style_transfer_config)
+        assert stv_main._resolve_batch_chunk(
+            self._bundle(chunked=True), cfg,
+        ) == _DEFAULT_CHUNK
+
+    def test_checkpoint_cadence_folds(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(
+            make_style_transfer_config,
+            output={"checkpoint_every": 10},
+        )
+        assert stv_main._resolve_batch_chunk(
+            self._bundle(chunked=True), cfg,
+        ) == 10
+
+    def test_gif_cadence_folds_with_checkpoint(
+        self, make_style_transfer_config,
+    ) -> None:
+        cfg = self._config(
+            make_style_transfer_config,
+            output={"checkpoint_every": 4},
+            video={"create_gif": True, "save_every": 6},
+        )
+        assert stv_main._resolve_batch_chunk(
+            self._bundle(chunked=True), cfg,
+        ) == 2
+
+    def test_oversize_gcd_drops_to_divisor(
+        self, make_style_transfer_config,
+    ) -> None:
+        from style_transfer_visualizer_tpu.engine.runner import _MAX_CHUNK
+
+        cfg = self._config(
+            make_style_transfer_config,
+            output={"checkpoint_every": 120},
+        )
+        chunk = stv_main._resolve_batch_chunk(
+            self._bundle(chunked=True), cfg,
+        )
+        assert chunk <= _MAX_CHUNK
+        assert 120 % chunk == 0
+        assert chunk == 40  # largest divisor of 120 <= 50
+
+
 class TestPrepareModelAndInput:
     def test_real_prepare_with_tiny_model(
         self, monkeypatch, make_style_transfer_config,
