@@ -20,7 +20,10 @@ enable_persistent_compilation_cache()
 
 CONFIGS = {
     "1080p": dict(h=1088, w=1920, remat=False, k=10),
-    "1440p": dict(h=1472, w=2560, remat=True, k=5),
+    # 3.77MP is below the 4.19MP auto-remat threshold: the production
+    # path runs 1440p whole-image (remat measured 2.09 vs 3.02 steps/s
+    # at mixed; it was only ever needed for r1's `highest` tier).
+    "1440p": dict(h=1472, w=2560, remat=False, k=5),
 }
 
 
@@ -28,13 +31,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1080p,1440p")
     ap.add_argument("--precision", default="high")
+    ap.add_argument(
+        "--remat", choices=["config", "on", "off"], default="config",
+        help="Override each size's configured remat setting",
+    )
     args = ap.parse_args()
 
     params = vgg19.init_random_params(jax.random.key(0))
     sl, cl = (0, 5, 10, 19, 28), (21,)
 
     for name in args.sizes.split(","):
-        cfg = CONFIGS[name]
+        cfg = dict(CONFIGS[name])
+        if args.remat != "config":
+            cfg["remat"] = args.remat == "on"
         shape = (1, cfg["h"], cfg["w"], 3)
         key = jax.random.key(1)
         content = jax.random.uniform(key, shape, jnp.float32)
