@@ -1,9 +1,11 @@
-"""Multi-style batch throughput: 1 content x 8 styles at 512px.
+"""Multi-style batch throughput: 1 content x S styles at 512px.
 
 BASELINE.json configs[2]. On a single chip the style axis is a
 1-device mesh and the batch rides vmap; on a pod slice the same code
-shards styles across chips.
+shards styles across chips. ``--styles N`` sweeps the single-chip
+batch-size scaling curve (how far vmap keeps filling the MXU).
 """
+import argparse
 import json
 import time
 
@@ -27,12 +29,17 @@ from style_transfer_visualizer_tpu.utils.cache import (
 enable_persistent_compilation_cache()
 
 SIZE = 512
-N_STYLES = 8
 K_CHUNK = 10
 CHUNKS = 4
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--styles", type=int, default=8)
+    ap.add_argument("--skip-eager", action="store_true")
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+    n_styles = args.styles
     params = vgg19.init_random_params(jax.random.key(0))
     sl, cl = (0, 5, 10, 19, 28), (21,)
     key = jax.random.key(1)
@@ -40,7 +47,7 @@ def main() -> None:
     content = jax.random.uniform(key, shape, jnp.float32)
     styles = [
         jax.random.uniform(jax.random.fold_in(key, s), shape, jnp.float32)
-        for s in range(N_STYLES)
+        for s in range(n_styles)
     ]
 
     mesh = create_mesh(n_style=1, n_space=1)
@@ -49,12 +56,13 @@ def main() -> None:
         precision=resolve_precision("mixed"),
     )
     bundle = build_multi_style_update(
-        mesh, params, targets, shape, N_STYLES,
+        mesh, params, targets, shape, n_styles,
         optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
         style_layers=sl, content_layers=cl, precision="mixed",
+        remat=args.remat,
     )
     images = initialize_multi_inputs(
-        content, "random", jax.random.key(2), N_STYLES,
+        content, "random", jax.random.key(2), n_styles,
     )
     state = bundle.opt_state
     update = bundle.update_fn
@@ -62,16 +70,18 @@ def main() -> None:
     # Warm past BOTH compiles: the first call compiles, and because the
     # carried buffers are donated, the second call sees the output
     # layouts and compiles once more before reaching the fixed point.
-    for _ in range(3):
-        images, state, _ = update(images, state)
-        jax.block_until_ready(images)
-    best = 1e9
-    for _ in range(CHUNKS):
-        t0 = time.perf_counter()
-        for _ in range(K_CHUNK):
+    best = None
+    if not args.skip_eager:
+        for _ in range(3):
             images, state, _ = update(images, state)
-        jax.block_until_ready(images)
-        best = min(best, (time.perf_counter() - t0) / K_CHUNK)
+            jax.block_until_ready(images)
+        best = 1e9
+        for _ in range(CHUNKS):
+            t0 = time.perf_counter()
+            for _ in range(K_CHUNK):
+                images, state, _ = update(images, state)
+            jax.block_until_ready(images)
+            best = min(best, (time.perf_counter() - t0) / K_CHUNK)
 
     # The production batch loop since 0.3.0: k steps fused into one
     # lax.scan dispatch (main.py:_run_multi_style_loop picks k=25 when
@@ -85,16 +95,18 @@ def main() -> None:
         images, state, _ = bundle.chunked_update_fn(images, state, k)
         jax.block_until_ready(images)
         best_chunked = min(best_chunked, (time.perf_counter() - t0) / k)
-    print(json.dumps({
+    out = {
         "metric": "multistyle_batch_steps_per_sec_512px",
-        "n_styles": N_STYLES,
+        "n_styles": n_styles,
         "precision": "mixed",
-        "batch_steps_per_sec": round(1 / best, 3),
-        "style_steps_per_sec": round(N_STYLES / best, 2),
         "chunked_batch_steps_per_sec": round(1 / best_chunked, 3),
-        "chunked_style_steps_per_sec": round(N_STYLES / best_chunked, 2),
+        "chunked_style_steps_per_sec": round(n_styles / best_chunked, 2),
         "chunk": k,
-    }))
+    }
+    if best is not None:
+        out["batch_steps_per_sec"] = round(1 / best, 3)
+        out["style_steps_per_sec"] = round(n_styles / best, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -55,3 +55,15 @@ MESH_AXIS_SPACE = "space"    # spatial sharding of feature maps (tiled Gram)
 # loss evaluation: the largest whole-image fwd+bwd graph this hardware
 # class compiles and fits is ~3.8MP (1440p, BASELINE.md); 4K is 8.3MP.
 AUTO_TILE_PIXEL_THRESHOLD = 4_200_000
+
+# Single-run inputs at or above this pixel count auto-enable feature
+# rematerialization (only relevant between this and the tiling
+# threshold; 1440p/3.8MP measured 44% faster whole-image, BASELINE.md).
+AUTO_REMAT_PIXEL_THRESHOLD = 2048 * 2048
+
+# Batch (multi-style) runs remat by per-device pixels x styles.
+# Activation memory is the only driver there (the vmapped graph does
+# not grow with S): measured at 512px mixed, 24 styles (6.3M-equiv)
+# fits whole-activation at 74.3 style-steps/s while 32 (8.4M) OOMs —
+# and rematerializing 16 styles costs 29% (58.6 vs 75.5, BASELINE.md).
+BATCH_AUTO_REMAT_PIXEL_THRESHOLD = 2560 * 2560

@@ -18,7 +18,9 @@ import numpy as np
 import style_transfer_visualizer_tpu.image_io as stv_image_io
 import style_transfer_visualizer_tpu.runtime as stv_runtime
 from style_transfer_visualizer_tpu.constants import (
+    AUTO_REMAT_PIXEL_THRESHOLD,
     AUTO_TILE_PIXEL_THRESHOLD,
+    BATCH_AUTO_REMAT_PIXEL_THRESHOLD,
 )
 from style_transfer_visualizer_tpu.engine.runner import OptimizationRunner
 from style_transfer_visualizer_tpu.engine.step import build_update_step
@@ -345,10 +347,12 @@ def multi_style_transfer(
         )
         _, height, width, _ = content_img.shape
         # Activation memory multiplies by the per-device style count, so
-        # the auto-remat threshold scales down accordingly.
+        # remat keys on pixels x styles — against the measured batched
+        # ceiling, which sits higher than the single-run threshold
+        # because the vmapped graph itself does not grow with S.
         styles_per_device = max(1, n_styles // n_style_axis)
-        remat = opt_cfg.remat or (
-            int(height) * int(width) * styles_per_device >= 2048 * 2048
+        remat = opt_cfg.remat or _auto_remat_batched(
+            int(height) * int(width), styles_per_device,
         )
         bundle = build_multi_style_update(
             mesh, params, targets, tuple(content_img.shape), n_styles,
@@ -509,6 +513,16 @@ def _dp_sp_multi_style(
     if close_errors:
         raise close_errors[0]
     return saved
+
+
+def _auto_remat_batched(pixels: int, styles_per_device: int) -> bool:
+    """Whether a batch run's per-device activations need remat.
+
+    Keyed on pixels x styles against the measured whole-activation HBM
+    ceiling (24 styles x 512px fits, 32 OOMs; rematerializing early
+    costs 29% — BASELINE.md batch-scaling table).
+    """
+    return pixels * styles_per_device >= BATCH_AUTO_REMAT_PIXEL_THRESHOLD
 
 
 def _save_multi_style_outputs(
@@ -901,7 +915,8 @@ def _prepare_model_and_input(
             conv_backend=conv_backend,
         )
     remat = not tile_rows and (
-        opt_cfg.remat or int(height) * int(width) >= 2048 * 2048
+        opt_cfg.remat
+        or int(height) * int(width) >= AUTO_REMAT_PIXEL_THRESHOLD
     )
     if remat and not opt_cfg.remat:
         logger.info(

@@ -610,6 +610,22 @@ class TestResolveBatchChunk:
         assert chunk == 40  # largest divisor of 120 <= 50
 
 
+class TestAutoRematBatched:
+    """Batch remat keys on pixels x styles vs the measured HBM ceiling."""
+
+    def test_sixteen_styles_512px_whole_activation(self) -> None:
+        assert not stv_main._auto_remat_batched(512 * 512, 16)
+
+    def test_twenty_four_styles_512px_whole_activation(self) -> None:
+        assert not stv_main._auto_remat_batched(512 * 512, 24)
+
+    def test_thirty_two_styles_512px_remats(self) -> None:
+        assert stv_main._auto_remat_batched(512 * 512, 32)
+
+    def test_high_res_few_styles_remats(self) -> None:
+        assert stv_main._auto_remat_batched(1920 * 1088, 4)
+
+
 class TestPrepareModelAndInput:
     def test_real_prepare_with_tiny_model(
         self, monkeypatch, make_style_transfer_config,
