@@ -469,6 +469,34 @@ class TestMultiStyleArtifacts:
             with Image.open(tmp_path / "out" / name) as img:
                 assert img.n_frames == 2
 
+    def test_gif_with_checkpoint_resume(self, tmp_path) -> None:
+        """GIF frames, checkpoints, and chunking share one cadence grid."""
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path, checkpoint_every=2)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        ckpt = tmp_path / "out" / "checkpoint.npz"
+        assert ckpt.exists()
+
+        cfg2 = self._config(
+            tmp_path, checkpoint_every=2, resume_from=str(ckpt),
+        )
+        cfg2.optimization.steps = 6
+        cfg2.output.output = str(tmp_path / "out2")
+        cfg2.video.create_gif = True
+        cfg2.video.save_every = 2
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg2)
+        # Resumed at step 4 of 6: frames at the step-6 cadence only.
+        with Image.open(
+            tmp_path / "out2" / "timelapse_c_x_s1.gif",
+        ) as img:
+            assert img.n_frames == 1
+
     def test_pngs_survive_gif_close_failure(
         self, tmp_path, monkeypatch,
     ) -> None:
