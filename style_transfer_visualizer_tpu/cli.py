@@ -47,8 +47,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "help": (
                     "Comma-separated style image paths for a parallel "
                     "multi-style batch run (styles shard across TPU "
-                    "devices; --gif yields one timelapse GIF per style, "
-                    "MP4 video is disabled in this mode)."
+                    "devices; timelapse outputs are one GIF and/or one "
+                    "postprocess MP4 per style, no intro/outro)."
                 ),
             }),
         ],

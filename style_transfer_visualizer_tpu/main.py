@@ -250,7 +250,8 @@ def multi_style_transfer(
     Styles shard across available devices on the ``style`` mesh axis
     (vmapped stacked update); outputs save as
     ``stylized_{content}_x_{style_i}.png``. ``--gif`` produces one
-    timelapse GIF per style; MP4 video remains a single-run feature.
+    timelapse GIF per style and video one postprocess MP4 per style
+    (realtime streaming mode is promoted to postprocess).
     """
     from style_transfer_visualizer_tpu.parallel.mesh import (  # noqa: PLC0415
         create_mesh,
@@ -573,7 +574,9 @@ def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
     cadences = []
     if config.output.checkpoint_every:
         cadences.append(config.output.checkpoint_every)
-    if config.video.create_gif and config.video.save_every:
+    if (
+        config.video.create_gif or config.video.create_video
+    ) and config.video.save_every:
         cadences.append(config.video.save_every)
     if requested > 1:
         cadences.append(requested)
@@ -600,15 +603,16 @@ def _run_multi_style_loop(
 
     Batch mode keeps per-style loss CSVs (``<log_loss stem>_<style>``),
     per-style loss plots, checkpoint/resume of the stacked problem,
-    cadence-gated host syncs, and (``--gif``) one timelapse GIF per
-    style: frames for all S styles are packed on-device in a single
-    dispatch at the ``save_every`` cadence and fan out to per-style
-    ``GifFrameCollector`` sinks on the async frame worker, so encoding
-    never stalls step dispatch. Batch GIFs contain stylized frames only
-    (always ending on the final image); intro/outro segments and MP4
-    remain single-run features — requesting MP4 warns loudly instead of
-    silently dropping output (S concurrent ffmpeg encoders would
-    serialize on the host; use single runs for MP4 timelapses).
+    cadence-gated host syncs, and one timelapse per style: with
+    ``--gif`` a looping GIF, with video a postprocess MP4 (streaming
+    ``realtime`` mode is promoted — S concurrent ffmpeg encoders would
+    contend on the host, while spilled frames encode serially on
+    close). Frames for all S styles are packed on-device in a single
+    dispatch at the ``save_every`` cadence and fan out to the per-style
+    sinks on the async frame worker, so encoding never stalls step
+    dispatch. Batch timelapses contain stylized frames only (always
+    ending on the final image); intro/outro segments remain single-run
+    features.
 
     Returns ``(images, state, close_errors)``; callers persist the
     stylized PNGs before re-raising any sink close error, matching the
@@ -616,12 +620,18 @@ def _run_multi_style_loop(
     """
     opt_cfg = config.optimization
     out_cfg = config.output
-    if config.video.create_video:
-        logger.warning(
-            "Batch (multi-style) mode does not produce timelapse MP4 "
-            "video or intro/outro segments; final stylized PNGs, loss "
-            "CSVs/plots, checkpoints, and (with --gif) per-style GIFs "
-            "are written. Run styles individually for MP4 timelapses.",
+    if config.video.create_video and config.video.mode != "postprocess":
+        # S concurrent streaming encoders would contend on the host;
+        # spilled frames encode serially on close instead.
+        logger.info(
+            "Batch (multi-style) mode encodes MP4 in postprocess mode; "
+            "promoting from '%s'.", config.video.mode,
+        )
+        config.video.mode = "postprocess"
+    if config.video.create_video or config.video.create_gif:
+        logger.info(
+            "Batch mode writes one timelapse per style; intro/outro "
+            "segments remain single-run features.",
         )
 
     from style_transfer_visualizer_tpu.engine.loss_logger import (  # noqa: PLC0415
@@ -647,25 +657,41 @@ def _run_multi_style_loop(
             else output_path / "checkpoint.npz"
         )
 
-    # One GIF sink per style, fed by a single on-device packing dispatch
-    # at the save_every cadence (S*H*W*3 uint8 bytes per extraction).
-    gif_collectors: list = []
-    gif_names: list[str] = []
+    # Per-style media sinks (GIF collectors and/or postprocess MP4
+    # writers), fed by a single on-device packing dispatch at the
+    # save_every cadence (S*H*W*3 uint8 bytes per extraction). Sinks are
+    # (label, sink) pairs so close accounting can name the failure.
+    style_sinks: list[list[tuple[str, object]]] = [
+        [] for _ in style_names
+    ]
+    media_names: list[str] = []
     frame_stream = None
     save_every = config.video.save_every
     if config.video.create_gif and save_every:
+        for i, name in enumerate(style_names):
+            gif_name = f"timelapse_{content_name}_x_{name}.gif"
+            media_names.append(gif_name)
+            style_sinks[i].append((
+                gif_name,
+                stv_encode.GifFrameCollector(
+                    (output_path / gif_name).resolve(), config.video.fps,
+                ),
+            ))
+    if config.video.create_video and save_every:
+        for i, name in enumerate(style_names):
+            video_name = f"timelapse_{content_name}_x_{name}.mp4"
+            media_names.append(video_name)
+            style_sinks[i].append((
+                video_name,
+                stv_encode.setup_video_writer(
+                    config.video, output_path, video_name,
+                ),
+            ))
+    if any(style_sinks):
         from style_transfer_visualizer_tpu.media.stream import (  # noqa: PLC0415
             AsyncFrameStream,
         )
 
-        for name in style_names:
-            gif_name = f"timelapse_{content_name}_x_{name}.gif"
-            gif_names.append(gif_name)
-            gif_collectors.append(
-                stv_encode.GifFrameCollector(
-                    (output_path / gif_name).resolve(), config.video.fps,
-                ),
-            )
         frame_stream = AsyncFrameStream()
 
     def submit_frames(imgs: jax.Array) -> None:
@@ -676,8 +702,9 @@ def _run_multi_style_loop(
         packed = stv_image_io.pack_uint8_frames_batch(prepared)
 
         def deliver(frames: np.ndarray) -> None:
-            for sink, frame in zip(gif_collectors, frames):
-                sink.append_data(frame)
+            for sinks, frame in zip(style_sinks, frames):
+                for _, sink in sinks:
+                    sink.append_data(frame)
 
         frame_stream.submit(packed, deliver)
 
@@ -797,20 +824,23 @@ def _run_multi_style_loop(
     finally:
         bar.close()
         close_errors: list[Exception] = []
+        failed_sinks: set[str] = set()
         if frame_stream is not None:
             try:
                 frame_stream.close()
             except Exception as exc:  # noqa: BLE001
                 logger.error("Error closing frame stream: %s", exc)
                 close_errors.append(exc)
-        for gif_name, sink in zip(gif_names, gif_collectors):
-            try:
-                sink.close()
-            except Exception as exc:  # noqa: BLE001
-                logger.error(
-                    "Error closing GIF sink %s: %s", gif_name, exc,
-                )
-                close_errors.append(exc)
+        for sinks in style_sinks:
+            for label, sink in sinks:
+                try:
+                    sink.close()
+                except Exception as exc:  # noqa: BLE001
+                    logger.error(
+                        "Error closing media sink %s: %s", label, exc,
+                    )
+                    close_errors.append(exc)
+                    failed_sinks.add(label)
         for csv_logger in csv_loggers:
             if csv_logger is not None:
                 try:
@@ -828,9 +858,11 @@ def _run_multi_style_loop(
                 plot_loss_curves(
                     history, output_path, filename=f"loss_plot_{name}.png",
                 )
-    if gif_collectors and not close_errors:
-        for gif_name in gif_names:
-            logger.info("Timelapse GIF saved to: %s", output_path / gif_name)
+    for media_name in media_names:
+        if media_name not in failed_sinks:
+            logger.info(
+                "Timelapse saved to: %s", output_path / media_name,
+            )
     return images, state, close_errors
 
 

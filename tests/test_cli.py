@@ -236,6 +236,7 @@ class TestMultiStyleCli:
             },
             "hardware": {"device": "cpu"},
             "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
         })
         saved = multi_style_transfer(
             str(content), [str(s1), str(s2)], cfg,
@@ -273,6 +274,7 @@ class TestMultiStyleDeviceFit:
             },
             "hardware": {"device": "cpu"},
             "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
         })
         saved = multi_style_transfer(str(content), styles, cfg)
         assert len(saved) == 3
@@ -309,6 +311,9 @@ class TestMultiStyleArtifacts:
                 "log_every": 2,
                 **output,
             },
+            # The container has no ffmpeg; MP4-path tests enable video
+            # explicitly against stub writers.
+            "video": {"create_video": False},
         })
 
     def test_per_style_csv_logging(self, tmp_path) -> None:
@@ -394,19 +399,69 @@ class TestMultiStyleArtifacts:
         )
         assert all(p.exists() for p in saved)
 
-    def test_video_request_warns_loudly(self, tmp_path, caplog) -> None:
+    def test_video_promotes_to_postprocess_per_style(
+        self, tmp_path, caplog, monkeypatch,
+    ) -> None:
+        """Batch MP4 rides per-style postprocess writers, never realtime."""
         import logging
 
+        from style_transfer_visualizer_tpu import main as stv_main
         from style_transfer_visualizer_tpu.main import multi_style_transfer
 
+        writers: dict[str, object] = {}
+
+        class StubWriter:
+            def __init__(self) -> None:
+                self.frames: list = []
+                self.closed = False
+
+            def append_data(self, frame) -> None:
+                self.frames.append(frame)
+
+            def close(self) -> None:
+                self.closed = True
+
+        def fake_setup(video_cfg, out_dir, name):
+            assert video_cfg.mode == "postprocess"
+            writers[name] = StubWriter()
+            return writers[name]
+
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer", fake_setup,
+        )
         content, styles = self._setup(tmp_path)
         cfg = self._config(tmp_path)
         cfg.video.create_video = True
-        with caplog.at_level(logging.WARNING):
+        cfg.video.mode = "realtime"
+        cfg.video.save_every = 2
+        with caplog.at_level(logging.INFO):
             multi_style_transfer(
                 str(content), [str(s) for s in styles], cfg,
             )
-        assert "does not produce timelapse MP4" in caplog.text
+        assert "promoting" in caplog.text
+        assert sorted(writers) == [
+            "timelapse_c_x_s1.mp4", "timelapse_c_x_s2.mp4",
+        ]
+        for writer in writers.values():
+            assert len(writer.frames) == 2  # steps 2 and 4
+            assert writer.closed
+
+    def test_video_without_ffmpeg_fails_fast(self, tmp_path) -> None:
+        """No ffmpeg -> postprocess writer raises before optimization."""
+        import pytest
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+        from style_transfer_visualizer_tpu.media import encode
+
+        if encode.ffmpeg_available():  # pragma: no cover - env-dependent
+            pytest.skip("ffmpeg present; fail-fast path not reachable")
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_video = True
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
 
     def test_per_style_gifs(self, tmp_path) -> None:
         """--gif in batch mode yields one timelapse GIF per style."""
@@ -559,6 +614,7 @@ class TestMultiStyleSpatialCombined:
                 "log_every": 1,
                 "log_loss": str(tmp_path / "out" / "l.csv"),
             },
+            "video": {"create_video": False},
         })
         saved = multi_style_transfer(
             str(content), [str(s) for s in styles], cfg,
@@ -591,7 +647,10 @@ class TestMultiStyleSpatialCombined:
             },
             "hardware": {"device": "cpu", "spatial_shards": 2},
             "output": {"output": str(tmp_path / "out")},
-            "video": {"create_gif": True, "save_every": 1},
+            "video": {
+                "create_video": False, "create_gif": True,
+                "save_every": 1,
+            },
         })
         multi_style_transfer(str(content), [str(s) for s in styles], cfg)
         for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
@@ -615,6 +674,7 @@ class TestMultiStyleSpatialCombined:
             },
             "hardware": {"device": "cpu", "spatial_shards": 2},
             "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
         })
         saved = multi_style_transfer(
             str(content), [str(s) for s in styles], cfg,
