@@ -565,7 +565,9 @@ class TestResolveBatchChunk:
             _DEFAULT_CHUNK,
         )
 
-        cfg = self._config(make_style_transfer_config)
+        cfg = self._config(
+            make_style_transfer_config, video={"create_video": False},
+        )
         assert stv_main._resolve_batch_chunk(
             self._bundle(chunked=True), cfg,
         ) == _DEFAULT_CHUNK
@@ -593,6 +595,18 @@ class TestResolveBatchChunk:
             self._bundle(chunked=True), cfg,
         ) == 2
 
+    def test_video_cadence_folds(
+        self, make_style_transfer_config,
+    ) -> None:
+        """Batch MP4 frames need chunk boundaries on save_every too."""
+        cfg = self._config(
+            make_style_transfer_config,
+            video={"create_video": True, "save_every": 15},
+        )
+        assert stv_main._resolve_batch_chunk(
+            self._bundle(chunked=True), cfg,
+        ) == 15
+
     def test_oversize_gcd_drops_to_divisor(
         self, make_style_transfer_config,
     ) -> None:
@@ -601,6 +615,7 @@ class TestResolveBatchChunk:
         cfg = self._config(
             make_style_transfer_config,
             output={"checkpoint_every": 120},
+            video={"create_video": False},
         )
         chunk = stv_main._resolve_batch_chunk(
             self._bundle(chunked=True), cfg,
