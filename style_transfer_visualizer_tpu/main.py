@@ -768,7 +768,19 @@ def _run_multi_style_loop(
         total=opt_cfg.steps, initial=start_step,
         desc="Multi-Style Transfer",
     )
+    import contextlib  # noqa: PLC0415
+
+    profile_ctx = (
+        jax.profiler.trace(out_cfg.profile_dir)
+        if out_cfg.profile_dir
+        else contextlib.nullcontext()
+    )
+    if out_cfg.profile_dir:
+        logger.info(
+            "Profiling batch optimization loop to %s", out_cfg.profile_dir,
+        )
     try:
+        profile_ctx.__enter__()
         step = start_step
         while step < opt_cfg.steps:
             remaining = opt_cfg.steps - step
@@ -822,6 +834,8 @@ def _run_multi_style_loop(
             submit_frames(images)
         jax.block_until_ready(images)
     finally:
+        with contextlib.suppress(Exception):
+            profile_ctx.__exit__(None, None, None)
         bar.close()
         close_errors: list[Exception] = []
         failed_sinks: set[str] = set()

@@ -524,6 +524,16 @@ class TestMultiStyleArtifacts:
             with Image.open(tmp_path / "out" / name) as img:
                 assert img.n_frames == 2
 
+    def test_profile_dir_writes_trace(self, tmp_path) -> None:
+        """--profile-dir captures the batch loop like the single-run path."""
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        profile_dir = tmp_path / "trace"
+        cfg = self._config(tmp_path, profile_dir=str(profile_dir))
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert any(profile_dir.rglob("*.xplane.pb"))
+
     def test_gif_with_checkpoint_resume(self, tmp_path) -> None:
         """GIF frames, checkpoints, and chunking share one cadence grid."""
         from PIL import Image
