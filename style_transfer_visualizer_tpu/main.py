@@ -382,6 +382,8 @@ def multi_style_transfer(
         images, state, close_errors = _run_multi_style_loop(
             bundle, images, state, config, output_path, style_names,
             content_name=Path(content_path).stem,
+            content_path=Path(content_path),
+            style_paths=[Path(p) for p in style_paths],
         )
 
         saved = _save_multi_style_outputs(
@@ -506,6 +508,8 @@ def _dp_sp_multi_style(
     images, state, close_errors = _run_multi_style_loop(
         bundle, images, state, config, output_path, style_names,
         content_name=Path(content_path).stem,
+        content_path=Path(content_path),
+        style_paths=[Path(p) for p in style_paths],
     )
     saved = _save_multi_style_outputs(
         images, style_paths, content_path, output_path,
@@ -514,6 +518,60 @@ def _dp_sp_multi_style(
     if close_errors:
         raise close_errors[0]
     return saved
+
+
+def _append_batch_outros(
+    config: StyleTransferConfig,
+    images: jax.Array,
+    content_path: Path | None,
+    style_paths: list[Path] | None,
+    gif_sinks: list,
+    video_sinks: list,
+    *,
+    normalize: bool,
+) -> None:
+    """Per-style outro comparison segments for batch timelapses.
+
+    Mirrors the single-run outro (`_maybe_append_final_segments`): each
+    style's sinks get a hold of its final frame, a crossfade into the
+    gallery comparison of (content, that style, that result), and an
+    outro hold — gated by ``final_frame_compare`` and, for GIFs,
+    ``gif_include_outro``.
+    """
+    if not config.video.final_frame_compare:
+        return
+    if content_path is None or style_paths is None:
+        return
+    include_gif_outro = config.video.gif_include_outro
+    wanted = [
+        video_sinks[i] is not None
+        or (gif_sinks[i] is not None and include_gif_outro)
+        for i in range(len(style_paths))
+    ]
+    if not any(wanted):
+        return
+
+    prepared = stv_image_io.prepare_image_for_output(
+        images, normalize=normalize,
+    )
+    frames = np.asarray(stv_image_io.pack_uint8_frames_batch(prepared))
+    for i, style_path in enumerate(style_paths):
+        if not wanted[i]:
+            continue
+        gif_options = None
+        if gif_sinks[i] is not None:
+            gif_options = stv_segments.GifSegmentOptions(
+                sink=gif_sinks[i],
+                include_intro=False,
+                include_outro=include_gif_outro,
+            )
+        stv_segments.append_final_comparison_frame(
+            config.video,
+            video_sinks[i],
+            (Path(content_path), Path(style_path)),
+            np.ascontiguousarray(frames[i]),
+            gif_options=gif_options,
+        )
 
 
 def _auto_remat_batched(pixels: int, styles_per_device: int) -> bool:
@@ -598,6 +656,8 @@ def _run_multi_style_loop(
     output_path: Path,
     style_names: list[str],
     content_name: str = "content",
+    content_path: Path | None = None,
+    style_paths: list[Path] | None = None,
 ):
     """The batch-mode optimization loop with the full logging contract.
 
@@ -610,9 +670,13 @@ def _run_multi_style_loop(
     close). Frames for all S styles are packed on-device in a single
     dispatch at the ``save_every`` cadence and fan out to the per-style
     sinks on the async frame worker, so encoding never stalls step
-    dispatch. Batch timelapses contain stylized frames only (always
-    ending on the final image); intro/outro segments remain single-run
-    features.
+    dispatch. Batch timelapses always end on the final image, and each
+    style's sinks receive the same intro and outro segments as a single
+    run under the same gates (``intro_enabled``/``final_frame_compare``
+    for MP4, ``gif_include_intro``/``gif_include_outro`` for GIFs): the
+    per-style intro fade+hold is appended at sink setup and the
+    crossfade into that style's first stylized frame fires on the FIFO
+    frame worker, so ordering matches the single-run contract.
 
     Returns ``(images, state, close_errors)``; callers persist the
     stylized PNGs before re-raising any sink close error, matching the
@@ -630,8 +694,8 @@ def _run_multi_style_loop(
         config.video.mode = "postprocess"
     if config.video.create_video or config.video.create_gif:
         logger.info(
-            "Batch mode writes one timelapse per style; intro/outro "
-            "segments remain single-run features.",
+            "Batch mode writes one timelapse per style, with the same "
+            "intro/outro segments as a single run where enabled.",
         )
 
     from style_transfer_visualizer_tpu.engine.loss_logger import (  # noqa: PLC0415
@@ -660,7 +724,11 @@ def _run_multi_style_loop(
     # Per-style media sinks (GIF collectors and/or postprocess MP4
     # writers), fed by a single on-device packing dispatch at the
     # save_every cadence (S*H*W*3 uint8 bytes per extraction). Sinks are
-    # (label, sink) pairs so close accounting can name the failure.
+    # also kept as (label, sink) pairs so close accounting can name the
+    # failure.
+    n_styles = len(style_names)
+    gif_sinks: list = [None] * n_styles
+    video_sinks: list = [None] * n_styles
     style_sinks: list[list[tuple[str, object]]] = [
         [] for _ in style_names
     ]
@@ -671,28 +739,45 @@ def _run_multi_style_loop(
         for i, name in enumerate(style_names):
             gif_name = f"timelapse_{content_name}_x_{name}.gif"
             media_names.append(gif_name)
-            style_sinks[i].append((
-                gif_name,
-                stv_encode.GifFrameCollector(
-                    (output_path / gif_name).resolve(), config.video.fps,
-                ),
-            ))
+            gif_sinks[i] = stv_encode.GifFrameCollector(
+                (output_path / gif_name).resolve(), config.video.fps,
+            )
+            style_sinks[i].append((gif_name, gif_sinks[i]))
     if config.video.create_video and save_every:
         for i, name in enumerate(style_names):
             video_name = f"timelapse_{content_name}_x_{name}.mp4"
             media_names.append(video_name)
-            style_sinks[i].append((
-                video_name,
-                stv_encode.setup_video_writer(
-                    config.video, output_path, video_name,
-                ),
-            ))
+            video_sinks[i] = stv_encode.setup_video_writer(
+                config.video, output_path, video_name,
+            )
+            style_sinks[i].append((video_name, video_sinks[i]))
     if any(style_sinks):
         from style_transfer_visualizer_tpu.media.stream import (  # noqa: PLC0415
             AsyncFrameStream,
         )
 
         frame_stream = AsyncFrameStream()
+
+    # Per-style intro segments, mirroring the single-run contract:
+    # fade-in + hold appended at sink setup, crossfade into each style's
+    # FIRST stylized frame deferred to delivery time (the frame worker
+    # is FIFO, so the crossfade lands exactly once, in order).
+    pending_intros: list[tuple[np.ndarray, int] | None] = [None] * n_styles
+    if content_path is not None and style_paths is not None:
+        for i in range(n_styles):
+            if video_sinks[i] is None and gif_sinks[i] is None:
+                continue
+            gif_options = None
+            if gif_sinks[i] is not None:
+                gif_options = stv_segments.GifSegmentOptions(
+                    sink=gif_sinks[i],
+                    include_intro=config.video.gif_include_intro,
+                )
+            pending_intros[i] = stv_segments.prepare_intro_segment(
+                config.video, video_sinks[i],
+                (Path(content_path), Path(style_paths[i])),
+                gif_options=gif_options,
+            )
 
     def submit_frames(imgs: jax.Array) -> None:
         """Pack all styles' frames on-device; deliver off-thread."""
@@ -702,7 +787,25 @@ def _run_multi_style_loop(
         packed = stv_image_io.pack_uint8_frames_batch(prepared)
 
         def deliver(frames: np.ndarray) -> None:
-            for sinks, frame in zip(style_sinks, frames):
+            for i, (sinks, frame) in enumerate(zip(style_sinks, frames)):
+                intro = pending_intros[i]
+                if intro is not None:
+                    intro_last, n_crossfade = intro
+                    if (
+                        video_sinks[i] is not None
+                        and config.video.intro_enabled
+                    ):
+                        stv_segments.append_crossfade(
+                            video_sinks[i], intro_last, frame, n_crossfade,
+                        )
+                    if (
+                        gif_sinks[i] is not None
+                        and config.video.gif_include_intro
+                    ):
+                        stv_segments.append_crossfade(
+                            gif_sinks[i], intro_last, frame, n_crossfade,
+                        )
+                    pending_intros[i] = None
                 for _, sink in sinks:
                     sink.append_data(frame)
 
@@ -829,10 +932,19 @@ def _run_multi_style_loop(
                 log_step(step, vals)
             maybe_checkpoint(step)
         if frame_stream is not None and opt_cfg.steps % save_every != 0:
-            # End every GIF on the finished image even when the step
-            # count does not land on the frame cadence.
+            # End every timelapse on the finished image even when the
+            # step count does not land on the frame cadence.
             submit_frames(images)
         jax.block_until_ready(images)
+        if frame_stream is not None:
+            # FIFO: all cadence frames must land before the outro
+            # comparison segments are appended on this thread.
+            frame_stream.drain()
+            _append_batch_outros(
+                config, images, content_path, style_paths,
+                gif_sinks, video_sinks,
+                normalize=opt_cfg.normalize,
+            )
     finally:
         with contextlib.suppress(Exception):
             profile_ctx.__exit__(None, None, None)

@@ -434,6 +434,8 @@ class TestMultiStyleArtifacts:
         cfg.video.create_video = True
         cfg.video.mode = "realtime"
         cfg.video.save_every = 2
+        cfg.video.final_frame_compare = False  # isolate the cadence
+        cfg.video.intro_enabled = False
         with caplog.at_level(logging.INFO):
             multi_style_transfer(
                 str(content), [str(s) for s in styles], cfg,
@@ -561,6 +563,152 @@ class TestMultiStyleArtifacts:
             tmp_path / "out2" / "timelapse_c_x_s1.gif",
         ) as img:
             assert img.n_frames == 1
+
+    def test_gif_outro_appended_per_style(self, tmp_path) -> None:
+        """--gif-include-outro adds the comparison segment to each GIF."""
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        cfg.video.gif_include_outro = True
+        cfg.video.final_frame_compare = True
+        cfg.video.outro_duration_seconds = 0.5
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
+            with Image.open(tmp_path / "out" / name) as img:
+                # 2 stylized frames + hold/crossfade/comparison outro.
+                assert img.n_frames > 4
+
+    def test_outro_targets_each_styles_paths(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """The comparison segment pairs the content with EACH style."""
+        from style_transfer_visualizer_tpu import main as stv_main
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        calls: list = []
+
+        def fake_append(video_cfg, writer, paths, frame, gif_options=None):
+            calls.append(
+                {"paths": paths, "gif": gif_options.sink
+                 if gif_options else None},
+            )
+
+        monkeypatch.setattr(
+            stv_main.stv_segments, "append_final_comparison_frame",
+            fake_append,
+        )
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        cfg.video.gif_include_outro = True
+        cfg.video.final_frame_compare = True
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert [c["paths"][1].name for c in calls] == ["s1.png", "s2.png"]
+        assert all(c["paths"][0].name == "c.png" for c in calls)
+        assert calls[0]["gif"] is not calls[1]["gif"]
+
+    def test_gif_intro_appended_per_style(self, tmp_path) -> None:
+        """--gif-include-intro prepends fade/hold/crossfade to each GIF."""
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        cfg.video.gif_include_intro = True
+        cfg.video.intro_duration_seconds = 0.5
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
+            with Image.open(tmp_path / "out" / name) as img:
+                # fade-in + hold + crossfade precede the 2 cadence frames
+                assert img.n_frames > 4
+
+    def test_intro_crossfades_into_first_frame_per_style(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """Each style's crossfade targets ITS first stylized frame."""
+        from style_transfer_visualizer_tpu import main as stv_main
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        calls: list = []
+        real_prepare = stv_main.stv_segments.prepare_intro_segment
+
+        def fake_crossfade(sink, from_frame, to_frame, n_frames, **kw):
+            calls.append({"sink": sink})
+
+        monkeypatch.setattr(
+            stv_main.stv_segments, "append_crossfade", fake_crossfade,
+        )
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        cfg.video.gif_include_intro = True
+        cfg.video.intro_duration_seconds = 0.5
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert real_prepare is stv_main.stv_segments.prepare_intro_segment
+        assert len(calls) == 2  # one crossfade per style, fired once
+        assert calls[0]["sink"] is not calls[1]["sink"]
+
+    def test_mp4_outro_on_by_default(self, tmp_path, monkeypatch) -> None:
+        """Batch MP4s get the outro comparison without extra flags."""
+        from style_transfer_visualizer_tpu import main as stv_main
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        calls: list = []
+
+        def fake_append(video_cfg, writer, paths, frame, gif_options=None):
+            calls.append({"writer": writer, "style": paths[1].name})
+
+        monkeypatch.setattr(
+            stv_main.stv_segments, "append_final_comparison_frame",
+            fake_append,
+        )
+
+        class StubWriter:
+            def append_data(self, frame) -> None:
+                pass
+
+            def close(self) -> None:
+                pass
+
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer",
+            lambda *a, **k: StubWriter(),
+        )
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_video = True
+        cfg.video.save_every = 2
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert [c["style"] for c in calls] == ["s1.png", "s2.png"]
+        assert all(c["writer"] is not None for c in calls)
+        assert calls[0]["writer"] is not calls[1]["writer"]
+
+    def test_no_outro_without_flags(self, tmp_path, monkeypatch) -> None:
+        """Default gif runs (outro off) stay stylized-frames-only."""
+        from style_transfer_visualizer_tpu import main as stv_main
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        calls: list = []
+        monkeypatch.setattr(
+            stv_main.stv_segments, "append_final_comparison_frame",
+            lambda *a, **k: calls.append(a),
+        )
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert calls == []
 
     def test_pngs_survive_gif_close_failure(
         self, tmp_path, monkeypatch,
