@@ -704,3 +704,39 @@ class TestShardDivisibility:
         )
 
         validate_shard_divisibility(64, 2, (0, 10))  # 64 % (2*4) == 0
+
+
+class TestUnknownOptimizerRejected:
+    def test_multi_style_builder(self, tiny_params, images) -> None:
+        content, styles = images
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        mesh = create_mesh(n_style=4)
+        with pytest.raises(ValueError, match="Unknown optimizer: 'sgd'"):
+            build_multi_style_update(
+                mesh, tiny_params, targets, (1, 32, 32, 3), 4,
+                optimizer="sgd",
+                style_layers=STYLE_LAYERS,
+                content_layers=CONTENT_LAYERS,
+            )
+
+    def test_dp_sp_builder(self, tiny_params, images) -> None:
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            build_dp_sp_update,
+        )
+
+        content, styles = images
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        mesh = create_mesh(n_style=4, n_space=2)
+        with pytest.raises(ValueError, match="Unknown optimizer: 'sgd'"):
+            build_dp_sp_update(
+                mesh, tiny_params, targets, (1, 32, 32, 3), 4,
+                optimizer="sgd",
+                style_layers=STYLE_LAYERS,
+                content_layers=CONTENT_LAYERS,
+            )

@@ -42,3 +42,21 @@ def test_seed_returns_key_and_seeds_host() -> None:
     a = jax.random.normal(key, (4,))
     b = jax.random.normal(key2, (4,))
     assert (a == b).all()
+
+
+def test_accelerator_found_path(monkeypatch) -> None:
+    """setup_device returns the first device of a present platform."""
+    import style_transfer_visualizer_tpu.runtime.device as device_mod
+
+    class FakeDevice:
+        platform = "tpu"
+
+        def __repr__(self) -> str:
+            return "FakeTpu(id=0)"
+
+    fake = FakeDevice()
+    monkeypatch.setattr(
+        device_mod.jax, "devices",
+        lambda platform=None: [fake],
+    )
+    assert setup_device("tpu") is fake

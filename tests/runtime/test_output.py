@@ -93,3 +93,29 @@ def test_save_outputs_gif_logged_only_if_exists(
     )
     save_outputs(img, {}, out_dir, 0.1, opts)
     assert "GIF saved to" in caplog.text
+
+
+def test_save_outputs_falls_back_when_dir_uncreatable(
+    tmp_path, monkeypatch,
+) -> None:
+    """An uncreatable output dir reroutes artifacts to the fallback."""
+    import style_transfer_visualizer_tpu.runtime.output as output_mod
+
+    monkeypatch.chdir(tmp_path)
+    real_mkdir = Path.mkdir
+
+    def deny_first(self, *a, **k):
+        if self.name == "denied":
+            raise OSError("permission denied")
+        return real_mkdir(self, *a, **k)
+
+    monkeypatch.setattr(Path, "mkdir", deny_first)
+    img = jnp.full((1, 4, 4, 3), 0.5, jnp.float32)
+    opts = SaveOptions(
+        content_name="c", style_name="s", video_name=None, gif_name=None,
+        normalize=False, video_created=False, gif_created=False,
+        plot_losses=False,
+    )
+    output_mod.save_outputs(img, {}, tmp_path / "denied", 1.0, opts)
+    fallback = tmp_path / "style_transfer_output"
+    assert (fallback / "stylized_c_x_s.png").exists()

@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import argparse
+import logging
 import subprocess
 import sys
 from pathlib import Path
@@ -840,3 +841,176 @@ class TestMultiStyleSpatialCombined:
         assert len(saved) == 2
         for p in saved:
             assert p.exists()
+
+
+class TestMultiStyleEdges:
+    """Batch-mode validation, cascades, and failure-path accounting."""
+
+    _setup = TestMultiStyleArtifacts._setup
+    _config = TestMultiStyleArtifacts._config
+
+    def test_empty_style_list_rejected(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, _ = self._setup(tmp_path)
+        with pytest.raises(ValueError, match="at least one style"):
+            multi_style_transfer(str(content), [], self._config(tmp_path))
+
+    def test_final_only_disables_batch_media(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.final_only = True
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        out = tmp_path / "out"
+        assert (out / "stylized_c_x_s1.png").exists()
+        assert not list(out.glob("*.gif"))
+
+    def test_indivisible_spatial_shards_rejected(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.hardware.spatial_shards = 3  # 8 CPU devices % 3 != 0
+        with pytest.raises(ValueError, match="must divide"):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+
+    def test_batch_pallas_conv_downgraded_with_warning(
+        self, tmp_path, caplog,
+    ) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.hardware.conv_backend = "pallas"
+        with caplog.at_level(logging.WARNING):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        assert "not supported in batch" in caplog.text
+        assert (tmp_path / "out" / "stylized_c_x_s1.png").exists()
+
+    def test_custom_checkpoint_path_in_batch(self, tmp_path) -> None:
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        ckpt = tmp_path / "elsewhere" / "batch.npz"
+        cfg = self._config(
+            tmp_path, checkpoint_every=2, checkpoint_path=str(ckpt),
+        )
+        multi_style_transfer(str(content), [str(s) for s in styles], cfg)
+        assert ckpt.exists()
+
+    def test_csv_init_failure_degrades_gracefully(
+        self, tmp_path, monkeypatch, caplog,
+    ) -> None:
+        import style_transfer_visualizer_tpu.engine.loss_logger as ll
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        def boom(*a, **k):
+            raise OSError("csv target unwritable")
+
+        monkeypatch.setattr(ll.LossCSVLogger, "__init__", boom)
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path, log_loss="losses.csv")
+        with caplog.at_level(logging.ERROR):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        assert "Failed to initialize CSV logging" in caplog.text
+        assert (tmp_path / "out" / "stylized_c_x_s1.png").exists()
+
+    def test_csv_close_failure_logged_not_raised(
+        self, tmp_path, monkeypatch, caplog,
+    ) -> None:
+        import style_transfer_visualizer_tpu.engine.loss_logger as ll
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        def bad_close(self) -> None:
+            raise OSError("flush failed")
+
+        monkeypatch.setattr(ll.LossCSVLogger, "close", bad_close)
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path, log_loss="losses.csv")
+        with caplog.at_level(logging.ERROR):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        assert "Error closing loss logger" in caplog.text
+        assert (tmp_path / "out" / "stylized_c_x_s1.png").exists()
+
+    def test_frame_stream_close_failure_is_a_close_error(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.media.stream as stream_mod
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        def bad_close(self) -> None:
+            raise RuntimeError("worker stuck")
+
+        monkeypatch.setattr(
+            stream_mod.AsyncFrameStream, "close", bad_close,
+        )
+        content, styles = self._setup(tmp_path)
+        cfg = self._config(tmp_path)
+        cfg.video.create_gif = True
+        cfg.video.save_every = 2
+        with pytest.raises(RuntimeError, match="worker stuck"):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        # The stylized PNGs were persisted before the error re-raised.
+        assert (tmp_path / "out" / "stylized_c_x_s1.png").exists()
+        assert (tmp_path / "out" / "stylized_c_x_s2.png").exists()
+
+
+class TestAppendBatchOutrosGuards:
+    def test_missing_paths_is_a_noop(self, make_style_transfer_config):
+        import jax.numpy as jnp
+
+        from style_transfer_visualizer_tpu.main import _append_batch_outros
+
+        cfg = make_style_transfer_config()
+        cfg.video.final_frame_compare = True
+        sink_calls = []
+        _append_batch_outros(
+            cfg, jnp.zeros((2, 1, 8, 8, 3)), None, None,
+            [sink_calls], [None], normalize=False,
+        )
+        assert sink_calls == []
+
+    def test_styles_without_outro_sinks_are_skipped(
+        self, tmp_path, monkeypatch, make_style_transfer_config,
+    ) -> None:
+        import jax.numpy as jnp
+
+        from style_transfer_visualizer_tpu import main as stv_main
+        from style_transfer_visualizer_tpu.main import _append_batch_outros
+
+        calls = []
+        monkeypatch.setattr(
+            stv_main.stv_segments, "append_final_comparison_frame",
+            lambda *a, **k: calls.append(a),
+        )
+        from PIL import Image
+
+        c = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        for p in (c, s1, s2):
+            Image.new("RGB", (16, 16), "blue").save(p)
+        cfg = make_style_transfer_config()
+        cfg.video.final_frame_compare = True
+        cfg.video.gif_include_outro = False  # gif-only style: no outro
+        gif_sinks = [object(), None]
+        video_sinks = [None, object()]  # only style 2 gets an outro
+        _append_batch_outros(
+            cfg, jnp.zeros((2, 1, 16, 16, 3)), c, [s1, s2],
+            gif_sinks, video_sinks, normalize=False,
+        )
+        assert len(calls) == 1
+        assert calls[0][2][1] == s2

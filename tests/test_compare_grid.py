@@ -164,3 +164,25 @@ class TestCli:
 
         assert compare_grid.build_parser is build_parser
         assert compare_grid.main is main
+
+
+def test_render_valueerror_becomes_parser_error(
+    monkeypatch, tmp_path,
+) -> None:
+    """Runtime ValueErrors from rendering exit with argparse's code 2."""
+    import style_transfer_visualizer_tpu.gallery.cli as gallery_cli
+
+    def boom(options):
+        msg = "synthetic render failure"
+        raise ValueError(msg)
+
+    monkeypatch.setattr(gallery_cli, "render_comparison", boom)
+    img = tmp_path / "a.png"
+    Image.new("RGB", (32, 32), "red").save(img)
+    with pytest.raises(SystemExit) as excinfo:
+        main([
+            "--content", str(img), "--style", str(img),
+            "--layout", "gallery-two-across",
+            "--out", str(tmp_path / "o.png"),
+        ])
+    assert excinfo.value.code == 2

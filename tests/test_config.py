@@ -238,3 +238,19 @@ class TestAssignmentValidation:
         cfg = build_config_from_cli({"fps": 60, "quality": 1, "steps": 1})
         assert cfg.video.fps == 60
         assert cfg.video.quality == 1
+
+
+def test_hardware_and_kernel_flags_merge() -> None:
+    cfg = build_config_from_cli({
+        "steps": 1,
+        "remat": True,
+        "gram_backend": "pallas",
+        "conv_backend": "xla",
+        "spatial_shards": 2,
+        "steps_per_dispatch": 5,
+    })
+    assert cfg.optimization.remat is True
+    assert cfg.hardware.gram_backend == "pallas"
+    assert cfg.hardware.conv_backend == "xla"
+    assert cfg.hardware.spatial_shards == 2
+    assert cfg.hardware.steps_per_dispatch == 5

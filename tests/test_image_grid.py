@@ -228,3 +228,34 @@ class TestNaming:
         )
         with Image.open(out) as im:
             assert im.size == (200, 120)
+
+
+class TestFontFallback:
+    def test_missing_truetype_falls_back_to_default(
+        self, monkeypatch,
+    ) -> None:
+        from PIL import ImageFont
+
+        real_truetype = core.ImageFont.truetype
+
+        def no_dejavu(font=None, *a, **k):
+            # Only the named system font is missing; Pillow's
+            # load_default() may itself route through truetype for its
+            # embedded font and must keep working.
+            if font == "DejaVuSans.ttf":
+                raise OSError("font not found")
+            return real_truetype(font, *a, **k)
+
+        monkeypatch.setattr(core.ImageFont, "truetype", no_dejavu)
+        font = core._cached_font(997)  # unique px: bypass the lru cache
+        assert isinstance(
+            font, (ImageFont.ImageFont, ImageFont.FreeTypeFont),
+        )
+
+
+class TestFrameTextureAlpha:
+    def test_rgba_frame_keeps_alpha_channel(self) -> None:
+        frame = Image.new("RGBA", (32, 32), (120, 90, 40, 200))
+        out = core.add_frame_texture(frame, strength=20)
+        assert out.mode == "RGBA"
+        assert out.getchannel("A").getpixel((5, 5)) == 200

@@ -122,3 +122,25 @@ class TestSave:
         with Image.open(out) as img:
             assert img.size == (6, 8)
             assert img.getpixel((0, 0)) == (128, 128, 128)
+
+
+def test_save_falls_back_to_numpy_without_native(
+    tmp_path, monkeypatch,
+) -> None:
+    """PNG save uses the numpy pack path when the C library is absent."""
+    import sys
+
+    from PIL import Image
+
+    from style_transfer_visualizer_tpu import native as native_pkg
+
+    monkeypatch.setitem(
+        sys.modules, "style_transfer_visualizer_tpu.native.frameops", None,
+    )
+    monkeypatch.delattr(native_pkg, "frameops", raising=False)
+    arr = jnp.full((1, 4, 4, 3), 0.5, jnp.float32)
+    path = tmp_path / "img.png"
+    image_io.save_array_as_image(arr, path)
+    with Image.open(path) as im:
+        assert im.size == (4, 4)
+        assert im.getpixel((0, 0)) == (128, 128, 128)

@@ -178,3 +178,10 @@ class TestBatchAccumulate:
         s, c, t = self._arrays([])
         assert acc.accumulate_batch(1, s, c, t) is None
         assert acc.export_history()["total_loss"] == []
+
+
+def test_sync_pending_without_pending_returns_none() -> None:
+    acc = LossAccumulator(
+        log_every=10, history_capacity=4, track_history=True,
+    )
+    assert acc._sync_pending() is None

@@ -557,3 +557,129 @@ class TestStreamErrorOnSubmit:
         time.sleep(0.1)  # let the worker consume and record the error
         with pytest.raises(ValueError, match="sink exploded"):
             stream.submit(np.zeros((2, 2, 3), np.uint8), lambda f: None)
+
+
+class TestModeHeuristicGuards:
+    """Degenerate inputs stay realtime (reference video.py:649-660)."""
+
+    def test_save_every_zero_never_promotes(self) -> None:
+        # The schema forbids save_every<1; the heuristic still guards
+        # against it for internal callers that disable frames outright.
+        cfg = _video_cfg()
+        object.__setattr__(cfg, "save_every", 0)
+        mode, reason, frames = modes.select_video_mode(
+            cfg, frame_size=(3840, 2160), total_steps=10_000_000,
+        )
+        assert (mode, reason, frames) == ("realtime", None, 0)
+
+    def test_zero_estimated_frames_never_promotes(self) -> None:
+        cfg = _video_cfg(save_every=100)
+        mode, reason, frames = modes.select_video_mode(
+            cfg, frame_size=(3840, 2160), total_steps=50,
+        )
+        assert (mode, reason, frames) == ("realtime", None, 0)
+
+    def test_nonpositive_frame_dims_never_promote(self) -> None:
+        cfg = _video_cfg(save_every=1)
+        mode, reason, _ = modes.select_video_mode(
+            cfg, frame_size=(0, 2160), total_steps=10_000_000,
+        )
+        assert (mode, reason) == ("realtime", None)
+
+
+class TestWriterCloseEdges:
+    def test_pipe_writer_close_without_frames_is_noop(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
+        writer = encode.FfmpegPipeWriter(_video_cfg(), tmp_path / "v.mp4")
+        writer.close()  # never spawned ffmpeg
+        writer.close()  # idempotent
+        assert not (tmp_path / "v.mp4").exists()
+
+    def test_postprocess_close_encodes_spilled_frames(
+        self, tmp_path, monkeypatch, sample_frame,
+    ) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
+
+        class RecordingWriter:
+            instances: list[RecordingWriter] = []
+
+            def __init__(self, config, output_path) -> None:
+                self.frames: list[np.ndarray] = []
+                self.closed = False
+                RecordingWriter.instances.append(self)
+
+            def append_data(self, frame) -> None:
+                self.frames.append(np.array(frame))
+
+            def close(self) -> None:
+                self.closed = True
+
+        monkeypatch.setattr(encode, "FfmpegPipeWriter", RecordingWriter)
+        writer = encode.PostprocessVideoWriter(
+            _video_cfg(), tmp_path / "v.mp4",
+        )
+        writer.append_data(sample_frame)
+        writer.append_data(sample_frame)
+        spill_dir = writer._temp_dir
+        writer.close()
+        (encoder,) = RecordingWriter.instances
+        assert len(encoder.frames) == 2
+        np.testing.assert_array_equal(encoder.frames[0], sample_frame)
+        assert encoder.closed
+        assert not spill_dir.exists()
+        writer.close()  # idempotent after encode
+
+    def test_gif_collector_close_idempotent(
+        self, tmp_path, sample_frame,
+    ) -> None:
+        gif = encode.GifFrameCollector(tmp_path / "t.gif", fps=5)
+        gif.append_data(sample_frame)
+        gif.close()
+        gif.close()
+        assert (tmp_path / "t.gif").exists()
+
+    def test_unsupported_video_mode_rejected(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        monkeypatch.setattr(encode, "ffmpeg_available", lambda: True)
+        cfg = _video_cfg(create_video=True)
+        object.__setattr__(cfg, "mode", "broadcast")
+        with pytest.raises(ValueError, match="Unsupported video mode"):
+            encode.setup_video_writer(cfg, tmp_path, "v.mp4")
+
+
+class TestStreamCloseEdges:
+    def test_double_close_is_noop(self) -> None:
+        stream = AsyncFrameStream()
+        stream.submit(np.zeros((2, 2, 3), np.uint8), lambda f: None)
+        stream.close()
+        stream.close()
+
+
+class TestBlendFallbacks:
+    def test_numpy_path_when_native_unavailable(self, monkeypatch) -> None:
+        monkeypatch.setattr(segments, "_frameops", False)
+        a = np.zeros((4, 4, 3), np.uint8)
+        b = np.full((4, 4, 3), 100, np.uint8)
+        out = segments.blend_frames(a, b, 0.25)
+        assert int(out[0, 0, 0]) == 25
+
+    def test_failed_native_import_cached_as_false(self, monkeypatch) -> None:
+        import sys
+
+        from style_transfer_visualizer_tpu import native as native_pkg
+
+        monkeypatch.setattr(segments, "_frameops", None)
+        monkeypatch.setitem(
+            sys.modules,
+            "style_transfer_visualizer_tpu.native.frameops",
+            None,
+        )
+        monkeypatch.delattr(native_pkg, "frameops", raising=False)
+        a = np.zeros((2, 2, 3), np.uint8)
+        b = np.full((2, 2, 3), 80, np.uint8)
+        out = segments.blend_frames(a, b, 0.5)
+        assert int(out[0, 0, 0]) == 40
+        assert segments._frameops is False

@@ -457,3 +457,59 @@ class TestFrozenConvVJP:
         )
         # Originals untouched.
         assert all("w_flip" not in layer for layer in params.values())
+
+
+class TestRandomInitSeedForms:
+    def test_int_seed_accepted(self) -> None:
+        import numpy as np
+
+        a = vgg19.init_random_params(7)
+        b = vgg19.init_random_params(7)
+        np.testing.assert_array_equal(
+            np.asarray(a[0]["w"]), np.asarray(b[0]["w"]),
+        )
+
+    def test_int_and_key_agree_on_same_seed(self) -> None:
+        import numpy as np
+
+        from_key = vgg19.init_random_params(jax.random.key(11))
+        from_int = vgg19.init_random_params(
+            int(jax.random.key_data(jax.random.key(11))[-1]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(from_key[0]["w"]), np.asarray(from_int[0]["w"]),
+        )
+
+
+class TestStateDictConversionErrors:
+    def test_missing_conv_layer_raises(self) -> None:
+        import numpy as np
+
+        state = {}
+        for idx in vgg19.CONV_INDICES:
+            if idx == 10:
+                continue  # drop one conv's tensors
+            _, in_ch, out_ch = vgg19.LAYER_TABLE[idx]
+            state[f"features.{idx}.weight"] = np.zeros(
+                (out_ch, in_ch, 3, 3), np.float32,
+            )
+            state[f"features.{idx}.bias"] = np.zeros((out_ch,), np.float32)
+        with pytest.raises(KeyError, match="missing conv layer 10"):
+            vgg19.convert_torch_state_dict(state)
+
+
+class TestTorchCheckpointDiscovery:
+    def test_torch_home_is_searched_first(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        hub = tmp_path / "hub" / "checkpoints"
+        hub.mkdir(parents=True)
+        hit = hub / "vgg19-dcbb9e9d.pth"
+        hit.touch()
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+        assert vgg19._find_torch_checkpoint() == hit
+
+    def test_no_checkpoint_anywhere(self, tmp_path, monkeypatch) -> None:
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path / "void"))
+        monkeypatch.setenv("HOME", str(tmp_path))
+        assert vgg19._find_torch_checkpoint() is None

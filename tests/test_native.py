@@ -53,6 +53,84 @@ class TestPack:
         assert list(out[0]) == [0, 0, 128, 255, 255]
 
 
+class TestLoader:
+    """Build-and-load lifecycle of the shared object."""
+
+    @pytest.fixture
+    def isolated_cache(self, tmp_path, monkeypatch):
+        from style_transfer_visualizer_tpu.native import loader
+
+        cache = tmp_path / "cache"
+        monkeypatch.setattr(loader, "_CACHE_DIR", cache)
+        monkeypatch.setattr(loader, "_SO_PATH", cache / "frameops.so")
+        return loader
+
+    def test_build_compiles_fresh_so(self, isolated_cache) -> None:
+        loader = isolated_cache
+        so = loader.build_library()
+        assert so.exists()
+        assert so == loader._SO_PATH
+
+    def test_build_is_idempotent(self, isolated_cache) -> None:
+        loader = isolated_cache
+        first = loader.build_library()
+        mtime = first.stat().st_mtime_ns
+        assert loader.build_library() == first
+        assert first.stat().st_mtime_ns == mtime
+
+    def test_no_compiler_raises(self, isolated_cache, monkeypatch) -> None:
+        loader = isolated_cache
+        monkeypatch.setattr(loader, "_compiler", lambda: None)
+        with pytest.raises(loader.NativeBuildError, match="compiler"):
+            loader.build_library()
+
+    def test_compile_failure_raises_with_stderr(
+        self, isolated_cache, monkeypatch,
+    ) -> None:
+        loader = isolated_cache
+
+        class FailedRun:
+            returncode = 1
+            stderr = "synthetic compile explosion"
+
+        monkeypatch.setattr(
+            loader.subprocess, "run", lambda *a, **k: FailedRun(),
+        )
+        with pytest.raises(loader.NativeBuildError, match="explosion"):
+            loader.build_library()
+
+    def test_corrupt_so_gets_one_forced_rebuild(
+        self, isolated_cache,
+    ) -> None:
+        loader = isolated_cache
+        loader._CACHE_DIR.mkdir(parents=True)
+        loader._SO_PATH.write_bytes(b"not an ELF object")
+        # Make the stale corrupt file newer than the source so the
+        # cached-artifact fast path keeps it until the load fails.
+        lib = loader.load_library()
+        assert lib.blend_u8 is not None
+
+    def test_persistently_unloadable_raises(
+        self, isolated_cache, monkeypatch,
+    ) -> None:
+        loader = isolated_cache
+
+        def fake_build(force: bool = False):  # noqa: FBT001, FBT002
+            loader._CACHE_DIR.mkdir(parents=True, exist_ok=True)
+            loader._SO_PATH.write_bytes(b"garbage")
+            return loader._SO_PATH
+
+        monkeypatch.setattr(loader, "build_library", fake_build)
+        with pytest.raises(loader.NativeBuildError, match="load failed"):
+            loader.load_library()
+
+    def test_compiler_discovery_prefers_available(self) -> None:
+        from style_transfer_visualizer_tpu.native import loader
+
+        cc = loader._compiler()
+        assert cc is not None  # this image ships g++/gcc
+
+
 def test_segments_use_native_when_available() -> None:
     from style_transfer_visualizer_tpu.media.segments import blend_frames
 

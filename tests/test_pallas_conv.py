@@ -193,3 +193,10 @@ def test_rejects_batched_input() -> None:
 def test_hwio_to_stencil_shape_check() -> None:
     with pytest.raises(ValueError, match="3x3"):
         hwio_to_stencil(jnp.zeros((5, 5, 4, 4), jnp.float32))
+
+
+def test_pick_tile_h_floors_at_one() -> None:
+    from style_transfer_visualizer_tpu.ops.pallas_conv import _pick_tile_h
+
+    # A working set too large for any block height falls back to 1.
+    assert _pick_tile_h(64, 100_000, 512, 512) == 1

@@ -181,3 +181,35 @@ def test_pallas_gram_under_vmap() -> None:
     np.testing.assert_allclose(
         np.asarray(batched), np.asarray(ref), rtol=1e-5, atol=1e-6,
     )
+
+
+def test_explicit_n_norm_forward_and_backward() -> None:
+    """A caller-supplied normalization divisor is honored in fwd and bwd."""
+    import numpy as np
+
+    feats = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 8, 8, 4)),
+        jnp.float32,
+    )
+    n_norm = 123.0
+
+    def loss_with(n):
+        return lambda f: jnp.sum(
+            gram_matrix_pallas(f, 5e5, n, True, HIGH, HIGH),
+        )
+
+    out = gram_matrix_pallas(feats, 5e5, n_norm, True, HIGH, HIGH)
+    default = gram_matrix_pallas(feats, 5e5, None, True, HIGH, HIGH)
+    default_norm = 1 * 8 * 8 * 4
+    np.testing.assert_allclose(
+        np.asarray(out) * n_norm,
+        np.asarray(default) * default_norm,
+        rtol=1e-6,
+    )
+    g = jax.grad(loss_with(n_norm))(feats)
+    g_default = jax.grad(loss_with(None))(feats)
+    np.testing.assert_allclose(
+        np.asarray(g) * n_norm,
+        np.asarray(g_default) * default_norm,
+        rtol=1e-6,
+    )

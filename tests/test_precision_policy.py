@@ -223,3 +223,30 @@ class TestPolicyThroughAlternatePaths:
             params, x, ref_targets, 1e5, 1.0, sl, cl, HIGHEST,
         )
         assert float(total) == pytest.approx(float(want), rel=1e-5)
+
+
+class TestBackwardPrecisionFallbacks:
+    def test_gram_bwd_mirrors_gram_when_unset(self) -> None:
+        import jax
+
+        policy = PrecisionPolicy(
+            conv_base=jax.lax.Precision.DEFAULT,
+            gram=jax.lax.Precision.HIGHEST,
+        )
+        assert policy.gram_bwd_or_mirror() == jax.lax.Precision.HIGHEST
+
+    def test_gram_bwd_falls_back_to_conv_base(self) -> None:
+        import jax
+
+        policy = PrecisionPolicy(conv_base=jax.lax.Precision.HIGH)
+        assert policy.gram_bwd_or_mirror() == jax.lax.Precision.HIGH
+
+    def test_conv_bwd_override_hit_and_miss(self) -> None:
+        import jax
+
+        policy = PrecisionPolicy(
+            conv_base=jax.lax.Precision.DEFAULT,
+            conv_bwd_overrides=((5, jax.lax.Precision.HIGHEST),),
+        )
+        assert policy.conv_bwd(5) == jax.lax.Precision.HIGHEST
+        assert policy.conv_bwd(7) == jax.lax.Precision.DEFAULT

@@ -566,3 +566,124 @@ class TestChunkedDispatch:
         with caplog.at_level(logging.INFO):
             runner.run()
         assert "2.00 closures/step" in caplog.text
+
+
+class TestCsvCadenceWrites:
+    """CSV rows land at the log_every cadence on both dispatch paths."""
+
+    def test_single_step_dispatch_writes_rows(
+        self, runner_factory, tmp_path,
+    ) -> None:
+        csv = tmp_path / "loss.csv"
+        runner, _ = runner_factory(
+            steps=4, output={"log_loss": str(csv), "log_every": 2},
+        )
+        runner.run()
+        rows = csv.read_text().strip().splitlines()
+        assert rows[0] == "step,style_loss,content_loss,total_loss"
+        assert [r.split(",")[0] for r in rows[1:]] == ["2", "4"]
+
+    def test_chunked_dispatch_writes_rows(
+        self, runner_factory, tmp_path,
+    ) -> None:
+        csv = tmp_path / "loss.csv"
+        runner, _ = runner_factory(
+            steps=4, output={"log_loss": str(csv), "log_every": 2},
+            chunked_update_fn=fake_chunked(),
+        )
+        assert runner._resolve_chunk_size() > 1
+        runner.run()
+        rows = csv.read_text().strip().splitlines()
+        assert [r.split(",")[0] for r in rows[1:]] == ["2", "4"]
+
+
+class TestLongRunAdvisory:
+    def test_csv_recommended_between_2000_and_capacity(
+        self, runner_factory, caplog,
+    ) -> None:
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            runner_factory(steps=2020)
+        assert "Consider enabling" in caplog.text
+
+
+class TestGifIntroCrossfade:
+    def test_crossfade_precedes_first_gif_frame(
+        self, runner_factory,
+    ) -> None:
+        gif = MemorySink()
+        intro = np.full((8, 8, 3), 200, np.uint8)
+        runner, _ = runner_factory(
+            steps=2,
+            video={"save_every": 1, "gif_include_intro": True},
+            gif_collector=gif,
+            intro_last_frame=intro,
+            intro_crossfade_frames=3,
+        )
+        runner.run()
+        assert len(gif.frames) == 5  # 3 crossfade + 2 cadence frames
+        # The first crossfade frame sits closer to the intro frame's
+        # value (200) than the final stylized frame does.
+        intro_val = 200
+        first = abs(int(gif.frames[0][0, 0, 0]) - intro_val)
+        last = abs(int(gif.frames[-1][0, 0, 0]) - intro_val)
+        assert first < last
+
+
+class TestResumeAtCompletion:
+    def test_resuming_a_finished_run_does_nothing(
+        self, runner_factory,
+    ) -> None:
+        runner, bar = runner_factory(steps=3, start_step=3)
+        _, history, _ = runner.run()
+        assert bar.updates == 0
+
+
+class TestCleanupEdges:
+    def test_progress_bar_close_error_logged_not_raised(
+        self, make_style_transfer_config, monkeypatch, caplog,
+    ) -> None:
+        import logging
+
+        import style_transfer_visualizer_tpu.engine.runner as runner_mod
+
+        class ExplodingBar:
+            def __init__(self, *a, **k) -> None:
+                pass
+
+            def update(self, n=1) -> None:
+                pass
+
+            def set_postfix(self, *a, **k) -> None:
+                pass
+
+            def close(self) -> None:
+                raise RuntimeError("bar broke")
+
+        monkeypatch.setattr(runner_mod, "tqdm", ExplodingBar)
+        cfg = make_style_transfer_config(optimization={"steps": 2})
+        runner = OptimizationRunner(
+            fake_update(),
+            opt_state=None,
+            input_img=jnp.zeros((1, 8, 8, 3), jnp.float32),
+            config=cfg,
+        )
+        with caplog.at_level(logging.ERROR):
+            runner.run()  # must complete despite the close failure
+        assert "Error closing progress bar" in caplog.text
+
+    def test_sink_error_on_worker_thread_fails_the_run(
+        self, runner_factory,
+    ) -> None:
+        class BadSink(MemorySink):
+            def append_data(self, frame) -> None:
+                raise ValueError("frame rejected")
+
+        runner, _ = runner_factory(
+            steps=2,
+            video={"save_every": 1},
+            video_writer=BadSink(),
+        )
+        with pytest.raises(ValueError, match="frame rejected"):
+            runner.run()

@@ -173,3 +173,43 @@ class TestFrameOrdering:
         assert [f.name for f in frames] == [
             "frame1.png", "frame2.png", "frame10.png", "IMG_0003.JPG",
         ]
+
+
+class TestSequenceLbfgs:
+    def test_lbfgs_branch_end_to_end(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 2, "optimizer": "lbfgs", "lr": 0.5,
+                "lbfgs_history_size": 4,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "content",
+            },
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        result = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "seq_lbfgs",
+            params=params,
+        )
+        assert len(result.frame_paths) == 3
+        for p in result.frame_paths:
+            assert p.exists()
+
+
+class TestSequenceParamAutoload:
+    def test_params_loaded_when_not_provided(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "optimizer": "adam",
+                "allow_random_weights": True,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "content",
+            },
+        )
+        result = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "seq_auto",
+        )
+        assert len(result.frame_paths) == 3

@@ -297,3 +297,67 @@ def test_chunked_checkpoint_resume_end_to_end(
     result = style_transfer(make_input_paths(), cfg2)
     assert result.shape == (1, 64, 64, 3)
     assert bool(_np.all(_np.isfinite(_np.asarray(result))))
+
+
+class TestTilingEdges:
+    def test_receptive_margin_no_taps(self) -> None:
+        assert receptive_margin(()) == (0, 1)
+
+    def test_auto_tile_rows_none_when_budget_too_small(self) -> None:
+        assert auto_tile_rows(64, 64, (0,), max_band_pixels=10) is None
+
+    def test_auto_tile_rows_skips_unaligned_divisors(self) -> None:
+        # Taps (0, 5) need align=2; h=50 rejects n_tiles=2 (25 rows,
+        # unaligned) before accepting n_tiles=5 (10 rows).
+        rows = auto_tile_rows(50, 32, (0, 5))
+        assert rows == 10
+
+    def test_compute_tiled_targets_passthrough_when_untiled(self) -> None:
+        params = vgg19.init_random_params(jax.random.key(0))
+        rng = np.random.default_rng(1)
+        style = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+        content = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+        tiled = compute_tiled_targets(
+            params, style, content, (0,), (2,), None, None, precision=HIGH,
+        )
+        plain = compute_targets(
+            params, style, content, (0,), (2,), precision=HIGH,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled.style_grams[0]),
+            np.asarray(plain.style_grams[0]),
+        )
+
+    def test_tiled_style_with_untiled_content(self) -> None:
+        params = vgg19.init_random_params(jax.random.key(0))
+        rng = np.random.default_rng(2)
+        style = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+        content = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+        tiled = compute_tiled_targets(
+            params, style, content, (0,), (2,),
+            16, None, precision=HIGH,
+        )
+        plain = compute_targets(
+            params, style, content, (0,), (2,), precision=HIGH,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled.style_grams[0]),
+            np.asarray(plain.style_grams[0]),
+            rtol=1e-5, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled.content_feats[2]),
+            np.asarray(plain.content_feats[2]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_tiled_style_without_content_layers(self) -> None:
+        params = vgg19.init_random_params(jax.random.key(0))
+        rng = np.random.default_rng(3)
+        style = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+        content = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+        tiled = compute_tiled_targets(
+            params, style, content, (0,), (),
+            16, None, precision=HIGH,
+        )
+        assert tiled.content_feats == {}

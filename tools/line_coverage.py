@@ -65,17 +65,46 @@ def _executable_lines(path: Path) -> set[int]:
     return lines - excluded
 
 
+def _is_type_checking(test: ast.expr) -> bool:
+    return (isinstance(test, ast.Name) and test.id == "TYPE_CHECKING") or (
+        isinstance(test, ast.Attribute) and test.attr == "TYPE_CHECKING"
+    )
+
+
+def _is_main_guard(test: ast.expr) -> bool:
+    return (
+        isinstance(test, ast.Compare)
+        and isinstance(test.left, ast.Name)
+        and test.left.id == "__name__"
+    )
+
+
 def _no_cover_lines(source: str, filename: str) -> set[int]:
-    """Lines annotated ``# pragma: no cover`` plus annotated bodies."""
+    """Never-executed-by-design lines, mirroring coverage.py defaults.
+
+    ``# pragma: no cover`` lines (plus the body of any compound
+    statement they annotate), ``if TYPE_CHECKING:`` blocks, and
+    ``if __name__ == "__main__":`` blocks.
+    """
     marked = {
         i
         for i, text in enumerate(source.splitlines(), start=1)
         if "pragma: no cover" in text
     }
-    if not marked:
-        return set()
     excluded = set(marked)
     tree = ast.parse(source, filename)
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.If)
+            and (_is_type_checking(node.test) or _is_main_guard(node.test))
+            and node.body
+        ):
+            # Exclude the test line and the guarded body (the else
+            # branch, if any, is real runtime code and stays in).
+            end = node.body[-1].end_lineno or node.body[-1].lineno
+            excluded.update(range(node.lineno, end + 1))
+    if not marked:
+        return excluded
     for node in ast.walk(tree):
         if not isinstance(
             node,
@@ -88,6 +117,7 @@ def _no_cover_lines(source: str, filename: str) -> set[int]:
                 ast.For,
                 ast.Try,
                 ast.With,
+                ast.ExceptHandler,
             ),
         ):
             continue
