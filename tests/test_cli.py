@@ -916,7 +916,7 @@ class TestMultiStyleEdges:
 
         monkeypatch.setattr(ll.LossCSVLogger, "__init__", boom)
         content, styles = self._setup(tmp_path)
-        cfg = self._config(tmp_path, log_loss="losses.csv")
+        cfg = self._config(tmp_path, log_loss=str(tmp_path / "losses.csv"))
         with caplog.at_level(logging.ERROR):
             multi_style_transfer(
                 str(content), [str(s) for s in styles], cfg,
@@ -935,7 +935,7 @@ class TestMultiStyleEdges:
 
         monkeypatch.setattr(ll.LossCSVLogger, "close", bad_close)
         content, styles = self._setup(tmp_path)
-        cfg = self._config(tmp_path, log_loss="losses.csv")
+        cfg = self._config(tmp_path, log_loss=str(tmp_path / "losses.csv"))
         with caplog.at_level(logging.ERROR):
             multi_style_transfer(
                 str(content), [str(s) for s in styles], cfg,
