@@ -216,7 +216,9 @@ def extract_features(
         if idx in tap_set or LAYER_TABLE[idx][0] == POOL:
             segments.append(current)
             current = []
-    if current:
+    # Defensive only: the loop ends at max(taps), which is itself a tap,
+    # so the final segment always flushes inside the loop.
+    if current:  # pragma: no cover
         segments.append(current)
 
     def run_segment(seg: tuple[int, ...], params: Params, x: jax.Array):

@@ -740,3 +740,12 @@ class TestUnknownOptimizerRejected:
                 style_layers=STYLE_LAYERS,
                 content_layers=CONTENT_LAYERS,
             )
+
+
+def test_shard_divisibility_no_taps_is_vacuous() -> None:
+    """With no taps there is nothing to pool across; any height passes."""
+    from style_transfer_visualizer_tpu.parallel.spatial import (
+        validate_shard_divisibility,
+    )
+
+    assert validate_shard_divisibility(63, 2, ()) is None

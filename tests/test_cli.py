@@ -87,6 +87,40 @@ class TestMainEntry:
         assert exc.value.code == 0
         assert "validated successfully" in caplog.text
 
+    def test_validate_config_only_requires_config(
+        self, monkeypatch, capsys,
+    ) -> None:
+        monkeypatch.setattr(
+            sys, "argv", ["style-visualizer", "--validate-config-only"],
+        )
+        with pytest.raises(SystemExit) as exc:
+            stv_cli.main()
+        assert exc.value.code == 2
+        assert "requires --config" in capsys.readouterr().err
+
+    def test_styles_routes_to_batch_pipeline(
+        self, monkeypatch, content_image, style_image, caplog,
+    ) -> None:
+        called = {}
+
+        def fake_batch(content, styles, cfg):
+            called["content"] = content
+            called["styles"] = styles
+            return []
+
+        monkeypatch.setattr(
+            stv_cli.stv_main, "multi_style_transfer", fake_batch,
+        )
+        args = _parse([
+            "--content", str(content_image),
+            "--styles", f"{style_image}, ,{style_image}",
+            "--device", "cpu",
+        ])
+        stv_cli.run_from_args(args)
+        assert "Multi-style batch" in caplog.text
+        # Empty segments are dropped; the rest arrive in order.
+        assert called["styles"] == [str(style_image), str(style_image)]
+
     def test_run_from_args_invokes_pipeline(
         self, monkeypatch, content_image, style_image, caplog,
     ) -> None:
@@ -172,6 +206,24 @@ class TestParseIntListExport:
 
 
 class TestLogParameters:
+    def test_parallel_and_dispatch_settings_logged(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate({
+            "hardware": {"spatial_shards": 2, "steps_per_dispatch": 5},
+            "optimization": {"tile_rows": 2},
+        })
+        args = argparse.Namespace(config="run.toml")
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)), cfg, args,
+        )
+        assert "Loaded config from: run.toml" in caplog.text
+        assert "Spatial Shards: 2" in caplog.text
+        assert "Tile Rows: 2" in caplog.text
+        assert "Steps per Dispatch: 5" in caplog.text
+
     def test_gif_details_logged_when_enabled(
         self, caplog, content_image, style_image,
     ) -> None:
@@ -815,6 +867,43 @@ class TestMultiStyleSpatialCombined:
         for name in ("timelapse_c_x_s1.gif", "timelapse_c_x_s2.gif"):
             with Image.open(tmp_path / "out" / name) as img:
                 assert img.n_frames == 2
+
+    def test_dp_sp_sink_close_failure_raises_after_save(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """A sharded batch re-raises close errors, PNGs already saved."""
+        import style_transfer_visualizer_tpu.media.stream as stream_mod
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        def bad_close(self) -> None:
+            raise RuntimeError("sharded worker stuck")
+
+        monkeypatch.setattr(
+            stream_mod.AsyncFrameStream, "close", bad_close,
+        )
+        content, styles = self._inputs(tmp_path)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu", "spatial_shards": 2},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {
+                "create_video": False, "create_gif": True,
+                "save_every": 1,
+            },
+        })
+        with pytest.raises(RuntimeError, match="sharded worker stuck"):
+            multi_style_transfer(
+                str(content), [str(s) for s in styles], cfg,
+            )
+        assert (tmp_path / "out" / "stylized_c_x_s1.png").exists()
+        assert (tmp_path / "out" / "stylized_c_x_s2.png").exists()
 
     def test_dp_sp_lbfgs_end_to_end(self, tmp_path) -> None:
         """L-BFGS with its history sharded over the space axis runs e2e."""

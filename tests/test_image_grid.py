@@ -259,3 +259,16 @@ class TestFrameTextureAlpha:
         out = core.add_frame_texture(frame, strength=20)
         assert out.mode == "RGBA"
         assert out.getchannel("A").getpixel((5, 5)) == 200
+
+
+def test_frame_texture_preserves_rgb_mode() -> None:
+    """No alpha channel in -> plain RGB blend out."""
+    from PIL import Image
+
+    from style_transfer_visualizer_tpu.image_grid.core import (
+        add_frame_texture,
+    )
+
+    out = add_frame_texture(Image.new("RGB", (32, 24), (120, 90, 40)))
+    assert out.mode == "RGB"
+    assert out.size == (32, 24)

@@ -666,3 +666,108 @@ class TestPrepareModelAndInput:
         np.testing.assert_array_equal(np.asarray(x0), np.asarray(content))
         x1, st, aux = bundle.update_fn(x0, bundle.opt_state)
         assert np.isfinite(float(aux.loss))
+
+
+class TestPrepareModelAndInputBranches:
+    """Threshold-gated branches of _prepare_model_and_input."""
+
+    def _tiny_params(self, monkeypatch):
+        import jax
+
+        from style_transfer_visualizer_tpu.models import vgg19
+
+        monkeypatch.setattr(
+            stv_main,
+            "load_vgg19_params",
+            lambda **kw: vgg19.init_random_params(jax.random.key(0)),
+        )
+
+    def test_auto_remat_over_threshold_logs(
+        self, monkeypatch, make_style_transfer_config, caplog,
+    ) -> None:
+        import jax
+
+        self._tiny_params(monkeypatch)
+        # 64x64 = 4096 pixels; a 1024 threshold forces the auto path.
+        monkeypatch.setattr(stv_main, "AUTO_REMAT_PIXEL_THRESHOLD", 1024)
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "style_layers": [0],
+                          "content_layers": [2], "init_method": "content"},
+        )
+        assert cfg.optimization.remat is False
+        content = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.3
+        style = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.7
+        bundle, x0 = stv_main._prepare_model_and_input(
+            content, style, cfg, jax.random.key(0),
+        )
+        assert "Auto-enabling feature rematerialization" in caplog.text
+        _, _, aux = bundle.update_fn(x0, bundle.opt_state)
+        assert np.isfinite(float(aux.loss))
+
+    def test_tiled_style_autotile_and_pallas_gram_notice(
+        self, monkeypatch, make_style_transfer_config, caplog,
+    ) -> None:
+        import jax
+
+        self._tiny_params(monkeypatch)
+        # Force the style image over the auto-tile threshold so its own
+        # banding is resolved, and request the Pallas Gram backend so
+        # the does-not-apply-while-tiling notice fires.
+        monkeypatch.setattr(stv_main, "AUTO_TILE_PIXEL_THRESHOLD", 1)
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "style_layers": [0, 5],
+                          "content_layers": [2], "init_method": "content",
+                          "tile_rows": 16},
+            hardware={"gram_backend": "pallas"},
+        )
+        content = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.3
+        style = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.7
+        bundle, x0 = stv_main._prepare_model_and_input(
+            content, style, cfg, jax.random.key(0),
+        )
+        assert "does not apply while tiling" in caplog.text
+        _, _, aux = bundle.update_fn(x0, bundle.opt_state)
+        assert np.isfinite(float(aux.loss))
+
+    def test_spatial_platform_falls_back_to_default_backend(
+        self, monkeypatch, make_style_transfer_config,
+    ) -> None:
+        """Without a pinned default device, jax.default_backend rules."""
+        import jax
+
+        self._tiny_params(monkeypatch)
+        old = jax.config.jax_default_device
+        jax.config.update("jax_default_device", None)
+        try:
+            cfg = make_style_transfer_config(
+                optimization={"steps": 1, "style_layers": [0],
+                              "content_layers": [2],
+                              "init_method": "content"},
+                hardware={"spatial_shards": 2},
+            )
+            content = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.3
+            style = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.7
+            bundle, x0 = stv_main._prepare_model_and_input(
+                content, style, cfg, jax.random.key(0),
+            )
+            _, _, aux = bundle.update_fn(x0, bundle.opt_state)
+            assert np.isfinite(float(aux.loss))
+        finally:
+            jax.config.update("jax_default_device", old)
+
+
+class TestCustomCheckpointPathSingleRun:
+    def test_checkpoint_written_to_custom_path(
+        self, patched_pipeline, make_input_paths,
+        make_style_transfer_config, tmp_path,
+    ) -> None:
+        ckpt = tmp_path / "elsewhere" / "single.npz"
+        cfg = make_style_transfer_config(
+            optimization={"steps": 4},
+            output={"checkpoint_every": 2,
+                    "checkpoint_path": str(ckpt)},
+            video={"create_video": False},
+        )
+        stv_main.style_transfer(make_input_paths(), cfg)
+        assert ckpt.exists()
+        assert not (Path(cfg.output.output) / "checkpoint.npz").exists()

@@ -683,3 +683,20 @@ class TestBlendFallbacks:
         out = segments.blend_frames(a, b, 0.5)
         assert int(out[0, 0, 0]) == 40
         assert segments._frameops is False
+
+
+def test_intro_frame_rejects_degenerate_content(monkeypatch) -> None:
+    """Zero-dimension content (corrupt/truncated file) fails loudly."""
+
+    class FakeImg:
+        size = (0, 64)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    monkeypatch.setattr(segments.Image, "open", lambda _p: FakeImg())
+    with pytest.raises(ValueError, match="invalid dimensions"):
+        segments.build_intro_frame(Path("c.png"), Path("s.png"))

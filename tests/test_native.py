@@ -138,3 +138,10 @@ def test_segments_use_native_when_available() -> None:
     b = np.full((4, 4, 3), 100, np.uint8)
     out = blend_frames(a, b, 0.25)
     assert int(out[0, 0, 0]) == 25
+
+
+def test_compiler_discovery_none_when_nothing_found(monkeypatch) -> None:
+    from style_transfer_visualizer_tpu.native import loader
+
+    monkeypatch.setattr(loader.shutil, "which", lambda _: None)
+    assert loader._compiler() is None

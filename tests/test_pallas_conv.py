@@ -200,3 +200,23 @@ def test_pick_tile_h_floors_at_one() -> None:
 
     # A working set too large for any block height falls back to 1.
     assert _pick_tile_h(64, 100_000, 512, 512) == 1
+
+
+def test_fused_relu_tap_sees_post_relu_activation() -> None:
+    """A tap at a ReLU index must survive conv+ReLU fusion."""
+    from style_transfer_visualizer_tpu.models import vgg19
+    from style_transfer_visualizer_tpu.models.features import (
+        extract_features,
+    )
+
+    params = vgg19.init_random_params(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(7), (1, 16, 16, 3), jnp.float32)
+    ref = extract_features(params, x, (1,), precision=HIGH)
+    got = extract_features(
+        params, x, (1,), precision=HIGH, conv_backend="pallas",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-5, atol=1e-5,
+    )
+    # Index 1 is the ReLU output: nothing negative may leak through.
+    assert float(np.asarray(got[1]).min()) >= 0

@@ -213,3 +213,17 @@ def test_explicit_n_norm_forward_and_backward() -> None:
         np.asarray(g_default) * default_norm,
         rtol=1e-6,
     )
+
+
+def test_running_on_tpu_honors_pinned_default_device() -> None:
+    """A pinned jax.default_device outranks the process backend."""
+    import jax
+
+    from style_transfer_visualizer_tpu.ops.gram import _running_on_tpu
+
+    old = jax.config.jax_default_device
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    try:
+        assert _running_on_tpu() is False
+    finally:
+        jax.config.update("jax_default_device", old)

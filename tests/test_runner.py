@@ -687,3 +687,16 @@ class TestCleanupEdges:
         )
         with pytest.raises(ValueError, match="frame rejected"):
             runner.run()
+
+
+def test_record_losses_without_accumulator_is_none() -> None:
+    """Telemetry accessor degrades to None when logging is disabled."""
+    runner = OptimizationRunner.__new__(OptimizationRunner)
+    runner._accumulator = None
+    aux = StepAux(
+        loss=jnp.asarray(1.0),
+        style_score=jnp.asarray(0.5),
+        content_score=jnp.asarray(0.5),
+        n_evals=jnp.asarray(1, jnp.int32),
+    )
+    assert runner._record_losses(1, aux) is None
