@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--sizes", default="512")
     ap.add_argument("--precision", default="mixed")
     ap.add_argument("--histories", default="100")
+    ap.add_argument("--history-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
@@ -69,6 +71,7 @@ def main() -> None:
                 precision=args.precision, remat=cfg["remat"],
                 lbfgs_max_iter=1, lbfgs_max_eval=1,
                 lbfgs_history_size=hist,
+                lbfgs_history_dtype=args.history_dtype,
             )
             x = initialize_input(content, "random", jax.random.key(2))
             state = bundle.opt_state
@@ -84,7 +87,10 @@ def main() -> None:
             print(json.dumps({
                 "config": name, "precision": args.precision,
                 "optimizer": "lbfgs", "history_size": hist,
-                "history_mb": round(2 * hist * n * 4 / 2**20, 1),
+                "history_dtype": args.history_dtype,
+                "history_mb": round(
+                    2 * hist * n * (4 if args.history_dtype == "float32" else 2) / 2**20, 1,
+                ),
                 "lr": 1.0, "max_iter": 1, "max_eval": 1, "k": k,
                 "steps_per_sec": round(k / best, 3),
             }), flush=True)

@@ -147,6 +147,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "choices": ["lbfgs", "adam"], "default": suppress,
                 "help": "Pixel optimizer (default: lbfgs)",
             }),
+            ("--lbfgs-history-size", {
+                "dest": "lbfgs_history_size", "type": int,
+                "default": suppress,
+                "help": (
+                    "Curvature pairs kept by L-BFGS (default: 100, the "
+                    "torch.optim.LBFGS default). The m=100 ring costs "
+                    "~10%% of a 512px step in HBM traffic; 20 recovers "
+                    "it with no measurable quality change at "
+                    "max_iter=1."
+                ),
+            }),
+            ("--lbfgs-history-dtype", {
+                "dest": "lbfgs_history_dtype",
+                "choices": ["float32", "bfloat16"], "default": suppress,
+                "help": (
+                    "Storage dtype of the L-BFGS curvature ring. "
+                    "float32 (default) bit-matches torch; bfloat16 "
+                    "halves the ring's HBM traffic for long histories."
+                ),
+            }),
             ("--remat", {
                 "action": "store_true",
                 "help": (
@@ -362,6 +382,12 @@ def log_parameters(
     logger.info("Content Weight: %g", cfg.optimization.content_w)
     logger.info("Learning Rate: %g", cfg.optimization.lr)
     logger.info("Optimizer: %s", cfg.optimization.optimizer)
+    if cfg.optimization.optimizer == "lbfgs":
+        logger.info(
+            "L-BFGS History: %d pairs (%s)",
+            cfg.optimization.lbfgs_history_size,
+            cfg.optimization.lbfgs_history_dtype,
+        )
     logger.info("Style Layers: %s", cfg.optimization.style_layers)
     logger.info("Content Layers: %s", cfg.optimization.content_layers)
     logger.info("FPS for Timelapse Video: %d", cfg.video.fps)

@@ -54,6 +54,10 @@ DEFAULT_CONTENT_LAYERS: tuple[int, ...] = (21,)
 # TPU-framework additions:
 DEFAULT_OPTIMIZER: OptimizerName = "lbfgs"
 DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default
+# Storage dtype of the curvature ring. "float32" bit-matches torch;
+# "bfloat16" halves the ring's HBM traffic (~10% of a 512px step at
+# m=100, BASELINE.md) at ~3 decimal digits per stored element.
+DEFAULT_LBFGS_HISTORY_DTYPE = "float32"
 
 # --- Video ------------------------------------------------------------
 DEFAULT_CREATE_VIDEO = True

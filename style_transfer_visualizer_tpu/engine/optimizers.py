@@ -60,13 +60,28 @@ class StepAux(NamedTuple):
     n_evals: jax.Array        # evaluations consumed by this step (int32)
 
 
-def lbfgs_init(n: int, history_size: int) -> LbfgsState:
-    """Zero-initialized state for an ``n``-parameter problem."""
+def lbfgs_init(
+    n: int,
+    history_size: int,
+    history_dtype: jnp.dtype = jnp.float32,
+) -> LbfgsState:
+    """Zero-initialized state for an ``n``-parameter problem.
+
+    ``history_dtype`` sets the storage dtype of the curvature ring
+    (``s_hist``/``y_hist``) only. The two-loop recursion reads the ring
+    at 4*m rows per step — at the torch-default m=100 that HBM traffic
+    costs ~10% of a 512px step (BASELINE.md) — and ``bfloat16`` halves
+    it. All dot products, ``rho``, and ``h_diag`` stay f32 (``rho`` and
+    ``h_diag`` are computed from the unrounded pair before storage), so
+    the only deviation from torch semantics is the ~3 decimal digits of
+    mantissa kept per stored history element. Opt-in: the default ring
+    is f32, bit-matching torch.
+    """
     m = history_size
     f32, i32 = jnp.float32, jnp.int32
     return LbfgsState(
-        s_hist=jnp.zeros((m, n), f32),
-        y_hist=jnp.zeros((m, n), f32),
+        s_hist=jnp.zeros((m, n), history_dtype),
+        y_hist=jnp.zeros((m, n), history_dtype),
         rho=jnp.zeros((m,), f32),
         hist_len=jnp.zeros((), i32),
         hist_pos=jnp.zeros((), i32),
@@ -248,9 +263,11 @@ def lbfgs_step(
 
         def insert(st: LbfgsState) -> LbfgsState:
             pos = st.hist_pos
+            # Explicit cast: the ring may store bf16 (history_dtype) and
+            # implicit f32->bf16 scatter casts are a future jax error.
             return st._replace(
-                s_hist=st.s_hist.at[pos].set(s),
-                y_hist=st.y_hist.at[pos].set(y),
+                s_hist=st.s_hist.at[pos].set(s.astype(st.s_hist.dtype)),
+                y_hist=st.y_hist.at[pos].set(y.astype(st.y_hist.dtype)),
                 rho=st.rho.at[pos].set(1.0 / ys),
                 hist_pos=(pos + 1) % history_size,
                 hist_len=jnp.minimum(st.hist_len + 1, history_size),

@@ -132,6 +132,7 @@ def build_update_step(
     lbfgs_max_iter: int = 1,
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 100,
+    lbfgs_history_dtype: str = "float32",
     donate: bool | None = None,
     remat: bool = False,
     gram_backend: str = "xla",
@@ -195,7 +196,10 @@ def build_update_step(
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 
     if optimizer == "lbfgs":
-        opt_state: OptState = lbfgs_init(n, lbfgs_history_size)
+        opt_state: OptState = lbfgs_init(
+            n, lbfgs_history_size,
+            history_dtype=jax.numpy.dtype(lbfgs_history_dtype),
+        )
 
         def update(image, state: LbfgsState, params, targets):
             flat = image.reshape(n)

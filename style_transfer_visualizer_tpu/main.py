@@ -367,6 +367,7 @@ def multi_style_transfer(
             lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
             lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
             lbfgs_history_size=opt_cfg.lbfgs_history_size,
+            lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
             remat=remat,
             gram_backend=gram_backend,
         )
@@ -495,6 +496,7 @@ def _dp_sp_multi_style(
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
     )
     bundle = MultiStyleBundle(
         update_fn=update_fn, opt_state=state, targets=stacked,
@@ -1095,6 +1097,7 @@ def _prepare_model_and_input(
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
         remat=remat,
         gram_backend=gram_backend,
         conv_backend=conv_backend,
@@ -1191,6 +1194,7 @@ def _prepare_spatial_model_and_input(
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
         loss_fn=loss_fn,
     )
     input_img = jax.device_put(

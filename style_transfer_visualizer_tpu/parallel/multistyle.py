@@ -135,6 +135,7 @@ def build_multi_style_update(
     lbfgs_max_iter: int = 1,
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 10,
+    lbfgs_history_dtype: str = "float32",
     remat: bool = False,
     gram_backend: str = "xla",
 ) -> MultiStyleBundle:
@@ -184,7 +185,10 @@ def build_multi_style_update(
 
         def init_state():
             return jax.vmap(
-                lambda _: lbfgs_init(n, lbfgs_history_size),
+                lambda _: lbfgs_init(
+                    n, lbfgs_history_size,
+                    history_dtype=jnp.dtype(lbfgs_history_dtype),
+                ),
             )(jnp.arange(n_styles))
     elif optimizer == "adam":
         # Image-shaped moments (see engine.optimizers.adam_init): the

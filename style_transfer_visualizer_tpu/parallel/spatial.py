@@ -454,6 +454,7 @@ def build_dp_sp_update(
     lbfgs_max_iter: int = 1,
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 100,
+    lbfgs_history_dtype: str = "float32",
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 
@@ -636,7 +637,10 @@ def build_dp_sp_update(
 
         def init_state_fn():
             return jax.vmap(
-                lambda _: lbfgs_init(n_global, lbfgs_history_size),
+                lambda _: lbfgs_init(
+                    n_global, lbfgs_history_size,
+                    history_dtype=jnp.dtype(lbfgs_history_dtype),
+                ),
             )(jnp.arange(n_styles))
 
     else:

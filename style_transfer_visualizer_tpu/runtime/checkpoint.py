@@ -41,17 +41,31 @@ def save_checkpoint(
     path.parent.mkdir(parents=True, exist_ok=True)
 
     leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    # np.savez stores bfloat16 (an ml_dtypes extension type) as an
+    # opaque void dtype that cannot be loaded back; persist such leaves
+    # as uint16 bit patterns and record which ones to reinterpret.
+    bf16_leaves: list[int] = []
+    state_arrays: dict[str, np.ndarray] = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        if arr.dtype == jax.numpy.bfloat16:
+            bf16_leaves.append(i)
+            arr = arr.view(np.uint16)
+        state_arrays[f"{_STATE_PREFIX}{i}"] = arr
     payload: dict[str, np.ndarray] = {
         _IMAGE_KEY: np.asarray(image),
         _META_KEY: np.frombuffer(
             json.dumps(
-                {"step": step, "n_leaves": len(leaves)},
+                {
+                    "step": step,
+                    "n_leaves": len(leaves),
+                    "bf16_leaves": bf16_leaves,
+                },
             ).encode(),
             dtype=np.uint8,
         ),
+        **state_arrays,
     }
-    for i, leaf in enumerate(leaves):
-        payload[f"{_STATE_PREFIX}{i}"] = np.asarray(leaf)
 
     tmp = path.with_suffix(path.suffix + ".tmp")
     np.savez(tmp, **payload)
@@ -72,10 +86,13 @@ def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
     with np.load(path) as data:
         meta = json.loads(bytes(data[_META_KEY].tobytes()).decode())
         image = jax.numpy.asarray(data[_IMAGE_KEY])
-        leaves = [
-            jax.numpy.asarray(data[f"{_STATE_PREFIX}{i}"])
-            for i in range(meta["n_leaves"])
-        ]
+        bf16_leaves = set(meta.get("bf16_leaves", ()))
+        leaves = []
+        for i in range(meta["n_leaves"]):
+            arr = data[f"{_STATE_PREFIX}{i}"]
+            if i in bf16_leaves:
+                arr = arr.view(jax.numpy.bfloat16)
+            leaves.append(jax.numpy.asarray(arr))
     treedef = jax.tree_util.tree_structure(opt_state_like)
     if treedef.num_leaves != len(leaves):
         msg = (
@@ -95,6 +112,16 @@ def load_checkpoint(path: str | Path, opt_state_like: Any) -> Checkpoint:
     like_leaves = jax.tree_util.tree_leaves(opt_state_like)
     reshaped = []
     for i, (leaf, like) in enumerate(zip(leaves, like_leaves)):
+        if leaf.dtype != like.dtype:
+            # E.g. an f32 L-BFGS curvature ring resumed under
+            # --lbfgs-history-dtype bfloat16 (or vice versa): the
+            # current configuration wins, at the cost of one rounding.
+            logger.info(
+                "Casting checkpoint state leaf %d from %s to %s to "
+                "match the current optimizer configuration.",
+                i, leaf.dtype, like.dtype,
+            )
+            leaf = leaf.astype(like.dtype)
         if leaf.shape == like.shape:
             reshaped.append(leaf)
             continue

@@ -749,3 +749,26 @@ def test_shard_divisibility_no_taps_is_vacuous() -> None:
     )
 
     assert validate_shard_divisibility(63, 2, ()) is None
+
+
+def test_dp_sp_lbfgs_bf16_history_ring(tiny_params) -> None:
+    """The sharded two-loop recursion runs on a bfloat16 curvature ring."""
+    (update_fn, state, _), _content, _styles = _dp_sp_setup(
+        tiny_params,
+        optimizer="lbfgs", lr=0.5, style_w=10.0, content_w=1.0,
+        lbfgs_history_size=4, lbfgs_max_iter=1, lbfgs_max_eval=1,
+        lbfgs_history_dtype="bfloat16",
+    )
+    assert state.s_hist.dtype == jnp.bfloat16
+    rng = np.random.default_rng(11)
+    noisy = jnp.asarray(
+        rng.uniform(size=_content.shape).astype(np.float32),
+    )
+    images = jnp.stack([noisy, noisy])
+    first = None
+    for _ in range(3):
+        images, state, aux = update_fn(images, state)
+        if first is None:
+            first = np.asarray(aux.loss)
+    assert np.all(np.isfinite(np.asarray(aux.loss)))
+    assert np.all(np.asarray(aux.loss) < first)

@@ -126,3 +126,41 @@ def test_runner_resumes_from_start_step(
     )
     img, _, _ = runner.run()
     assert bar.updates == 2  # only steps 4 and 5 run
+
+
+def test_roundtrip_bf16_history_ring(tmp_path) -> None:
+    """bfloat16 ring leaves survive .npz (stored as uint16 bits)."""
+    img = jnp.zeros((1, 4, 4, 3))
+    state = lbfgs_init(48, history_size=4, history_dtype=jnp.bfloat16)
+    state = state._replace(
+        s_hist=(jnp.arange(4 * 48, dtype=jnp.float32)
+                .reshape(4, 48) / 7.0).astype(jnp.bfloat16),
+        hist_len=jnp.asarray(2, jnp.int32),
+    )
+    path = save_checkpoint(tmp_path / "ck.npz", 5, img, state)
+    ckpt = load_checkpoint(
+        path, lbfgs_init(48, history_size=4, history_dtype=jnp.bfloat16),
+    )
+    assert ckpt.opt_state.s_hist.dtype == jnp.bfloat16
+    # Bit-exact: the uint16 view round-trips the stored pattern.
+    np.testing.assert_array_equal(
+        np.asarray(ckpt.opt_state.s_hist).view(np.uint16),
+        np.asarray(state.s_hist).view(np.uint16),
+    )
+    assert int(ckpt.opt_state.hist_len) == 2
+
+
+def test_resume_casts_ring_dtype_to_current_config(tmp_path, caplog) -> None:
+    """An f32-ring checkpoint resumes under a bf16-ring configuration."""
+    img = jnp.zeros((1, 4, 4, 3))
+    state = lbfgs_init(48, history_size=4)
+    state = state._replace(s_hist=state.s_hist + 1.25)
+    path = save_checkpoint(tmp_path / "ck.npz", 9, img, state)
+    ckpt = load_checkpoint(
+        path, lbfgs_init(48, history_size=4, history_dtype=jnp.bfloat16),
+    )
+    assert ckpt.opt_state.s_hist.dtype == jnp.bfloat16
+    assert "Casting checkpoint state leaf" in caplog.text
+    np.testing.assert_array_equal(
+        np.asarray(ckpt.opt_state.s_hist, dtype=np.float32), 1.25,
+    )

@@ -10,7 +10,10 @@ from pathlib import Path
 import pytest
 
 import style_transfer_visualizer_tpu.cli as stv_cli
-from style_transfer_visualizer_tpu.config import StyleTransferConfig
+from style_transfer_visualizer_tpu.config import (
+    StyleTransferConfig,
+    build_config_from_cli,
+)
 
 
 def _parse(argv: list[str]) -> argparse.Namespace:
@@ -308,7 +311,10 @@ class TestMultiStyleDeviceFit:
         import jax.numpy as jnp
         from PIL import Image
 
-        from style_transfer_visualizer_tpu.config import StyleTransferConfig
+        from style_transfer_visualizer_tpu.config import (
+    StyleTransferConfig,
+    build_config_from_cli,
+)
         from style_transfer_visualizer_tpu.main import multi_style_transfer
 
         content = tmp_path / "c.png"
@@ -1103,3 +1109,30 @@ class TestAppendBatchOutrosGuards:
         )
         assert len(calls) == 1
         assert calls[0][2][1] == s2
+
+
+class TestLbfgsHistoryFlags:
+    def test_flags_parse_and_merge(self) -> None:
+        args = _parse([
+            "--content", "c.png", "--style", "s.png",
+            "--lbfgs-history-size", "20",
+            "--lbfgs-history-dtype", "bfloat16",
+        ])
+        cfg = build_config_from_cli(vars(args))
+        assert cfg.optimization.lbfgs_history_size == 20
+        assert cfg.optimization.lbfgs_history_dtype == "bfloat16"
+
+    def test_log_parameters_reports_history(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate(
+            {"optimization": {"optimizer": "lbfgs"}},
+        )
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        assert "L-BFGS History: 100 pairs (float32)" in caplog.text

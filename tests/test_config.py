@@ -254,3 +254,23 @@ def test_hardware_and_kernel_flags_merge() -> None:
     assert cfg.hardware.conv_backend == "xla"
     assert cfg.hardware.spatial_shards == 2
     assert cfg.hardware.steps_per_dispatch == 5
+
+
+class TestLbfgsHistoryDtype:
+    def test_default_is_float32(self) -> None:
+        cfg = OptimizationConfig.model_validate({})
+        assert cfg.lbfgs_history_dtype == "float32"
+
+    def test_invalid_dtype_rejected(self) -> None:
+        with pytest.raises(ValidationError):
+            OptimizationConfig.model_validate(
+                {"lbfgs_history_dtype": "float16"},
+            )
+
+    def test_cli_merge(self) -> None:
+        cfg = build_config_from_cli({"lbfgs_history_dtype": "bfloat16"})
+        assert cfg.optimization.lbfgs_history_dtype == "bfloat16"
+
+    def test_history_size_cli_merge(self) -> None:
+        cfg = build_config_from_cli({"lbfgs_history_size": 20})
+        assert cfg.optimization.lbfgs_history_size == 20

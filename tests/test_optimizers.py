@@ -240,3 +240,45 @@ class TestStepBuilder:
 
         with pytest.raises(ValueError, match="Unknown precision"):
             resolve_precision("quantum")
+
+
+class TestBf16HistoryRing:
+    """Opt-in bfloat16 storage for the L-BFGS curvature ring."""
+
+    def _run(self, history_dtype, steps: int = 20):
+        x = jnp.asarray(X0_np.copy())
+        state = lbfgs_init(N, history_size=8, history_dtype=history_dtype)
+        losses = []
+        for _ in range(steps):
+            x, state, aux = lbfgs_step(
+                _jax_vag, x, state, 0.4,
+                max_iter=1, max_eval=1, history_size=8,
+            )
+            losses.append(float(aux.loss))
+        return np.asarray(x), losses, state
+
+    def test_ring_carries_requested_dtype(self) -> None:
+        _, _, state = self._run(jnp.bfloat16, steps=3)
+        assert state.s_hist.dtype == jnp.bfloat16
+        assert state.y_hist.dtype == jnp.bfloat16
+        # Scalars of the recursion stay f32 (rho/h_diag are computed
+        # from the unrounded pair before storage).
+        assert state.rho.dtype == jnp.float32
+        assert state.h_diag.dtype == jnp.float32
+
+    @pytest.mark.filterwarnings("error::FutureWarning")
+    def test_insert_casts_explicitly(self) -> None:
+        """No implicit f32->bf16 scatter cast (a future jax error)."""
+        self._run(jnp.bfloat16, steps=3)
+
+    def test_trajectory_tracks_f32_ring(self) -> None:
+        """Ring rounding must not derail the optimization."""
+        x32, losses32, _ = self._run(jnp.float32)
+        x16, losses16, _ = self._run(jnp.bfloat16)
+        assert losses16[-1] < losses16[0]
+        # The stored pairs carry ~3 significant digits; directions (and
+        # hence iterates) drift at that order, not catastrophically.
+        np.testing.assert_allclose(
+            losses16[-1], losses32[-1], rtol=0.02,
+        )
+        np.testing.assert_allclose(x16, x32, rtol=0.1, atol=0.05)
