@@ -1136,3 +1136,12 @@ class TestLbfgsHistoryFlags:
             argparse.Namespace(config=None),
         )
         assert "L-BFGS History: 100 pairs (float32)" in caplog.text
+
+
+def test_styles_with_only_whitespace_segments_exits() -> None:
+    """--styles ' , ' has no usable paths and must fail loudly."""
+    args = _parse([
+        "--content", "c.png", "--styles", " , ", "--device", "cpu",
+    ])
+    with pytest.raises(SystemExit, match="contains no paths"):
+        stv_cli.run_from_args(args)

@@ -700,3 +700,22 @@ def test_record_losses_without_accumulator_is_none() -> None:
         n_evals=jnp.asarray(1, jnp.int32),
     )
     assert runner._record_losses(1, aux) is None
+
+
+def test_stream_close_error_raises_when_loop_succeeded(
+    runner_factory, monkeypatch,
+) -> None:
+    """A frame-stream close failure IS the run failure when the loop
+    itself completed (runner._cleanup re-raises it)."""
+    import style_transfer_visualizer_tpu.media.stream as stream_mod
+
+    def bad_close(self) -> None:
+        raise RuntimeError("frame worker wedged")
+
+    monkeypatch.setattr(stream_mod.AsyncFrameStream, "close", bad_close)
+    sink = MemorySink()
+    runner, _ = runner_factory(
+        steps=2, video={"save_every": 1}, video_writer=sink,
+    )
+    with pytest.raises(RuntimeError, match="frame worker wedged"):
+        runner.run()

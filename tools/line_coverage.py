@@ -1,32 +1,53 @@
-"""Zero-dependency line coverage for rigs without coverage.py.
+"""Zero-dependency line + branch coverage for rigs without coverage.py.
 
 This container has no network egress and no ``coverage``/``pytest-cov``
-wheels, but the reference project gates changes on coverage
+wheels, but the reference project gates changes on branch coverage
 (``/root/reference/pyproject.toml:126``, ``CONTRIBUTING.md:38``). This
 tool fills the gap with :mod:`sys.monitoring` (PEP 669, Python 3.12+):
 it runs pytest in-process, records each executed line of the package
 exactly once (the callback disables itself per location, so steady-state
 overhead is near zero), and reports per-file missing-line ranges.
 
+It also records BRANCH events: every conditional-branch site that fires
+is tracked until both of its destinations have been taken. A *source
+line* counts as a fully covered branch line when either (a) each of its
+fired sites took two distinct destinations, or (b) its sites' taken
+destinations span two or more distinct lines — clause (b) absorbs the
+compiler's habit of emitting two jump instructions for one ``while``
+condition (entry check + loop-back check), where each site alone may
+only ever take one side even though both outcomes of the *condition*
+were exercised.
+
 Usage::
 
     python tools/line_coverage.py [pytest args...]
     # e.g. python tools/line_coverage.py tests/ -q
+    # line-only (faster; partial branch sites keep their events live):
+    python tools/line_coverage.py --no-branch tests/ -q
 
 Caveats vs real coverage.py:
 
-- Line coverage only (no branch arcs).
+- Branch sites are discovered dynamically: a conditional on a line that
+  never executes is reported as a missing *line*, not additionally as a
+  missing branch.
 - Code exercised only in subprocesses (the CLI integration tests, the
   real-TPU kernel tests) is NOT credited — treat per-file numbers as a
   lower bound and the missing-line ranges as leads, not verdicts.
 - ``# pragma: no cover`` excludes that line only, plus any ``def``/
   ``class`` statement it annotates (the body is then unreachable from
   the report's perspective and is excluded wholesale).
+- ``# pragma: no branch`` keeps a line in line coverage but exempts it
+  from the both-directions requirement (coverage.py's convention for
+  loops/conditions with a structurally one-way direction).
+- Single-line compound conditions (``while x: y()``) whose entry and
+  loop-back sites each see one side can read as partial; split the
+  line or annotate ``no branch``.
 """
 
 from __future__ import annotations
 
 import ast
+import bisect
 import json
 import sys
 from pathlib import Path
@@ -39,12 +60,51 @@ TOOL_ID = sys.monitoring.COVERAGE_ID
 
 _executed: dict[str, set[int]] = {}
 
+# Branch bookkeeping. Keyed by id(code) with the code object kept alive
+# in _codes so ids are never recycled.
+_codes: dict[int, object] = {}
+_line_tables: dict[int, tuple[list[int], list[int]]] = {}
+_arcs: dict[tuple[int, int], set[int]] = {}
+
 
 def _on_line(code, line_number: int):  # noqa: ANN001, ANN202
     filename = code.co_filename
     if PACKAGE in filename and filename.endswith(".py"):
         _executed.setdefault(filename, set()).add(line_number)
     return sys.monitoring.DISABLE
+
+
+def _on_branch(code, src_offset: int, dst_offset: int):  # noqa: ANN001, ANN202
+    filename = code.co_filename
+    if PACKAGE not in filename or not filename.endswith(".py"):
+        return sys.monitoring.DISABLE
+    cid = id(code)
+    if cid not in _codes:
+        _codes[cid] = code
+    dsts = _arcs.setdefault((cid, src_offset), set())
+    dsts.add(dst_offset)
+    # Both sides seen: nothing more to learn at this site.
+    if len(dsts) >= 2:
+        return sys.monitoring.DISABLE
+    return None
+
+
+def _offset_to_line(cid: int, offset: int) -> int | None:
+    """Resolve a bytecode offset to a source line via co_lines()."""
+    tables = _line_tables.get(cid)
+    if tables is None:
+        starts: list[int] = []
+        lines: list[int] = []
+        for start, _end, lineno in _codes[cid].co_lines():  # type: ignore[attr-defined]
+            starts.append(start)
+            lines.append(lineno if lineno else 0)
+        tables = (starts, lines)
+        _line_tables[cid] = tables
+    starts, lines = tables
+    i = bisect.bisect_right(starts, offset) - 1
+    if i < 0:
+        return None
+    return lines[i] or None
 
 
 def _executable_lines(path: Path) -> set[int]:
@@ -127,6 +187,47 @@ def _no_cover_lines(source: str, filename: str) -> set[int]:
     return excluded
 
 
+def _branch_status_by_file() -> dict[str, dict[int, bool]]:
+    """Per file: {source line of a fired branch site: fully covered?}.
+
+    A line is fully covered when every fired site on it took both
+    destinations, or when the union of taken destinations across its
+    sites spans >= 2 distinct lines (the two-jump ``while`` pattern).
+    """
+    per_line: dict[tuple[str, int], list[tuple[int, set[int]]]] = {}
+    for (cid, src_offset), dsts in _arcs.items():
+        code = _codes[cid]
+        src_line = _offset_to_line(cid, src_offset)
+        if src_line is None:
+            continue
+        dst_lines = {
+            ln
+            for d in dsts
+            if (ln := _offset_to_line(cid, d)) is not None
+        }
+        per_line.setdefault(
+            (code.co_filename, src_line), [],  # type: ignore[attr-defined]
+        ).append((len(dsts), dst_lines))
+
+    result: dict[str, dict[int, bool]] = {}
+    for (filename, line), sites in per_line.items():
+        all_two = all(n >= 2 for n, _ in sites)
+        union: set[int] = set()
+        for _, dst_lines in sites:
+            union |= dst_lines
+        covered = all_two or len(union) >= 2
+        result.setdefault(filename, {})[line] = covered
+    return result
+
+
+def _no_branch_lines(source: str) -> set[int]:
+    return {
+        i
+        for i, text in enumerate(source.splitlines(), start=1)
+        if "pragma: no branch" in text
+    }
+
+
 def _ranges(lines: list[int]) -> str:
     """Compact 1,3-5,9 style rendering of sorted line numbers."""
     parts: list[str] = []
@@ -151,11 +252,21 @@ def main(argv: list[str]) -> int:
     # imports in the suite. Mirror the -m behavior.
     if str(REPO_ROOT) not in sys.path:
         sys.path.insert(0, str(REPO_ROOT))
+    branch = True
+    if "--no-branch" in argv:
+        argv = [a for a in argv if a != "--no-branch"]
+        branch = False
     sys.monitoring.use_tool_id(TOOL_ID, "line_coverage")
     sys.monitoring.register_callback(
         TOOL_ID, sys.monitoring.events.LINE, _on_line,
     )
-    sys.monitoring.set_events(TOOL_ID, sys.monitoring.events.LINE)
+    events = sys.monitoring.events.LINE
+    if branch:
+        sys.monitoring.register_callback(
+            TOOL_ID, sys.monitoring.events.BRANCH, _on_branch,
+        )
+        events |= sys.monitoring.events.BRANCH
+    sys.monitoring.set_events(TOOL_ID, events)
 
     import pytest
 
@@ -164,9 +275,13 @@ def main(argv: list[str]) -> int:
     sys.monitoring.set_events(TOOL_ID, 0)
     sys.monitoring.free_tool_id(TOOL_ID)
 
+    branch_status = _branch_status_by_file() if branch else {}
+
     rows = []
     total_exec = total_hit = 0
+    total_br = total_br_hit = 0
     for path in sorted(PACKAGE_DIR.rglob("*.py")):
+        source = path.read_text(encoding="utf-8")
         executable = _executable_lines(path)
         if not executable:
             continue
@@ -174,30 +289,55 @@ def main(argv: list[str]) -> int:
         missing = sorted(executable - hit)
         total_exec += len(executable)
         total_hit += len(hit)
-        rows.append(
-            {
-                "file": str(path.relative_to(REPO_ROOT)),
-                "lines": len(executable),
-                "covered": len(hit),
-                "pct": round(100 * len(hit) / len(executable), 1),
-                "missing": _ranges(missing),
-            },
-        )
+        row = {
+            "file": str(path.relative_to(REPO_ROOT)),
+            "lines": len(executable),
+            "covered": len(hit),
+            "pct": round(100 * len(hit) / len(executable), 1),
+            "missing": _ranges(missing),
+        }
+        if branch:
+            exempt = _no_branch_lines(source)
+            sites = {
+                line: ok
+                for line, ok in branch_status.get(str(path), {}).items()
+                if line in executable and line not in exempt
+            }
+            partial = sorted(ln for ln, ok in sites.items() if not ok)
+            total_br += len(sites)
+            total_br_hit += len(sites) - len(partial)
+            row["branches"] = len(sites)
+            row["partial"] = _ranges(partial)
+        rows.append(row)
 
     rows.sort(key=lambda r: (r["pct"], -r["lines"]))
     width = max(len(r["file"]) for r in rows)
-    print(f"\n{'file':<{width}}  lines  cover   pct  missing")
+    header = f"\n{'file':<{width}}  lines  cover   pct  missing"
+    if branch:
+        header += "  partial-branches"
+    print(header)
     for r in rows:
-        print(
+        line = (
             f"{r['file']:<{width}}  {r['lines']:>5}  {r['covered']:>5}"
-            f"  {r['pct']:>4}  {r['missing']}",
+            f"  {r['pct']:>4}  {r['missing']}"
         )
+        if branch:
+            line += f"  {r['partial']}"
+        print(line)
     overall = round(100 * total_hit / total_exec, 2) if total_exec else 0.0
     print(f"\nTOTAL {total_hit}/{total_exec} lines = {overall}%")
+    report: dict = {"total_pct": overall, "files": rows}
+    if branch:
+        br_overall = (
+            round(100 * total_br_hit / total_br, 2) if total_br else 0.0
+        )
+        print(
+            f"BRANCH {total_br_hit}/{total_br} fired "
+            f"branch lines fully covered = {br_overall}%",
+        )
+        report["branch_pct"] = br_overall
     out = REPO_ROOT / "line_coverage.json"
-    out.write_text(
-        json.dumps({"total_pct": overall, "files": rows}, indent=1),
-    )
+    out.write_text(json.dumps(report, indent=1))
     print(f"(report written to {out})")
     return int(rc)
 
