@@ -440,7 +440,7 @@ class OptimizationRunner:
         save_every = self.config.video.save_every
         step_idx = metrics.step
         if (
-            not save_every
+            not save_every  # pragma: no branch (config bounds it >= 1)
             or step_idx % save_every != 0
             or (self.video_writer is None and self.gif_collector is None)
         ):

@@ -240,7 +240,8 @@ def fit_box_by_inner_aspect(
     aw, ah = avail.w, avail.h
 
     pw, ph = aw, ah
-    for _ in range(_ASPECT_FIT_ITERATIONS):
+    # The fixed-point converges (and breaks) well before the bound:
+    for _ in range(_ASPECT_FIT_ITERATIONS):  # pragma: no branch
         margin = _margin_px(params, pw, ph)
         inner_w_max = max(1, aw - 2 * margin)
         inner_h_max = max(1, ah - 2 * margin)

@@ -636,7 +636,7 @@ def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
         cadences.append(config.output.checkpoint_every)
     if (
         config.video.create_gif or config.video.create_video
-    ) and config.video.save_every:
+    ) and config.video.save_every:  # pragma: no branch (save_every >= 1)
         cadences.append(config.video.save_every)
     if requested > 1:
         cadences.append(requested)

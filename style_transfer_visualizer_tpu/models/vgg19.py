@@ -196,7 +196,10 @@ def save_params_npz(params: Params, path: Path) -> None:
         flat[f"b{idx}"] = np.asarray(layer["b"])
     tmp = path.with_suffix(path.suffix + ".tmp")
     np.savez(tmp, **flat)
-    produced = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    # np.savez always appends .npz to a non-.npz name; the exists()
+    # arm only guards against that contract changing.
+    produced = (tmp if tmp.exists()  # pragma: no branch
+                else tmp.with_suffix(tmp.suffix + ".npz"))
     produced.replace(path)
 
 

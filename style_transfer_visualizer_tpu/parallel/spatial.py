@@ -132,7 +132,8 @@ def sharded_extract_features(
     tap_set = frozenset(taps)
     last = max(taps)
     acts: dict[int, jax.Array] = {}
-    for idx, (kind, _, _) in enumerate(LAYER_TABLE):
+    # Breaks at max(taps), never exhausts the table:
+    for idx, (kind, _, _) in enumerate(LAYER_TABLE):  # pragma: no branch
         if kind == CONV:
             layer = params[idx]
             x = _sharded_conv(

@@ -69,8 +69,10 @@ def save_checkpoint(
 
     tmp = path.with_suffix(path.suffix + ".tmp")
     np.savez(tmp, **payload)
-    # np.savez appends .npz to names without it.
-    produced = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    # np.savez appends .npz to names without it; the exists() arm only
+    # guards against that contract changing.
+    produced = (tmp if tmp.exists()  # pragma: no branch
+                else tmp.with_suffix(tmp.suffix + ".npz"))
     produced.replace(path)
     logger.info("Checkpoint saved at step %d: %s", step, path)
     return path

@@ -164,3 +164,11 @@ def test_resume_casts_ring_dtype_to_current_config(tmp_path, caplog) -> None:
     np.testing.assert_array_equal(
         np.asarray(ckpt.opt_state.s_hist, dtype=np.float32), 1.25,
     )
+
+
+def test_different_size_leaf_rejected(tmp_path) -> None:
+    """Size (not just shape) mismatches are incompatible outright."""
+    img = jnp.zeros((1, 4, 4, 3))
+    path = save_checkpoint(tmp_path / "ck.npz", 2, img, adam_init(48))
+    with pytest.raises(ValueError, match="incompatible configuration"):
+        load_checkpoint(path, adam_init(96))

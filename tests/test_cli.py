@@ -1145,3 +1145,204 @@ def test_styles_with_only_whitespace_segments_exits() -> None:
     ])
     with pytest.raises(SystemExit, match="contains no paths"):
         stv_cli.run_from_args(args)
+
+
+class TestLogParametersInvertedFlags:
+    """The opposite direction of every log ternary/conditional."""
+
+    def test_inverted_configuration_logged(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {"optimizer": "adam", "normalize": False},
+            "video": {
+                "create_video": False,
+                "intro_enabled": False,
+                "final_frame_compare": False,
+                "create_gif": True,
+                "gif_include_intro": True,
+                "gif_include_outro": True,
+                "metadata_title": "T",
+                "metadata_artist": "A",
+            },
+            "output": {"plot_losses": False},
+        })
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        text = caplog.text
+        assert "Optimizer: adam" in text
+        assert "L-BFGS History" not in text
+        assert "Normalization: Disabled" in text
+        assert "Video Creation: Disabled" in text
+        assert "Video Intro: Disabled" in text
+        assert "Final Frame Compare: Disabled" in text
+        assert "Metadata Title: T" in text
+        assert "Metadata Artist: A" in text
+        assert "Loss Plotting: Disabled" in text
+
+
+def test_main_accepts_styles_without_style(
+    monkeypatch, content_image, style_image,
+) -> None:
+    """--styles alone satisfies the required-style check in main()."""
+    called = {}
+
+    def fake_batch(content, styles, cfg):
+        called["styles"] = styles
+        return []
+
+    monkeypatch.setattr(
+        stv_cli.stv_main, "multi_style_transfer", fake_batch,
+    )
+    monkeypatch.setattr(sys, "argv", [
+        "style-visualizer", "--content", str(content_image),
+        "--styles", str(style_image), "--device", "cpu",
+    ])
+    stv_cli.main()
+    assert called["styles"] == [str(style_image)]
+
+
+class TestMultiStyleBranchDirections:
+    """Remaining one-way orchestration branches in the batch loop."""
+
+    def _setup(self, tmp_path):
+        from PIL import Image
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+        return content, [s1, s2]
+
+    def _config(self, tmp_path, *, optimization=None, video=None,
+                output=None):
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+
+        return StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 4, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                **(optimization or {}),
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out"), **(output or {})},
+            "video": {"create_video": False, **(video or {})},
+        })
+
+    def _run(self, tmp_path, cfg):
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content, styles = self._setup(tmp_path)
+        return multi_style_transfer(
+            str(content), [str(s) for s in styles], cfg,
+        )
+
+    def test_forced_remat_batch(self, tmp_path) -> None:
+        """--remat short-circuits the batched auto threshold."""
+        cfg = self._config(
+            tmp_path, optimization={"steps": 2, "remat": True},
+        )
+        saved = self._run(tmp_path, cfg)
+        assert all(p.exists() for p in saved)
+
+    def test_gif_outro_excluded_skips_render(self, tmp_path) -> None:
+        """GIF sinks present but outro excluded: no comparison frames."""
+        from PIL import Image
+
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 2},
+            video={
+                "create_gif": True, "save_every": 1,
+                "gif_include_outro": False, "intro_enabled": False,
+                "gif_include_intro": False,
+            },
+        )
+        self._run(tmp_path, cfg)
+        with Image.open(tmp_path / "out" / "timelapse_c_x_s1.gif") as gif:
+            # steps frames + forced final frame, no outro hold/crossfade
+            assert gif.n_frames <= 3
+
+    def test_video_stub_with_intro_and_outro(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """Batch MP4 writers receive intro and outro segments."""
+        from style_transfer_visualizer_tpu import main as stv_main
+
+        writers = {}
+
+        class StubWriter:
+            def __init__(self) -> None:
+                self.frames = []
+                self._size = None
+                self.closed = False
+
+            def append_data(self, frame) -> None:
+                self.frames.append(frame)
+                self._size = (frame.shape[1], frame.shape[0])
+
+            def close(self) -> None:
+                self.closed = True
+
+        def fake_setup(video_cfg, out_dir, name):
+            writers[name] = StubWriter()
+            return writers[name]
+
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer", fake_setup,
+        )
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 2},
+            video={
+                "create_video": True, "mode": "postprocess",
+                "save_every": 1, "fps": 2,
+            },
+        )
+        self._run(tmp_path, cfg)
+        assert len(writers) == 2
+        for writer in writers.values():
+            # intro fade/hold + stylized frames + outro > bare steps
+            assert len(writer.frames) > 2
+            assert writer.closed
+
+    def test_csv_base_without_suffix_gets_csv_extension(
+        self, tmp_path,
+    ) -> None:
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 2},
+            output={"log_loss": str(tmp_path / "out" / "losses"),
+                    "log_every": 1},
+        )
+        self._run(tmp_path, cfg)
+        assert (tmp_path / "out" / "losses_s1.csv").exists()
+        assert (tmp_path / "out" / "losses_s2.csv").exists()
+
+    def test_plotting_disabled_skips_history(self, tmp_path) -> None:
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 2},
+            output={"plot_losses": False},
+        )
+        self._run(tmp_path, cfg)
+        assert not (tmp_path / "out" / "loss_plot_s1.png").exists()
+
+    def test_checkpoint_cadence_misaligned_step(self, tmp_path) -> None:
+        """A final step off the cadence skips the checkpoint write."""
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 4},
+            output={"checkpoint_every": 3},
+        )
+        self._run(tmp_path, cfg)

@@ -186,3 +186,34 @@ def test_render_valueerror_becomes_parser_error(
             "--out", str(tmp_path / "o.png"),
         ])
     assert excinfo.value.code == 2
+
+
+class TestBranchDirections:
+    """One-way branch directions flagged by the branch coverage tool."""
+
+    def test_grid_mode_with_exact_canvas_size(
+        self, three_images, tmp_path,
+    ) -> None:
+        """target_size supersedes the height-normalized grid layout."""
+        out = render_comparison(ComparisonRenderOptions(
+            content_path=three_images["content"],
+            style_path=three_images["style"],
+            result_path=three_images["result"],
+            out_path=tmp_path / "grid_sized.png",
+            target_height=48,
+            target_size=(200, 100),
+        ))
+        with Image.open(out) as im:
+            assert im.size == (200, 100)
+
+    def test_gallery_mode_defaults_to_full_hd(
+        self, three_images, tmp_path,
+    ) -> None:
+        out = render_comparison(ComparisonRenderOptions(
+            content_path=three_images["content"],
+            style_path=three_images["style"],
+            out_path=tmp_path / "wall_hd.png",
+            layout="gallery-two-across",
+        ))
+        with Image.open(out) as im:
+            assert im.size == (1920, 1080)

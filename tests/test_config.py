@@ -274,3 +274,18 @@ class TestLbfgsHistoryDtype:
     def test_history_size_cli_merge(self) -> None:
         cfg = build_config_from_cli({"lbfgs_history_size": 20})
         assert cfg.optimization.lbfgs_history_size == 20
+
+
+def test_custom_loader_injected() -> None:
+    """build_config_from_cli accepts an injected TOML loader."""
+    calls = []
+
+    def fake_loader(path: str) -> StyleTransferConfig:
+        calls.append(path)
+        return StyleTransferConfig.model_validate(
+            {"optimization": {"steps": 77}},
+        )
+
+    cfg = build_config_from_cli({"config": "x.toml"}, loader=fake_loader)
+    assert calls == ["x.toml"]
+    assert cfg.optimization.steps == 77

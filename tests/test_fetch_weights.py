@@ -123,3 +123,14 @@ def test_network_failure_reports_airgap_path(
     ])
     assert rc == 1
     assert "air-gapped" in caplog.text
+
+
+def test_default_cache_dir_used_without_flag(
+    tmp_path: Path, monkeypatch,
+) -> None:
+    cache = tmp_path / "default_cache"
+    cache.mkdir()
+    (cache / vgg19.CACHE_FILENAME).write_bytes(b"existing")
+    monkeypatch.setattr(vgg19, "_DEFAULT_CACHE_DIR", cache)
+    rc = fetch_weights.main([])
+    assert rc == 0

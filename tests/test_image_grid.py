@@ -272,3 +272,53 @@ def test_frame_texture_preserves_rgb_mode() -> None:
     out = add_frame_texture(Image.new("RGB", (32, 24), (120, 90, 40)))
     assert out.mode == "RGB"
     assert out.size == (32, 24)
+
+
+class TestBranchDirections:
+    """Remaining one-way branch directions flagged by the branch tool."""
+
+    def test_scale_images_to_target_default_height(self) -> None:
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.image_grid.core import (
+            DEFAULT_HEIGHT,
+            scale_images_to_target,
+        )
+
+        out = scale_images_to_target(
+            [Image.new("RGB", (100, 50))], None, None,
+        )
+        assert out[0].size[1] == DEFAULT_HEIGHT
+
+    def test_content_dimensions_empty_list(self) -> None:
+        from style_transfer_visualizer_tpu.image_grid.core import (
+            content_dimensions,
+        )
+
+        row_w, row_h, widths, heights = content_dimensions([], 4)
+        assert row_h == 0
+        assert widths == [] and heights == []
+
+    def test_framed_panel_without_bevel(self) -> None:
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.image_grid.core import (
+            FrameParams,
+            build_framed_panel,
+        )
+
+        panel, _anchor = build_framed_panel(
+            Image.new("RGB", (64, 64), (200, 10, 10)),
+            (140, 120),
+            FrameParams(bevel_px=0),
+            wall_color=(40, 40, 40),
+        )
+        assert panel.size == (140, 120)
+
+    def test_wall_canvas_without_vignette(self) -> None:
+        from style_transfer_visualizer_tpu.image_grid.core import (
+            make_wall_canvas,
+        )
+
+        wall = make_wall_canvas((64, 48), (90, 90, 90), vignette=False)
+        assert wall.size == (64, 48)

@@ -771,3 +771,57 @@ class TestCustomCheckpointPathSingleRun:
         stv_main.style_transfer(make_input_paths(), cfg)
         assert ckpt.exists()
         assert not (Path(cfg.output.output) / "checkpoint.npz").exists()
+
+
+class TestPrepareBranchDirections:
+    """Remaining one-way branches in _prepare_model_and_input."""
+
+    def _tiny_params(self, monkeypatch):
+        import jax
+
+        from style_transfer_visualizer_tpu.models import vgg19
+
+        monkeypatch.setattr(
+            stv_main,
+            "load_vgg19_params",
+            lambda **kw: vgg19.init_random_params(jax.random.key(0)),
+        )
+
+    def test_explicit_conv_backend_logs_nothing(
+        self, monkeypatch, make_style_transfer_config, caplog,
+    ) -> None:
+        import jax
+
+        self._tiny_params(monkeypatch)
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "style_layers": [0],
+                          "content_layers": [2], "init_method": "content"},
+            hardware={"conv_backend": "xla"},
+        )
+        content = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.3
+        style = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.7
+        bundle, x0 = stv_main._prepare_model_and_input(
+            content, style, cfg, jax.random.key(0),
+        )
+        assert "Conv backend resolved" not in caplog.text
+        _, _, aux = bundle.update_fn(x0, bundle.opt_state)
+        assert np.isfinite(float(aux.loss))
+
+    def test_forced_remat_single_run(
+        self, monkeypatch, make_style_transfer_config,
+    ) -> None:
+        import jax
+
+        self._tiny_params(monkeypatch)
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "style_layers": [0],
+                          "content_layers": [2], "init_method": "content",
+                          "remat": True},
+        )
+        content = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.3
+        style = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.7
+        bundle, x0 = stv_main._prepare_model_and_input(
+            content, style, cfg, jax.random.key(0),
+        )
+        _, _, aux = bundle.update_fn(x0, bundle.opt_state)
+        assert np.isfinite(float(aux.loss))

@@ -700,3 +700,125 @@ def test_intro_frame_rejects_degenerate_content(monkeypatch) -> None:
     monkeypatch.setattr(segments.Image, "open", lambda _p: FakeImg())
     with pytest.raises(ValueError, match="invalid dimensions"):
         segments.build_intro_frame(Path("c.png"), Path("s.png"))
+
+
+class TestBranchDirections:
+    """One-way branch directions flagged by the branch coverage tool."""
+
+    def test_intro_frame_no_resize_at_native_size(self, tmp_path) -> None:
+        """Content already >= the render minimum skips both upscales."""
+        content = tmp_path / "c128.png"
+        style = tmp_path / "s128.png"
+        Image.new("RGB", (128, 128), "red").save(content)
+        Image.new("RGB", (128, 128), "blue").save(style)
+        frame = segments.build_intro_frame(content, style)
+        assert frame.shape == (128, 128, 3)
+
+    def test_outro_frame_no_resize_at_writer_min(self, tmp_path) -> None:
+        """A 512px writer matches the render floor exactly: no resize."""
+        content = tmp_path / "c.png"
+        style = tmp_path / "s.png"
+        Image.new("RGB", (64, 64), "red").save(content)
+        Image.new("RGB", (64, 64), "blue").save(style)
+        from style_transfer_visualizer_tpu.image_grid.core import (
+            FrameParams,
+        )
+
+        out = segments.build_outro_frame(
+            (content, style),
+            Image.new("RGB", (512, 512), "green"),
+            FrameParams(),
+            target_width=512,
+            target_height=512,
+        )
+        assert out.shape == (512, 512, 3)
+
+    def test_outro_render_cached_across_same_size_sinks(
+        self, image_pair, monkeypatch,
+    ) -> None:
+        calls = {"n": 0}
+        real = segments.build_outro_frame
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(segments, "build_outro_frame", counting)
+        vid, gif = MemorySink(), MemorySink()
+        last = np.full((64, 64, 3), 128, np.uint8)
+        vid.append_data(last)
+        gif.append_data(last)
+        cfg = _video_cfg(fps=2, outro_duration_seconds=1.0)
+        segments.append_final_comparison_frame(
+            cfg, vid, image_pair, last,
+            gif_options=segments.GifSegmentOptions(
+                sink=gif, include_outro=True,
+            ),
+        )
+        assert calls["n"] == 1  # second sink reuses the cached render
+
+    def test_metadata_args_use_explicit_title_and_artist(self) -> None:
+        from style_transfer_visualizer_tpu.media.encode import (
+            build_mp4_metadata_args,
+        )
+
+        args = build_mp4_metadata_args("My Title", "Me")
+        joined = " ".join(args)
+        assert "title=My Title" in joined
+        assert "artist=Me" in joined
+
+    def test_frame_validator_custom_message(self) -> None:
+        with pytest.raises(ValueError, match="custom boom"):
+            ensure_rgb_uint8(
+                np.zeros((4, 4), np.uint8), message="custom boom",
+            )
+
+    def test_stream_skips_delivery_after_error(self) -> None:
+        from style_transfer_visualizer_tpu.media.stream import (
+            AsyncFrameStream,
+        )
+
+        import threading
+
+        delivered = []
+        gate = threading.Event()
+
+        def bad(frame) -> None:
+            # Hold the worker until the second frame is enqueued so the
+            # poisoned-stream skip is deterministic.
+            gate.wait(timeout=5)
+            raise ValueError("first delivery fails")
+
+        stream = AsyncFrameStream()
+        stream.submit(np.zeros((2, 2, 3), np.uint8), bad)
+        stream.submit(np.ones((2, 2, 3), np.uint8), delivered.append)
+        gate.set()
+        # The second frame is consumed but never delivered.
+        with pytest.raises(ValueError, match="first delivery fails"):
+            stream.close()
+        assert delivered == []
+
+
+class TestModeHeuristicSecondClauses:
+    """Area/fps matches whose frame counts stay under the thresholds."""
+
+    def test_4k_area_under_frame_threshold_stays_realtime(self) -> None:
+        cfg = _video_cfg(save_every=1)
+        mode, reason, frames = modes.select_video_mode(
+            cfg, frame_size=(3840, 2160), total_steps=100,
+        )
+        assert (mode, reason, frames) == ("realtime", None, 100)
+
+    def test_high_res_under_frame_threshold_stays_realtime(self) -> None:
+        cfg = _video_cfg(save_every=10)
+        mode, reason, frames = modes.select_video_mode(
+            cfg, frame_size=(2560, 1440), total_steps=2000,
+        )
+        assert (mode, reason, frames) == ("realtime", None, 200)
+
+    def test_high_fps_under_frame_threshold_stays_realtime(self) -> None:
+        cfg = _video_cfg(save_every=10, fps=60)
+        mode, reason, frames = modes.select_video_mode(
+            cfg, frame_size=(640, 480), total_steps=1000,
+        )
+        assert (mode, reason, frames) == ("realtime", None, 100)

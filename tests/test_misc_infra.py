@@ -95,3 +95,43 @@ def test_profile_dir_writes_trace(
     style_transfer(make_input_paths(), cfg)
     traces = list(profile_dir.rglob("*"))
     assert any(p.is_file() for p in traces), traces
+
+
+class TestBranchDirections:
+    """One-way branch directions flagged by the branch coverage tool."""
+
+    def test_accumulator_places_buffer_on_explicit_device(self) -> None:
+        import jax
+
+        from style_transfer_visualizer_tpu.engine.loss_accumulator import (
+            LossAccumulator,
+        )
+
+        acc = LossAccumulator(
+            log_every=1, history_capacity=4, track_history=True,
+            device=jax.devices("cpu")[0],
+        )
+        assert acc.tracks_history
+
+    def test_single_device_mesh_accepts_explicit_device(self) -> None:
+        import jax
+
+        from style_transfer_visualizer_tpu.parallel.mesh import (
+            single_device_mesh,
+        )
+
+        mesh = single_device_mesh(jax.devices("cpu")[0])
+        assert mesh.devices.shape == (1, 1)
+
+    def test_save_array_as_image_accepts_hwc(self, tmp_path) -> None:
+        import numpy as np
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.image_io import (
+            save_array_as_image,
+        )
+
+        path = tmp_path / "hwc.png"
+        save_array_as_image(np.full((4, 4, 3), 0.5, np.float32), path)
+        with Image.open(path) as img:
+            assert img.size == (4, 4)

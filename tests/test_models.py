@@ -513,3 +513,38 @@ class TestTorchCheckpointDiscovery:
         monkeypatch.setenv("TORCH_HOME", str(tmp_path / "void"))
         monkeypatch.setenv("HOME", str(tmp_path))
         assert vgg19._find_torch_checkpoint() is None
+
+
+class TestBranchDirections:
+    """One-way branch directions flagged by the branch coverage tool."""
+
+    def test_negative_layer_index_rejected(self) -> None:
+        from style_transfer_visualizer_tpu.models.features import (
+            _validate_layers,
+        )
+
+        with pytest.raises(ValueError, match="out of range"):
+            _validate_layers((-1,))
+
+    def test_find_torch_checkpoint_exhausts_then_hits(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        from pathlib import Path
+
+        from style_transfer_visualizer_tpu.models import vgg19
+
+        home = tmp_path / "home"
+        (home / ".cache").mkdir(parents=True)
+        monkeypatch.setattr(Path, "home", lambda: home)
+        ckpt_dir = tmp_path / "torch" / "hub" / "checkpoints"
+        ckpt_dir.mkdir(parents=True)
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path / "torch"))
+
+        # Empty cache dir: every glob pattern exhausts.
+        assert vgg19._find_torch_checkpoint() is None
+
+        # A file matching only the SECOND pattern: the first exhausts,
+        # the second returns it.
+        hit = ckpt_dir / "vgg19.pth"
+        hit.write_bytes(b"x")
+        assert vgg19._find_torch_checkpoint() == hit

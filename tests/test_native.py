@@ -145,3 +145,19 @@ def test_compiler_discovery_none_when_nothing_found(monkeypatch) -> None:
 
     monkeypatch.setattr(loader.shutil, "which", lambda _: None)
     assert loader._compiler() is None
+
+
+def test_stale_so_rebuilt_when_source_newer(tmp_path, monkeypatch) -> None:
+    """An .so older than its source recompiles instead of loading stale."""
+    import os
+
+    from style_transfer_visualizer_tpu.native import loader
+
+    cache = tmp_path / "cache"
+    monkeypatch.setattr(loader, "_CACHE_DIR", cache)
+    monkeypatch.setattr(loader, "_SO_PATH", cache / "frameops.so")
+    so = loader.build_library()
+    src_mtime = loader._SOURCE.stat().st_mtime
+    os.utime(so, (src_mtime - 100, src_mtime - 100))
+    rebuilt = loader.build_library()
+    assert rebuilt.stat().st_mtime >= src_mtime

@@ -282,3 +282,49 @@ class TestBf16HistoryRing:
             losses16[-1], losses32[-1], rtol=0.02,
         )
         np.testing.assert_allclose(x16, x32, rtol=0.1, atol=0.05)
+
+
+class TestStepBuilderDonation:
+    """Explicit donate overrides skip the state-size heuristic."""
+
+    def _setup(self):
+        from style_transfer_visualizer_tpu.models.features import (
+            compute_targets,
+        )
+
+        params = {
+            0: {
+                "w": jnp.asarray(
+                    np.random.default_rng(0).normal(
+                        size=(3, 3, 3, 4),
+                    ).astype(np.float32) * 0.1,
+                ),
+                "b": jnp.zeros(4),
+            },
+        }
+        content = jnp.asarray(
+            np.random.default_rng(1).uniform(size=(1, 16, 16, 3)),
+            dtype=jnp.float32,
+        )
+        style = jnp.asarray(
+            np.random.default_rng(2).uniform(size=(1, 16, 16, 3)),
+            dtype=jnp.float32,
+        )
+        targets = compute_targets(params, style, content, (0,), (0,))
+        return params, targets, content
+
+    @pytest.mark.parametrize("donate", [True, False])
+    def test_explicit_donation_runs(self, donate: bool) -> None:
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+
+        params, targets, content = self._setup()
+        bundle = build_update_step(
+            params, targets, (1, 16, 16, 3),
+            optimizer="adam", lr=0.05, style_w=1.0, content_w=1.0,
+            style_layers=(0,), content_layers=(0,),
+            donate=donate,
+        )
+        x, st, aux = bundle.update_fn(jnp.asarray(content), bundle.opt_state)
+        assert np.isfinite(float(aux.loss))

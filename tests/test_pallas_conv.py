@@ -220,3 +220,23 @@ def test_fused_relu_tap_sees_post_relu_activation() -> None:
     )
     # Index 1 is the ReLU output: nothing negative may leak through.
     assert float(np.asarray(got[1]).min()) >= 0
+
+
+def test_conv_tap_blocks_fusion_and_matches_xla() -> None:
+    """A tap at a conv index must see pre-ReLU activations (no fusion)."""
+    from style_transfer_visualizer_tpu.models import vgg19
+    from style_transfer_visualizer_tpu.models.features import (
+        extract_features,
+    )
+
+    params = vgg19.init_random_params(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(9), (1, 16, 16, 3), jnp.float32)
+    ref = extract_features(params, x, (0,), precision=HIGH)
+    got = extract_features(
+        params, x, (0,), precision=HIGH, conv_backend="pallas",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5,
+    )
+    # Pre-ReLU conv output: negatives must survive.
+    assert float(np.asarray(got[0]).min()) < 0

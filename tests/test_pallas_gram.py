@@ -227,3 +227,15 @@ def test_running_on_tpu_honors_pinned_default_device() -> None:
         assert _running_on_tpu() is False
     finally:
         jax.config.update("jax_default_device", old)
+
+
+def test_exact_tile_shape_skips_padding() -> None:
+    """P and C already tile-aligned: the pad branch is bypassed."""
+    x = jax.random.uniform(
+        jax.random.key(3), (1, 16, 32, 128), jnp.float32,
+    )
+    ours = gram_matrix_pallas(x, interpret=True)
+    ref = gram_matrix(x)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-7,
+    )

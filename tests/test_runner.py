@@ -719,3 +719,93 @@ def test_stream_close_error_raises_when_loop_succeeded(
     )
     with pytest.raises(RuntimeError, match="frame worker wedged"):
         runner.run()
+
+
+class TestBranchDirections:
+    """One-way branch directions flagged by the branch coverage tool."""
+
+    def test_csv_init_failure_without_error_callback(
+        self, runner_factory, monkeypatch, caplog,
+    ) -> None:
+        import logging
+
+        import style_transfer_visualizer_tpu.engine.runner as runner_mod
+
+        def boom(*a, **k):
+            raise OSError("no csv for you")
+
+        monkeypatch.setattr(runner_mod, "LossCSVLogger", boom)
+        runner, _ = runner_factory(
+            steps=2, output={"log_loss": "x.csv"},
+        )
+        with caplog.at_level(logging.ERROR):
+            runner.run()  # degrades to in-memory, no callback to fire
+        assert "Failed to initialize CSV logging" in caplog.text
+
+    def test_chunk_stays_single_step_with_start_callback_only(
+        self, runner_factory,
+    ) -> None:
+        starts: list[int] = []
+        cb = OptimizationCallbacks(on_step_start=starts.append)
+        runner, _ = runner_factory(
+            steps=3, callbacks=cb,
+            chunked_update_fn=lambda img, st, k: (_ for _ in ()).throw(
+                AssertionError("chunked path must not be used"),
+            ),
+        )
+        runner.run()
+        assert starts == [1, 2, 3]
+
+    def test_finalize_chunk_without_accumulator(
+        self, runner_factory,
+    ) -> None:
+        runner, bar = runner_factory(steps=2)
+        runner._accumulator = None  # telemetry disabled by a caller
+        auxes = StepAux(
+            loss=jnp.ones((2,)),
+            style_score=jnp.ones((2,)),
+            content_score=jnp.ones((2,)),
+            n_evals=jnp.ones((2,), jnp.int32),
+        )
+        runner._finalize_chunk(1, 2, auxes)
+        assert bar.updates == 2
+
+    def test_checkpoint_cadence_without_path_skips(
+        self, runner_factory, tmp_path,
+    ) -> None:
+        runner, _ = runner_factory(
+            steps=4, output={"checkpoint_every": 2},
+            checkpoint_path=None,
+        )
+        runner.run()  # no checkpoint path: cadence is a no-op
+
+    def test_intro_crossfade_skipped_when_video_intro_disabled(
+        self, runner_factory,
+    ) -> None:
+        sink = MemorySink()
+        intro = np.zeros((8, 8, 3), np.uint8)
+        runner, _ = runner_factory(
+            steps=2,
+            video={"save_every": 1, "intro_enabled": False},
+            video_writer=sink,
+            intro_last_frame=intro,
+            intro_crossfade_frames=3,
+        )
+        runner.run()
+        # No crossfade frames: exactly one stylized frame per step.
+        assert len(sink.frames) == 2
+
+    def test_intro_crossfade_skipped_for_gif_when_not_included(
+        self, runner_factory,
+    ) -> None:
+        gif = MemorySink()
+        intro = np.zeros((8, 8, 3), np.uint8)
+        runner, _ = runner_factory(
+            steps=2,
+            video={"save_every": 1, "gif_include_intro": False},
+            gif_collector=gif,
+            intro_last_frame=intro,
+            intro_crossfade_frames=3,
+        )
+        runner.run()
+        assert len(gif.frames) == 2

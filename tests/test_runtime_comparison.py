@@ -81,3 +81,26 @@ def test_explicit_result_path(inputs) -> None:
         ),
     )
     assert len(saved) == 1
+
+
+def test_include_result_without_result_path_renders_two_panel(
+    tmp_path,
+) -> None:
+    """include_result with no stylized image degrades to two panels."""
+    from PIL import Image
+
+    from style_transfer_visualizer_tpu.runtime.comparison import (
+        render_comparison_image,
+    )
+
+    content = tmp_path / "c.png"
+    style = tmp_path / "s.png"
+    Image.new("RGB", (64, 48), "red").save(content)
+    Image.new("RGB", (64, 48), "blue").save(style)
+    out = render_comparison_image(
+        content, style,
+        output_dir=tmp_path,
+        include_result=True,
+        result_path=None,
+    )
+    assert out.exists()

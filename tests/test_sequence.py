@@ -213,3 +213,26 @@ class TestSequenceParamAutoload:
             frames_dir, style_file, cfg, tmp_path / "seq_auto",
         )
         assert len(result.frame_paths) == 3
+
+
+def test_cli_loads_base_config_from_toml(
+    frames_dir, style_file, tmp_path, monkeypatch,
+) -> None:
+    from style_transfer_visualizer_tpu import sequence_cli
+
+    toml = tmp_path / "seq.toml"
+    toml.write_text("[optimization]\nsteps = 13\n")
+    recorded = {}
+
+    def fake_stylize(frames, style, cfg, out, **kw):
+        recorded["steps"] = cfg.optimization.steps
+        return seq.SequenceResult(frame_paths=[], total_steps=0)
+
+    monkeypatch.setattr(sequence_cli, "stylize_sequence", fake_stylize)
+    rc = sequence_cli.main([
+        "--frames", str(frames_dir), "--style", str(style_file),
+        "--config", str(toml), "--output", str(tmp_path / "o"),
+        "--device", "cpu", "--allow-random-weights",
+    ])
+    assert rc == 0
+    assert recorded["steps"] == 13

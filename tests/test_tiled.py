@@ -361,3 +361,24 @@ class TestTilingEdges:
             16, None, precision=HIGH,
         )
         assert tiled.content_feats == {}
+
+
+def test_tiled_loss_with_single_objective_sides(params) -> None:
+    """Style-only and content-only objectives zero the absent term."""
+    content, style = _images(64, 32)
+
+    style_only = compute_targets(params, style, content, (0, 5), ())
+    total_s, (s_score, c_score) = tiled_total_loss(
+        params, content, style_only, 100.0, 1.0,
+        (0, 5), (), tile_rows=16, precision=HIGH,
+    )
+    assert float(c_score) == 0.0
+    np.testing.assert_allclose(float(total_s), 100.0 * float(s_score))
+
+    content_only = compute_targets(params, style, content, (), (2,))
+    total_c, (s2, c2) = tiled_total_loss(
+        params, content, content_only, 100.0, 1.0,
+        (), (2,), tile_rows=16, precision=HIGH,
+    )
+    assert float(s2) == 0.0
+    np.testing.assert_allclose(float(total_c), float(c2))

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import ast
 import bisect
+import dis
 import json
 import sys
 from pathlib import Path
@@ -187,6 +188,32 @@ def _no_cover_lines(source: str, filename: str) -> set[int]:
     return excluded
 
 
+def _interpreter_branch_offsets(code) -> set[int]:  # noqa: ANN001
+    """Jump offsets that are interpreter plumbing, not source branches.
+
+    ``except X:`` compiles to CHECK_EXC_MATCH + POP_JUMP_IF_FALSE and a
+    ``with`` exit to WITH_EXCEPT_START + POP_JUMP_IF_TRUE; both fire
+    BRANCH events only while an exception unwinds and are structurally
+    one-way in a healthy suite (the other side is a non-matching
+    exception class or a context manager that suppresses). coverage.py
+    likewise does not treat them as branches.
+    """
+    skip: set[int] = set()
+    prev = None
+    prev_offset = 0
+    for ins in dis.get_instructions(code):
+        if prev in {"CHECK_EXC_MATCH", "WITH_EXCEPT_START"}:
+            skip.add(ins.offset)
+        # ``assert`` compiles to a jump whose fall-through raises
+        # AssertionError; the failing side is never taken in a healthy
+        # suite (coverage.py setups exclude asserts the same way).
+        if ins.opname == "LOAD_ASSERTION_ERROR":
+            skip.add(prev_offset)
+        prev = ins.opname
+        prev_offset = ins.offset
+    return skip
+
+
 def _branch_status_by_file() -> dict[str, dict[int, bool]]:
     """Per file: {source line of a fired branch site: fully covered?}.
 
@@ -195,8 +222,13 @@ def _branch_status_by_file() -> dict[str, dict[int, bool]]:
     sites spans >= 2 distinct lines (the two-jump ``while`` pattern).
     """
     per_line: dict[tuple[str, int], list[tuple[int, set[int]]]] = {}
+    plumbing: dict[int, set[int]] = {}
     for (cid, src_offset), dsts in _arcs.items():
         code = _codes[cid]
+        if cid not in plumbing:
+            plumbing[cid] = _interpreter_branch_offsets(code)
+        if src_offset in plumbing[cid]:
+            continue
         src_line = _offset_to_line(cid, src_offset)
         if src_line is None:
             continue
