@@ -466,7 +466,10 @@ class OptimizationRunner:
 
         if (
             self.intro_last_frame is not None
-            and not self.intro_transition_done
+            # One-way by invariant: the frame is cleared in the same
+            # statement group that sets the done flag (below), and the
+            # constructor derives done from the frame's presence.
+            and not self.intro_transition_done  # pragma: no branch
         ):
             from style_transfer_visualizer_tpu.media.segments import (  # noqa: PLC0415
                 append_crossfade,

@@ -545,11 +545,11 @@ def _append_batch_outros(
     if content_path is None or style_paths is None:
         return
     include_gif_outro = config.video.gif_include_outro
-    wanted = [
-        video_sinks[i] is not None
-        or (gif_sinks[i] is not None and include_gif_outro)
-        for i in range(len(style_paths))
-    ]
+    wanted = []
+    for i in range(len(style_paths)):
+        has_video = video_sinks[i] is not None
+        wants_gif = gif_sinks[i] is not None and include_gif_outro
+        wanted.append(has_video or wants_gif)
     if not any(wanted):
         return
 
@@ -859,7 +859,8 @@ def _run_multi_style_loop(
     def maybe_checkpoint(step: int) -> None:
         if (
             checkpoint_path is not None
-            and out_cfg.checkpoint_every
+            # One-way: the path is only resolved when the cadence is >0.
+            and out_cfg.checkpoint_every  # pragma: no branch
             and step % out_cfg.checkpoint_every == 0
         ):
             from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415

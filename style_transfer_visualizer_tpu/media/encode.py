@@ -176,7 +176,8 @@ class FfmpegPipeWriter:
         self._proc.wait()
         returncode = self._proc.returncode
         stderr = b""
-        if self._stderr_file is not None:
+        # One-way: _spawn always opens the spill file alongside _proc.
+        if self._stderr_file is not None:  # pragma: no branch
             self._stderr_file.seek(0)
             stderr = self._stderr_file.read()
             self._stderr_file.close()

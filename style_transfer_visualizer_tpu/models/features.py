@@ -158,7 +158,9 @@ def _sweep(
                     acts[nxt] = x
                 i += 2
                 continue
-            if idx in tap_set:
+            # One-way: every VGG conv is followed by a ReLU, so fusion
+            # is only declined when the conv itself is tapped.
+            if idx in tap_set:  # pragma: no branch
                 acts[idx] = x
             i += 1
             continue

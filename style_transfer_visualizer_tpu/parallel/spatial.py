@@ -142,7 +142,7 @@ def sharded_extract_features(
             )
         elif kind == RELU:
             x = relu(x)
-        elif kind == POOL:
+        elif kind == POOL:  # pragma: no branch (kinds are exhaustive)
             x = maxpool_2x2(x)
         if idx in tap_set:
             acts[idx] = x

@@ -1346,3 +1346,136 @@ class TestMultiStyleBranchDirections:
             output={"checkpoint_every": 3},
         )
         self._run(tmp_path, cfg)
+
+
+class TestBatchIntroGateCombos:
+    """Intro prepared by one sink family, declined by the other."""
+
+    _setup = TestMultiStyleBranchDirections._setup
+    _config = TestMultiStyleBranchDirections._config
+    _run = TestMultiStyleBranchDirections._run
+
+    def _stub_video(self, monkeypatch):
+        from style_transfer_visualizer_tpu import main as stv_main
+
+        writers = {}
+
+        class StubWriter:
+            def __init__(self) -> None:
+                self.frames = []
+                self._size = None
+
+            def append_data(self, frame) -> None:
+                self.frames.append(frame)
+                self._size = (frame.shape[1], frame.shape[0])
+
+            def close(self) -> None:
+                pass
+
+        def fake_setup(video_cfg, out_dir, name):
+            writers[name] = StubWriter()
+            return writers[name]
+
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer", fake_setup,
+        )
+        return writers
+
+    def test_gif_intro_prepared_video_intro_disabled(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """The GIF wants the intro; the MP4 must not receive it."""
+        writers = self._stub_video(monkeypatch)
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 2},
+            video={
+                "create_video": True, "mode": "postprocess",
+                "create_gif": True, "save_every": 1, "fps": 2,
+                "intro_enabled": False, "gif_include_intro": True,
+                "final_frame_compare": False,
+            },
+        )
+        self._run(tmp_path, cfg)
+        for writer in writers.values():
+            assert len(writer.frames) == 2  # stylized frames only
+
+    def test_video_intro_prepared_gif_intro_declined(
+        self, tmp_path, monkeypatch,
+    ) -> None:
+        """The MP4 carries the intro; the GIF skips its crossfade."""
+        from PIL import Image
+
+        writers = self._stub_video(monkeypatch)
+        cfg = self._config(
+            tmp_path,
+            optimization={"steps": 2},
+            video={
+                "create_video": True, "mode": "postprocess",
+                "create_gif": True, "save_every": 1, "fps": 2,
+                "intro_enabled": True, "gif_include_intro": False,
+                "final_frame_compare": False,
+            },
+        )
+        self._run(tmp_path, cfg)
+        for writer in writers.values():
+            assert len(writer.frames) > 2  # fade + hold + crossfade
+        with Image.open(tmp_path / "out" / "timelapse_c_x_s1.gif") as gif:
+            assert gif.n_frames <= 3  # no intro material
+
+
+def test_gif_intro_excluded_logged_no(
+    caplog, content_image, style_image,
+) -> None:
+    from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+    cfg = StyleTransferConfig.model_validate({
+        "video": {"create_gif": True, "gif_include_intro": False,
+                  "gif_include_outro": False},
+    })
+    stv_cli.log_parameters(
+        InputPaths(str(content_image), str(style_image)),
+        cfg,
+        argparse.Namespace(config=None),
+    )
+    assert "GIF Intro Included: No" in caplog.text
+    assert "GIF Outro Included: No" in caplog.text
+
+
+def test_run_from_args_with_config_not_validate_only(
+    monkeypatch, content_image, style_image, tmp_path,
+) -> None:
+    """--config without --validate-config-only proceeds to the run."""
+    toml = tmp_path / "r.toml"
+    toml.write_text("[optimization]\nsteps = 3\n")
+    called = {}
+    monkeypatch.setattr(
+        stv_cli.stv_main, "style_transfer",
+        lambda paths, cfg: called.setdefault(
+            "steps", cfg.optimization.steps,
+        ),
+    )
+    args = _parse([
+        "--content", str(content_image), "--style", str(style_image),
+        "--config", str(toml), "--device", "cpu",
+    ])
+    stv_cli.run_from_args(args)
+    assert called["steps"] == 3
+
+
+def test_main_with_style_flag_proceeds(
+    monkeypatch, content_image, style_image,
+) -> None:
+    """--style (not --styles) satisfies the required-style check."""
+    called = {}
+    monkeypatch.setattr(
+        stv_cli, "run_from_args", lambda args: called.setdefault(
+            "style", args.style,
+        ),
+    )
+    monkeypatch.setattr(sys, "argv", [
+        "style-visualizer", "--content", str(content_image),
+        "--style", str(style_image),
+    ])
+    stv_cli.main()
+    assert called["style"] == str(style_image)

@@ -289,3 +289,11 @@ def test_custom_loader_injected() -> None:
     cfg = build_config_from_cli({"config": "x.toml"}, loader=fake_loader)
     assert calls == ["x.toml"]
     assert cfg.optimization.steps == 77
+
+
+def test_default_loader_used_for_config_path(tmp_path) -> None:
+    """Without an injected loader, ConfigLoader.load reads the TOML."""
+    toml = tmp_path / "c.toml"
+    toml.write_text("[optimization]\nsteps = 55\n")
+    cfg = build_config_from_cli({"config": str(toml)})
+    assert cfg.optimization.steps == 55

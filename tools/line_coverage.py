@@ -199,16 +199,29 @@ def _interpreter_branch_offsets(code) -> set[int]:  # noqa: ANN001
     likewise does not treat them as branches.
     """
     skip: set[int] = set()
+    instructions = list(dis.get_instructions(code))
+    assertion_offsets = {
+        ins.offset
+        for ins in instructions
+        if ins.opname == "LOAD_ASSERTION_ERROR"
+    }
     prev = None
     prev_offset = 0
-    for ins in dis.get_instructions(code):
+    for ins in instructions:
         if prev in {"CHECK_EXC_MATCH", "WITH_EXCEPT_START"}:
             skip.add(ins.offset)
-        # ``assert`` compiles to a jump whose fall-through raises
-        # AssertionError; the failing side is never taken in a healthy
+        # ``assert`` compiles to jumps whose failing side raises
+        # AssertionError — either as the fall-through of the final test
+        # or as the jump target of an earlier short-circuit clause
+        # (``assert a and b``). That side is never taken in a healthy
         # suite (coverage.py setups exclude asserts the same way).
         if ins.opname == "LOAD_ASSERTION_ERROR":
             skip.add(prev_offset)
+        if (
+            ins.opcode in dis.hasjabs + dis.hasjrel
+            and ins.argval in assertion_offsets
+        ):
+            skip.add(ins.offset)
         prev = ins.opname
         prev_offset = ins.offset
     return skip
@@ -241,6 +254,9 @@ def _branch_status_by_file() -> dict[str, dict[int, bool]]:
             (code.co_filename, src_line), [],  # type: ignore[attr-defined]
         ).append((len(dsts), dst_lines))
 
+    import os
+
+    debug = os.environ.get("STV_COV_DEBUG", "")
     result: dict[str, dict[int, bool]] = {}
     for (filename, line), sites in per_line.items():
         all_two = all(n >= 2 for n, _ in sites)
@@ -248,6 +264,11 @@ def _branch_status_by_file() -> dict[str, dict[int, bool]]:
         for _, dst_lines in sites:
             union |= dst_lines
         covered = all_two or len(union) >= 2
+        if debug and debug in f"{filename}:{line}":
+            print(
+                f"[cov-debug] {filename}:{line} sites={sites} "
+                f"union={sorted(union)} covered={covered}",
+            )
         result.setdefault(filename, {})[line] = covered
     return result
 
