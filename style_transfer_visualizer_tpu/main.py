@@ -795,7 +795,10 @@ def _run_multi_style_loop(
                     intro_last, n_crossfade = intro
                     if (
                         video_sinks[i] is not None
-                        and config.video.intro_enabled
+                        # One-way: intro_enabled is the master switch —
+                        # prepare_intro_segment returns None without it,
+                        # so a pending intro implies it is set.
+                        and config.video.intro_enabled  # pragma: no branch
                     ):
                         stv_segments.append_crossfade(
                             video_sinks[i], intro_last, frame, n_crossfade,
