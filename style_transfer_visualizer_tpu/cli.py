@@ -183,6 +183,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "omitted/-1 = auto above ~4MP."
                 ),
             }),
+            ("--coarse-steps", {
+                "dest": "coarse_steps", "type": int, "default": suppress,
+                "help": (
+                    "Warm-start: optimize N steps at half resolution "
+                    "and upsample the result as the starting image "
+                    "(single-run pipeline; half-res steps are ~4x "
+                    "cheaper). 0 disables (default)."
+                ),
+            }),
             ("--allow-random-weights", {
                 "action": "store_true",
                 "help": (
@@ -394,6 +403,11 @@ def log_parameters(
     logger.info("Video Quality: %d (%d-%d scale)", cfg.video.quality,
                 VIDEO_QUALITY_MIN, VIDEO_QUALITY_MAX)
     logger.info("Initialization Method: %s", cfg.optimization.init_method)
+    if cfg.optimization.coarse_steps:
+        logger.info(
+            "Coarse Warm Start: %d half-res steps",
+            cfg.optimization.coarse_steps,
+        )
     logger.info("Normalization: %s",
                 "Enabled" if cfg.optimization.normalize else "Disabled")
     logger.info("Video Creation: %s",

@@ -76,6 +76,12 @@ class OptimizationConfig(_ValidatedSection):
     # extra forward of FLOPs for HBM headroom). Auto-enabled for
     # 4MP+ inputs; force with this flag.
     remat: bool = False
+    # Coarse-to-fine warm start: optimize this many steps at half
+    # resolution and upsample the result as the starting image
+    # (engine/coarse.py). 0 disables. The half-res step is ~4x cheaper,
+    # so front-loading global structure there cuts the full-res steps
+    # needed for equal quality.
+    coarse_steps: int = Field(0, ge=0)
     # Evaluate the loss as a lax.scan over row bands of this height
     # (exact; shrinks the compiled graph and activation memory for
     # 4K-class inputs). -1 = auto (tile above ~4MP), 0 = always
@@ -231,6 +237,7 @@ def _merge_optimization(
         "steps", "style_w", "content_w", "lr", "init_method", "seed",
         "optimizer", "lbfgs_max_iter", "lbfgs_max_eval",
         "lbfgs_history_size", "lbfgs_history_dtype", "tile_rows",
+        "coarse_steps",
     ):
         if key in args:
             setattr(opt, key, args[key])

@@ -1107,8 +1107,29 @@ def _prepare_model_and_input(
         conv_backend=conv_backend,
         tile_rows=tile_rows,
     )
-    input_img = initialize_input(content_img, opt_cfg.init_method, key)
+    input_img = _initial_image(params, content_img, style_img, config, key)
     return bundle, input_img
+
+
+def _initial_image(
+    params,
+    content_img: jax.Array,
+    style_img: jax.Array,
+    config: StyleTransferConfig,
+    key: jax.Array,
+) -> jax.Array:
+    """Starting image: coarse warm start when requested, else init_method."""
+    if config.optimization.coarse_steps > 0:
+        from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+            coarse_init,
+        )
+
+        warm = coarse_init(params, content_img, style_img, config, key)
+        if warm is not None:
+            return warm
+    return initialize_input(
+        content_img, config.optimization.init_method, key,
+    )
 
 
 def _prepare_spatial_model_and_input(
@@ -1202,7 +1223,7 @@ def _prepare_spatial_model_and_input(
         loss_fn=loss_fn,
     )
     input_img = jax.device_put(
-        initialize_input(content_img, opt_cfg.init_method, key),
+        _initial_image(params, content_img, style_img, config, key),
         row_sharding,
     )
     return bundle, input_img

@@ -1,0 +1,144 @@
+"""Coarse-to-fine warm start (engine/coarse.py)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_visualizer_tpu.engine.coarse import (
+    coarse_dims,
+    coarse_init,
+)
+from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.models.features import (
+    compute_targets,
+    total_loss,
+)
+
+
+class TestCoarseDims:
+    def test_halves_and_aligns(self) -> None:
+        assert coarse_dims(512, 512) == (256, 256)
+        assert coarse_dims(1088, 1920) == (544, 960)
+
+    def test_rounds_down_to_pool_alignment(self) -> None:
+        assert coarse_dims(100, 110) == (48, 48)
+
+    def test_too_small_returns_none(self) -> None:
+        assert coarse_dims(63, 512) is None
+        assert coarse_dims(512, 40) is None
+
+
+@pytest.fixture
+def tiny_setup(make_style_transfer_config):
+    params = vgg19.init_random_params(jax.random.key(0))
+    key = jax.random.key(7)
+    content = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32)
+    style = jax.random.uniform(
+        jax.random.fold_in(key, 1), (1, 64, 64, 3), jnp.float32,
+    )
+    cfg = make_style_transfer_config(
+        optimization={
+            "steps": 2, "optimizer": "adam", "lr": 0.05,
+            "style_layers": [0], "content_layers": [2],
+            "init_method": "random", "coarse_steps": 30,
+        },
+    )
+    return params, content, style, cfg
+
+
+class TestCoarseInit:
+    def test_returns_full_res_image(self, tiny_setup) -> None:
+        params, content, style, cfg = tiny_setup
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert warm is not None
+        assert warm.shape == content.shape
+        assert np.all(np.isfinite(np.asarray(warm)))
+
+    def test_disabled_returns_none(self, tiny_setup) -> None:
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.coarse_steps = 0
+        assert coarse_init(
+            params, content, style, cfg, jax.random.key(2),
+        ) is None
+
+    def test_too_small_returns_none(self, tiny_setup, caplog) -> None:
+        params, _, _, cfg = tiny_setup
+        small_c = jnp.ones((1, 48, 48, 3), jnp.float32) * 0.4
+        small_s = jnp.ones((1, 48, 48, 3), jnp.float32) * 0.6
+        assert coarse_init(
+            params, small_c, small_s, cfg, jax.random.key(2),
+        ) is None
+        assert "too small to halve" in caplog.text
+
+    def test_warm_start_beats_cold_at_equal_full_res_budget(
+        self, tiny_setup,
+    ) -> None:
+        """The warmed init starts closer to the optimum than random."""
+        params, content, style, cfg = tiny_setup
+        sl, cl = (0,), (2,)
+        targets = compute_targets(params, style, content, sl, cl)
+
+        def loss_of(img):
+            total, _ = total_loss(
+                params, img, targets, 1e4, 1.0, sl, cl,
+            )
+            return float(total)
+
+        cold = jax.random.normal(
+            jax.random.key(2), content.shape, content.dtype,
+        )
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert loss_of(warm) < loss_of(cold)
+
+    def test_composes_with_content_init(self, tiny_setup) -> None:
+        """init_method=content seeds the coarse problem, not the output."""
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.init_method = "content"
+        cfg.optimization.coarse_steps = 5
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        # The coarse phase moved the pixels: not a plain content upsample.
+        assert not np.allclose(np.asarray(warm), np.asarray(content))
+
+
+class TestMainWiring:
+    def test_initial_image_uses_warm_start(
+        self, tiny_setup, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+
+        params, content, style, cfg = tiny_setup
+        sentinel = jnp.full(content.shape, 0.123, jnp.float32)
+        monkeypatch.setattr(
+            "style_transfer_visualizer_tpu.engine.coarse.coarse_init",
+            lambda *a, **k: sentinel,
+        )
+        out = stv_main._initial_image(
+            params, content, style, cfg, jax.random.key(0),
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(sentinel))
+
+    def test_initial_image_falls_back_when_coarse_declines(
+        self, tiny_setup, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.init_method = "content"
+        monkeypatch.setattr(
+            "style_transfer_visualizer_tpu.engine.coarse.coarse_init",
+            lambda *a, **k: None,
+        )
+        out = stv_main._initial_image(
+            params, content, style, cfg, jax.random.key(0),
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(content))
+
+    def test_cli_merge(self) -> None:
+        from style_transfer_visualizer_tpu.config import (
+            build_config_from_cli,
+        )
+
+        cfg = build_config_from_cli({"coarse_steps": 40})
+        assert cfg.optimization.coarse_steps == 40
