@@ -371,8 +371,9 @@ def multi_style_transfer(
             remat=remat,
             gram_backend=gram_backend,
         )
-        images = initialize_multi_inputs(
-            content_img, opt_cfg.init_method, key, n_styles,
+        images = _multi_initial_images(
+            mesh, params, content_img, style_imgs, config, key,
+            n_styles, gram_backend,
         )
         state = bundle.opt_state
 
@@ -394,6 +395,96 @@ def multi_style_transfer(
         if close_errors:
             raise close_errors[0]
         return saved
+
+
+def _multi_initial_images(
+    mesh,
+    params,
+    content_img: jax.Array,
+    style_imgs: list[jax.Array],
+    config: StyleTransferConfig,
+    key: jax.Array,
+    n_styles: int,
+    gram_backend: str,
+) -> jax.Array:
+    """Stacked starting images; coarse warm start when requested.
+
+    The coarse phase is the batch analog of ``engine.coarse``: one
+    vmapped half-resolution problem over the same style mesh axis, so
+    all S styles warm-start in a single compiled executable.
+    """
+    from style_transfer_visualizer_tpu.parallel.multistyle import (  # noqa: PLC0415
+        build_multi_style_update,
+        initialize_multi_inputs,
+        multi_style_targets,
+    )
+
+    opt_cfg = config.optimization
+    images = initialize_multi_inputs(
+        content_img, opt_cfg.init_method, key, n_styles,
+    )
+    steps = opt_cfg.coarse_steps
+    if steps <= 0:
+        return images
+    from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+        coarse_dims,
+    )
+
+    _, height, width, _ = content_img.shape
+    dims = coarse_dims(int(height), int(width))
+    if dims is None:
+        logger.info(
+            "Coarse warm start skipped: %dx%d is too small to halve.",
+            width, height,
+        )
+        return images
+    ch, cw = dims
+
+    def halve(img: jax.Array) -> jax.Array:
+        return jax.image.resize(
+            img, (img.shape[0], ch, cw, img.shape[3]), method="linear",
+        )
+
+    coarse_content = halve(content_img)
+    coarse_targets = multi_style_targets(
+        params, coarse_content, [halve(s) for s in style_imgs],
+        tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
+        precision=_precision(config.hardware.precision),
+        gram_backend=gram_backend,
+    )
+    coarse_bundle = build_multi_style_update(
+        mesh, params, coarse_targets, tuple(coarse_content.shape),
+        n_styles,
+        optimizer=opt_cfg.optimizer,
+        lr=opt_cfg.lr,
+        style_w=opt_cfg.style_w,
+        content_w=opt_cfg.content_w,
+        style_layers=tuple(opt_cfg.style_layers),
+        content_layers=tuple(opt_cfg.content_layers),
+        precision=config.hardware.precision,
+        lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
+        lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
+        lbfgs_history_size=opt_cfg.lbfgs_history_size,
+        lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        gram_backend=gram_backend,
+    )
+    x = initialize_multi_inputs(
+        coarse_content, opt_cfg.init_method, key, n_styles,
+    )
+    state = coarse_bundle.opt_state
+    logger.info(
+        "Coarse warm start: %d vmapped steps at %dx%d for %d styles.",
+        steps, cw, ch, n_styles,
+    )
+    remaining = steps
+    chunk = 25
+    while remaining > 0:
+        k = min(chunk, remaining)
+        x, state, _aux = coarse_bundle.chunked_update_fn(x, state, k)
+        remaining -= k
+    return jax.image.resize(
+        x, (n_styles, 1, int(height), int(width), 3), method="linear",
+    )
 
 
 def _dp_sp_multi_style(
@@ -502,6 +593,11 @@ def _dp_sp_multi_style(
         update_fn=update_fn, opt_state=state, targets=stacked,
         chunked_update_fn=chunked_update_fn,
     )
+    if opt_cfg.coarse_steps > 0:
+        logger.info(
+            "Coarse warm start is not applied under --spatial-shards "
+            "in batch mode; starting from init_method directly.",
+        )
     images = initialize_multi_inputs(
         content_img, opt_cfg.init_method, key, n_styles,
     )

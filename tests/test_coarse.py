@@ -142,3 +142,99 @@ class TestMainWiring:
 
         cfg = build_config_from_cli({"coarse_steps": 40})
         assert cfg.optimization.coarse_steps == 40
+
+
+class TestBatchCoarse:
+    def test_multi_style_warm_start_end_to_end(self, tmp_path) -> None:
+        """--coarse-steps in batch mode runs the vmapped half-res phase."""
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "coarse_steps": 3,
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        logging.getLogger("style_transfer_tpu").setLevel(logging.INFO)
+        saved = multi_style_transfer(
+            str(content), [str(s1), str(s2)], cfg,
+        )
+        assert all(p.exists() for p in saved)
+
+    def test_batch_warm_start_logged(self, tmp_path, caplog) -> None:
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "coarse_steps": 2,
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        with caplog.at_level(logging.INFO):
+            multi_style_transfer(str(content), [str(s1)], cfg)
+        assert "vmapped steps at 32x32" in caplog.text
+
+    def test_dp_sp_batch_skips_warm_start_with_log(
+        self, tmp_path, caplog,
+    ) -> None:
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "coarse_steps": 2,
+            },
+            "hardware": {"device": "cpu", "spatial_shards": 2},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        with caplog.at_level(logging.INFO):
+            multi_style_transfer(str(content), [str(s1)], cfg)
+        assert "not applied under --spatial-shards" in caplog.text
