@@ -16,7 +16,6 @@ problem itself starts from the configured ``init_method``.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from style_transfer_visualizer_tpu.models.features import (
     compute_targets,
