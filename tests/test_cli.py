@@ -1479,3 +1479,19 @@ def test_main_with_style_flag_proceeds(
     ])
     stv_cli.main()
     assert called["style"] == str(style_image)
+
+
+def test_coarse_steps_logged(
+    caplog, content_image, style_image,
+) -> None:
+    from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+    cfg = StyleTransferConfig.model_validate(
+        {"optimization": {"coarse_steps": 40}},
+    )
+    stv_cli.log_parameters(
+        InputPaths(str(content_image), str(style_image)),
+        cfg,
+        argparse.Namespace(config=None),
+    )
+    assert "Coarse Warm Start: 40 half-res steps" in caplog.text

@@ -238,3 +238,38 @@ class TestBatchCoarse:
         with caplog.at_level(logging.INFO):
             multi_style_transfer(str(content), [str(s1)], cfg)
         assert "not applied under --spatial-shards" in caplog.text
+
+    def test_batch_too_small_skips_with_log(
+        self, tmp_path, caplog, monkeypatch,
+    ) -> None:
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        monkeypatch.setattr(
+            "style_transfer_visualizer_tpu.engine.coarse.coarse_dims",
+            lambda h, w: None,
+        )
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "coarse_steps": 2,
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        with caplog.at_level(logging.INFO):
+            multi_style_transfer(str(content), [str(s1)], cfg)
+        assert "too small to halve" in caplog.text
