@@ -426,6 +426,9 @@ def _multi_initial_images(
     steps = opt_cfg.coarse_steps
     if steps <= 0:
         return images
+    if config.output.resume_from:
+        logger.info("Coarse warm start skipped: resuming a checkpoint.")
+        return images
     from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
         coarse_dims,
     )
@@ -1215,7 +1218,11 @@ def _initial_image(
     key: jax.Array,
 ) -> jax.Array:
     """Starting image: coarse warm start when requested, else init_method."""
-    if config.optimization.coarse_steps > 0:
+    if config.optimization.coarse_steps > 0 and config.output.resume_from:
+        # The checkpoint image supersedes any init; don't burn the
+        # coarse phase on a result the resume would overwrite.
+        logger.info("Coarse warm start skipped: resuming a checkpoint.")
+    elif config.optimization.coarse_steps > 0:
         from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
             coarse_init,
         )

@@ -273,3 +273,68 @@ class TestBatchCoarse:
         with caplog.at_level(logging.INFO):
             multi_style_transfer(str(content), [str(s1)], cfg)
         assert "too small to halve" in caplog.text
+
+
+class TestResumeInterplay:
+    def test_single_run_resume_skips_coarse(
+        self, tiny_setup, caplog, monkeypatch,
+    ) -> None:
+        import logging
+
+        import style_transfer_visualizer_tpu.main as stv_main
+
+        params, content, style, cfg = tiny_setup
+        cfg.output.resume_from = "some_checkpoint.npz"
+        cfg.optimization.init_method = "content"
+
+        def explode(*a, **k):
+            raise AssertionError("coarse must not run when resuming")
+
+        monkeypatch.setattr(
+            "style_transfer_visualizer_tpu.engine.coarse.coarse_init",
+            explode,
+        )
+        with caplog.at_level(logging.INFO):
+            out = stv_main._initial_image(
+                params, content, style, cfg, jax.random.key(0),
+            )
+        assert "skipped: resuming" in caplog.text
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(content))
+
+    def test_batch_resume_skips_coarse(self, tmp_path, caplog) -> None:
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+
+        base = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out"),
+                       "checkpoint_every": 2},
+            "video": {"create_video": False},
+        })
+        multi_style_transfer(str(content), [str(s1)], base)
+        ckpt = tmp_path / "out" / "checkpoint.npz"
+        assert ckpt.exists()
+
+        resumed = base.model_copy(deep=True)
+        resumed.optimization.steps = 3
+        resumed.optimization.coarse_steps = 2
+        resumed.output.resume_from = str(ckpt)
+        with caplog.at_level(logging.INFO):
+            multi_style_transfer(str(content), [str(s1)], resumed)
+        assert "skipped: resuming" in caplog.text
