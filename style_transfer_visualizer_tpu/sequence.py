@@ -258,7 +258,17 @@ def stylize_sequence(
             )
         )
         if x is None:
-            x = initialize_input(content, opt_cfg.init_method, key)
+            # Frame 0 is the clip's only cold start; later frames warm
+            # from the previous result, which dominates any coarse
+            # phase. --coarse-steps therefore applies to frame 0 only.
+            if opt_cfg.coarse_steps > 0:
+                from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+                    coarse_init,
+                )
+
+                x = coarse_init(params, content, style_img, config, key)
+            if x is None:
+                x = initialize_input(content, opt_cfg.init_method, key)
         # else: warm start — keep x from the previous stylized frame.
 
         # No per-step host work happens inside a frame's budget, so the

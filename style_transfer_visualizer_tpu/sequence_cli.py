@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Initialization for the FIRST frame (later frames warm-start)",
     )
     p.add_argument("--seed", type=int, default=argparse.SUPPRESS)
+    p.add_argument(
+        "--coarse-steps", dest="coarse_steps", type=int,
+        default=argparse.SUPPRESS,
+        help="Warm-start frame 0 with N half-resolution steps "
+             "(later frames warm from the previous result).",
+    )
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--device", type=str, default=argparse.SUPPRESS)
     p.add_argument(

@@ -338,3 +338,40 @@ class TestResumeInterplay:
         with caplog.at_level(logging.INFO):
             multi_style_transfer(str(content), [str(s1)], resumed)
         assert "skipped: resuming" in caplog.text
+
+
+class TestSequenceCoarse:
+    def test_frame_zero_warm_start(
+        self, tmp_path, make_style_transfer_config, caplog,
+    ) -> None:
+        """--coarse-steps seeds frame 0 of a sequence run."""
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu import sequence as seq
+
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        for i in range(2):
+            Image.new("RGB", (64, 64), (10 * i, 120, 60)).save(
+                frames / f"f{i:02d}.png",
+            )
+        style_file = tmp_path / "style.png"
+        Image.new("RGB", (64, 64), (180, 20, 20)).save(style_file)
+
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "random", "coarse_steps": 2,
+                "allow_random_weights": True,
+            },
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        with caplog.at_level(logging.INFO):
+            result = seq.stylize_sequence(
+                frames, style_file, cfg, tmp_path / "out", params=params,
+            )
+        assert len(result.frame_paths) == 2
+        assert "Coarse warm start: 2 steps at 32x32" in caplog.text
