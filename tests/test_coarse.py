@@ -375,3 +375,33 @@ class TestSequenceCoarse:
             )
         assert len(result.frame_paths) == 2
         assert "Coarse warm start: 2 steps at 32x32" in caplog.text
+
+    def test_frame_zero_falls_back_when_coarse_declines(
+        self, tmp_path, make_style_transfer_config, monkeypatch,
+    ) -> None:
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu import sequence as seq
+
+        monkeypatch.setattr(
+            "style_transfer_visualizer_tpu.engine.coarse.coarse_init",
+            lambda *a, **k: None,
+        )
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        Image.new("RGB", (64, 64), (10, 120, 60)).save(frames / "f0.png")
+        style_file = tmp_path / "style.png"
+        Image.new("RGB", (64, 64), (180, 20, 20)).save(style_file)
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "content", "coarse_steps": 2,
+                "allow_random_weights": True,
+            },
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        result = seq.stylize_sequence(
+            frames, style_file, cfg, tmp_path / "out", params=params,
+        )
+        assert len(result.frame_paths) == 1
