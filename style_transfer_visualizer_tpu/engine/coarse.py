@@ -9,6 +9,12 @@ result as the full-resolution starting image. TPU-friendly by
 construction: the coarse phase is one extra static-shape executable
 (compiled once), not a dynamic schedule.
 
+The coarse problem follows the same memory policy as the main phase at
+its own (halved) shape: auto-remat past ``AUTO_REMAT_PIXEL_THRESHOLD``,
+banded evaluation past ``AUTO_TILE_PIXEL_THRESHOLD`` — so a warm start
+on a tiled 17MP run does not build a whole-image 9MP graph the chip
+cannot hold.
+
 The reference has no counterpart (its init methods are content/random/
 white, core_model.py:66-100); this composes with them — the coarse
 problem itself starts from the configured ``init_method``.
@@ -17,6 +23,10 @@ from __future__ import annotations
 
 import jax
 
+from style_transfer_visualizer_tpu.constants import (
+    AUTO_REMAT_PIXEL_THRESHOLD,
+    AUTO_TILE_PIXEL_THRESHOLD,
+)
 from style_transfer_visualizer_tpu.models.features import (
     compute_targets,
     initialize_input,
@@ -30,7 +40,7 @@ _POOL_ALIGN = 16
 # Below this the coarse problem carries too little structure to help.
 _MIN_COARSE_DIM = 32
 
-_CHUNK = 25  # matches the production dispatch chunk
+CHUNK = 25  # matches the production dispatch chunk
 
 
 def coarse_dims(height: int, width: int) -> tuple[int, int] | None:
@@ -42,7 +52,31 @@ def coarse_dims(height: int, width: int) -> tuple[int, int] | None:
     return ch, cw
 
 
-def _resize(img: jax.Array, height: int, width: int) -> jax.Array:
+def plan_warm_start(
+    height: int,
+    width: int,
+    coarse_steps: int,
+) -> tuple[int, int] | None:
+    """Coarse dims when the warm start should run, else None.
+
+    Shared gate for the single-run and batch paths: off when
+    ``coarse_steps`` is 0, logged-skip when the input is too small to
+    halve meaningfully. (Resume short-circuits are caller policy — the
+    checkpoint image supersedes any init.)
+    """
+    if coarse_steps <= 0:
+        return None
+    dims = coarse_dims(height, width)
+    if dims is None:
+        logger.info(
+            "Coarse warm start skipped: %dx%d is too small to halve.",
+            width, height,
+        )
+    return dims
+
+
+def resize_image(img: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinear resize of an (N, H, W, C) image batch."""
     return jax.image.resize(
         img,
         (img.shape[0], height, width, img.shape[3]),
@@ -56,6 +90,9 @@ def coarse_init(
     style_img: jax.Array,
     config,
     key: jax.Array,
+    *,
+    gram_backend: str = "xla",
+    conv_backend: str = "xla",
 ) -> jax.Array | None:
     """Warm-started full-res init image, or None when coarse is off/moot.
 
@@ -67,15 +104,9 @@ def coarse_init(
     """
     opt_cfg = config.optimization
     steps = opt_cfg.coarse_steps
-    if steps <= 0:
-        return None
     _, height, width, _ = content_img.shape
-    dims = coarse_dims(int(height), int(width))
+    dims = plan_warm_start(int(height), int(width), steps)
     if dims is None:
-        logger.info(
-            "Coarse warm start skipped: %dx%d is too small to halve.",
-            width, height,
-        )
         return None
     ch, cw = dims
 
@@ -84,15 +115,57 @@ def coarse_init(
         resolve_precision,
     )
 
-    coarse_content = _resize(content_img, ch, cw)
-    coarse_style = _resize(style_img, ch, cw)
+    coarse_content = resize_image(content_img, ch, cw)
+    coarse_style = resize_image(style_img, ch, cw)
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)
-    targets = compute_targets(
-        params, coarse_style, coarse_content,
-        style_layers, content_layers,
-        precision=resolve_precision(config.hardware.precision),
+
+    # Memory policy at the *coarse* shape, mirroring the main phase
+    # (main._prepare_model_and_input / _resolve_tile_rows): an explicit
+    # --tile-rows value was validated against the full-res height, so
+    # the coarse phase re-derives its own band height.
+    tile_rows = 0
+    if opt_cfg.tile_rows != 0 and ch * cw >= AUTO_TILE_PIXEL_THRESHOLD:
+        from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
+            auto_tile_rows,
+        )
+
+        taps = tuple(set(style_layers) | set(content_layers))
+        tile_rows = auto_tile_rows(ch, cw, taps) or 0
+        if tile_rows:
+            logger.info(
+                "Coarse phase uses banded evaluation (tile_rows=%d) "
+                "at %dx%d.",
+                tile_rows, cw, ch,
+            )
+    remat = not tile_rows and (
+        opt_cfg.remat or ch * cw >= AUTO_REMAT_PIXEL_THRESHOLD
     )
+
+    prec = resolve_precision(config.hardware.precision)
+    if tile_rows:
+        from style_transfer_visualizer_tpu.ops.tiled import (  # noqa: PLC0415
+            compute_tiled_targets,
+        )
+
+        # Content and style were both resized to (ch, cw), so one band
+        # height serves both target passes.
+        targets = compute_tiled_targets(
+            params, coarse_style, coarse_content,
+            style_layers, content_layers,
+            tile_rows_style=tile_rows,
+            tile_rows_content=tile_rows,
+            precision=prec,
+            conv_backend=conv_backend,
+        )
+    else:
+        targets = compute_targets(
+            params, coarse_style, coarse_content,
+            style_layers, content_layers,
+            precision=prec,
+            gram_backend=gram_backend,
+            conv_backend=conv_backend,
+        )
     bundle = build_update_step(
         params, targets, tuple(coarse_content.shape),
         optimizer=opt_cfg.optimizer,
@@ -106,6 +179,10 @@ def coarse_init(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        remat=remat,
+        gram_backend=gram_backend,
+        conv_backend=conv_backend,
+        tile_rows=tile_rows,
     )
     x = initialize_input(coarse_content, opt_cfg.init_method, key)
     state = bundle.opt_state
@@ -115,11 +192,11 @@ def coarse_init(
     )
     remaining = steps
     while remaining > 0:
-        k = min(_CHUNK, remaining)
+        k = min(CHUNK, remaining)
         x, state, aux = bundle.chunked_update_fn(x, state, k)
         remaining -= k
     logger.info(
         "Coarse phase done (final loss %.4g); upsampling to full res.",
         float(aux.loss[-1]),
     )
-    return _resize(x, int(height), int(width))
+    return resize_image(x, int(height), int(width))

@@ -47,6 +47,28 @@ _MAX_CHUNK = 50
 # k=25 reaches the device-compute floor at 512px, BASELINE.md).
 _DEFAULT_CHUNK = 25
 
+
+def aligned_chunk(cadences: list[int]) -> int:
+    """Largest dispatch chunk that divides every per-step cadence.
+
+    The alignment-critical policy shared by the single-run engine and
+    the batch loop (main._resolve_batch_chunk): gcd of the cadences,
+    capped by shrinking *along divisors* — a plain min() cap would
+    break the divides-every-cadence invariant (e.g. gcd 60 capped to
+    50 skips every 60-step CSV row). No cadences means nothing
+    constrains alignment: use the measured sweet spot.
+    """
+    if not cadences:
+        return _DEFAULT_CHUNK
+    chunk = math.gcd(*cadences)
+    if chunk > _MAX_CHUNK:
+        chunk = max(
+            d
+            for d in range(1, _MAX_CHUNK + 1)
+            if chunk % d == 0
+        )
+    return max(1, chunk)
+
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.config import StyleTransferConfig
     from style_transfer_visualizer_tpu.engine.optimizers import StepAux
@@ -311,19 +333,7 @@ class OptimizationRunner:
             cadences.append(self.config.output.checkpoint_every)
         if requested > 1:
             cadences.append(requested)
-        if not cadences:
-            return _DEFAULT_CHUNK
-        chunk = math.gcd(*cadences)
-        if chunk > _MAX_CHUNK:
-            # Shrink along divisors: a plain min() cap would break the
-            # divides-every-cadence invariant (e.g. gcd 60 capped to 50
-            # skips every 60-step CSV row).
-            chunk = max(
-                d
-                for d in range(1, _MAX_CHUNK + 1)
-                if chunk % d == 0
-            )
-        return max(1, chunk)
+        return aligned_chunk(cadences)
 
     def _finalize_chunk(self, first_step: int, k: int, auxes) -> None:
         """Bookkeeping for a k-step dispatch (stacked StepAux arrays)."""

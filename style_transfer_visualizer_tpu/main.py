@@ -8,7 +8,6 @@ return the clipped result image ((1, H, W, 3) NHWC in [0, 1]).
 """
 from __future__ import annotations
 
-import math
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -373,7 +372,7 @@ def multi_style_transfer(
         )
         images = _multi_initial_images(
             mesh, params, content_img, style_imgs, config, key,
-            n_styles, gram_backend,
+            n_styles, gram_backend, styles_per_device,
         )
         state = bundle.opt_state
 
@@ -406,13 +405,22 @@ def _multi_initial_images(
     key: jax.Array,
     n_styles: int,
     gram_backend: str,
+    styles_per_device: int,
 ) -> jax.Array:
     """Stacked starting images; coarse warm start when requested.
 
     The coarse phase is the batch analog of ``engine.coarse``: one
     vmapped half-resolution problem over the same style mesh axis, so
-    all S styles warm-start in a single compiled executable.
+    all S styles warm-start in a single compiled executable. The
+    full-res init stack is only materialized on the fallback paths —
+    a successful warm start replaces it wholesale, and the (S,1,H,W,3)
+    buffers matter exactly when the batch is near the HBM ceiling.
     """
+    from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+        CHUNK,
+        plan_warm_start,
+        resize_image,
+    )
     from style_transfer_visualizer_tpu.parallel.multistyle import (  # noqa: PLC0415
         build_multi_style_update,
         initialize_multi_inputs,
@@ -420,41 +428,32 @@ def _multi_initial_images(
     )
 
     opt_cfg = config.optimization
-    images = initialize_multi_inputs(
-        content_img, opt_cfg.init_method, key, n_styles,
-    )
-    steps = opt_cfg.coarse_steps
-    if steps <= 0:
-        return images
-    if config.output.resume_from:
-        logger.info("Coarse warm start skipped: resuming a checkpoint.")
-        return images
-    from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
-        coarse_dims,
-    )
-
     _, height, width, _ = content_img.shape
-    dims = coarse_dims(int(height), int(width))
-    if dims is None:
-        logger.info(
-            "Coarse warm start skipped: %dx%d is too small to halve.",
-            width, height,
+    dims = None
+    if opt_cfg.coarse_steps > 0 and config.output.resume_from:
+        logger.info("Coarse warm start skipped: resuming a checkpoint.")
+    else:
+        dims = plan_warm_start(
+            int(height), int(width), opt_cfg.coarse_steps,
         )
-        return images
+    if dims is None:
+        return initialize_multi_inputs(
+            content_img, opt_cfg.init_method, key, n_styles,
+        )
     ch, cw = dims
 
-    def halve(img: jax.Array) -> jax.Array:
-        return jax.image.resize(
-            img, (img.shape[0], ch, cw, img.shape[3]), method="linear",
-        )
-
-    coarse_content = halve(content_img)
+    coarse_content = resize_image(content_img, ch, cw)
     coarse_targets = multi_style_targets(
-        params, coarse_content, [halve(s) for s in style_imgs],
+        params, coarse_content,
+        [resize_image(s, ch, cw) for s in style_imgs],
         tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
         precision=_precision(config.hardware.precision),
         gram_backend=gram_backend,
     )
+    # Same per-device activation-memory rule as the main batch phase,
+    # keyed on the coarse pixel count (a 32-style coarse phase at 512px
+    # sits past the measured whole-activation ceiling too).
+    remat = opt_cfg.remat or _auto_remat_batched(ch * cw, styles_per_device)
     coarse_bundle = build_multi_style_update(
         mesh, params, coarse_targets, tuple(coarse_content.shape),
         n_styles,
@@ -469,6 +468,7 @@ def _multi_initial_images(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        remat=remat,
         gram_backend=gram_backend,
     )
     x = initialize_multi_inputs(
@@ -477,12 +477,11 @@ def _multi_initial_images(
     state = coarse_bundle.opt_state
     logger.info(
         "Coarse warm start: %d vmapped steps at %dx%d for %d styles.",
-        steps, cw, ch, n_styles,
+        opt_cfg.coarse_steps, cw, ch, n_styles,
     )
-    remaining = steps
-    chunk = 25
+    remaining = opt_cfg.coarse_steps
     while remaining > 0:
-        k = min(chunk, remaining)
+        k = min(CHUNK, remaining)
         x, state, _aux = coarse_bundle.chunked_update_fn(x, state, k)
         remaining -= k
     return jax.image.resize(
@@ -723,8 +722,7 @@ def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
     if getattr(bundle, "chunked_update_fn", None) is None:
         return 1
     from style_transfer_visualizer_tpu.engine.runner import (  # noqa: PLC0415
-        _DEFAULT_CHUNK,
-        _MAX_CHUNK,
+        aligned_chunk,
     )
 
     requested = config.hardware.steps_per_dispatch
@@ -739,14 +737,7 @@ def _resolve_batch_chunk(bundle, config: StyleTransferConfig) -> int:
         cadences.append(config.video.save_every)
     if requested > 1:
         cadences.append(requested)
-    if not cadences:
-        return _DEFAULT_CHUNK
-    chunk = math.gcd(*cadences)
-    if chunk > _MAX_CHUNK:
-        chunk = max(
-            d for d in range(1, _MAX_CHUNK + 1) if chunk % d == 0
-        )
-    return max(1, chunk)
+    return aligned_chunk(cadences)
 
 
 def _run_multi_style_loop(
@@ -1206,7 +1197,10 @@ def _prepare_model_and_input(
         conv_backend=conv_backend,
         tile_rows=tile_rows,
     )
-    input_img = _initial_image(params, content_img, style_img, config, key)
+    input_img = _initial_image(
+        params, content_img, style_img, config, key,
+        gram_backend=gram_backend, conv_backend=conv_backend,
+    )
     return bundle, input_img
 
 
@@ -1216,6 +1210,9 @@ def _initial_image(
     style_img: jax.Array,
     config: StyleTransferConfig,
     key: jax.Array,
+    *,
+    gram_backend: str = "xla",
+    conv_backend: str = "xla",
 ) -> jax.Array:
     """Starting image: coarse warm start when requested, else init_method."""
     if config.optimization.coarse_steps > 0 and config.output.resume_from:
@@ -1227,7 +1224,10 @@ def _initial_image(
             coarse_init,
         )
 
-        warm = coarse_init(params, content_img, style_img, config, key)
+        warm = coarse_init(
+            params, content_img, style_img, config, key,
+            gram_backend=gram_backend, conv_backend=conv_backend,
+        )
         if warm is not None:
             return warm
     return initialize_input(

@@ -102,6 +102,130 @@ class TestCoarseInit:
         assert not np.allclose(np.asarray(warm), np.asarray(content))
 
 
+class TestCoarseMemoryPolicy:
+    """The coarse phase follows the main phase's memory policy at its
+    own (halved) shape — remat past the threshold, banded evaluation
+    past the tile threshold, resolved backends threaded through."""
+
+    @pytest.fixture
+    def capture_build(self, monkeypatch):
+        import style_transfer_visualizer_tpu.engine.step as step_mod
+
+        captured: dict = {}
+        real = step_mod.build_update_step
+
+        def spy(*args, **kwargs):
+            captured.update(kwargs)
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(step_mod, "build_update_step", spy)
+        return captured
+
+    def test_small_coarse_stays_whole_image(
+        self, tiny_setup, capture_build,
+    ) -> None:
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.coarse_steps = 1
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert warm is not None
+        assert capture_build["remat"] is False
+        assert capture_build["tile_rows"] == 0
+
+    def test_coarse_auto_remats_past_threshold(
+        self, tiny_setup, capture_build, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.engine.coarse as coarse_mod
+
+        params, content, style, cfg = tiny_setup
+        monkeypatch.setattr(
+            coarse_mod, "AUTO_REMAT_PIXEL_THRESHOLD", 32 * 32,
+        )
+        cfg.optimization.coarse_steps = 1
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert warm is not None
+        assert capture_build["remat"] is True
+        assert capture_build["tile_rows"] == 0
+
+    def test_coarse_tiles_past_tile_threshold(
+        self, tiny_setup, capture_build, monkeypatch, caplog,
+    ) -> None:
+        import logging
+
+        import style_transfer_visualizer_tpu.engine.coarse as coarse_mod
+
+        params, content, style, cfg = tiny_setup
+        monkeypatch.setattr(
+            coarse_mod, "AUTO_TILE_PIXEL_THRESHOLD", 32 * 32,
+        )
+        cfg.optimization.coarse_steps = 1
+        with caplog.at_level(logging.INFO):
+            warm = coarse_init(
+                params, content, style, cfg, jax.random.key(2),
+            )
+        assert warm is not None
+        assert capture_build["tile_rows"] > 0
+        assert capture_build["remat"] is False
+        assert "Coarse phase uses banded evaluation" in caplog.text
+
+    def test_explicit_tile_rows_off_wins(
+        self, tiny_setup, capture_build, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.engine.coarse as coarse_mod
+
+        params, content, style, cfg = tiny_setup
+        monkeypatch.setattr(
+            coarse_mod, "AUTO_TILE_PIXEL_THRESHOLD", 32 * 32,
+        )
+        cfg.optimization.coarse_steps = 1
+        cfg.optimization.tile_rows = 0  # explicit whole-image switch
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert warm is not None
+        assert capture_build["tile_rows"] == 0
+
+    def test_backends_threaded_through(
+        self, tiny_setup, monkeypatch,
+    ) -> None:
+        """Resolved --gram/conv-backend selections reach the coarse step."""
+        import types
+
+        import style_transfer_visualizer_tpu.engine.coarse as coarse_mod
+        import style_transfer_visualizer_tpu.engine.step as step_mod
+
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.coarse_steps = 1
+        captured: dict = {}
+
+        def fake_build(*args, **kwargs):
+            captured.update(kwargs)
+            return types.SimpleNamespace(
+                opt_state=None,
+                chunked_update_fn=lambda x, state, k: (
+                    x, state, types.SimpleNamespace(loss=jnp.zeros((k,))),
+                ),
+            )
+
+        target_kwargs: dict = {}
+        real_targets = coarse_mod.compute_targets
+
+        def spy_targets(*args, **kwargs):
+            target_kwargs.update(kwargs)
+            kwargs.pop("gram_backend", None)
+            kwargs.pop("conv_backend", None)
+            return real_targets(*args, **kwargs)
+
+        monkeypatch.setattr(step_mod, "build_update_step", fake_build)
+        monkeypatch.setattr(coarse_mod, "compute_targets", spy_targets)
+        warm = coarse_init(
+            params, content, style, cfg, jax.random.key(2),
+            gram_backend="custom_gram", conv_backend="custom_conv",
+        )
+        assert warm is not None
+        assert captured["gram_backend"] == "custom_gram"
+        assert captured["conv_backend"] == "custom_conv"
+        assert target_kwargs["gram_backend"] == "custom_gram"
+        assert target_kwargs["conv_backend"] == "custom_conv"
+
+
 class TestMainWiring:
     def test_initial_image_uses_warm_start(
         self, tiny_setup, monkeypatch,
@@ -273,6 +397,82 @@ class TestBatchCoarse:
         with caplog.at_level(logging.INFO):
             multi_style_transfer(str(content), [str(s1)], cfg)
         assert "too small to halve" in caplog.text
+
+
+class TestBatchCoarseMemory:
+    """Batch warm start honors the batch remat policy and never
+    materializes the full-res init stack it is about to replace."""
+
+    @pytest.fixture
+    def batch_setup(self, tiny_setup):
+        from style_transfer_visualizer_tpu.parallel.mesh import create_mesh
+
+        params, content, style, cfg = tiny_setup
+        mesh = create_mesh(
+            n_style=1, n_space=1, devices=jax.devices()[:1],
+        )
+        return mesh, params, content, style, cfg
+
+    def test_coarse_bundle_gets_batch_remat(
+        self, batch_setup, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+        import style_transfer_visualizer_tpu.parallel.multistyle as ms
+
+        mesh, params, content, style, cfg = batch_setup
+        cfg.optimization.coarse_steps = 1
+        captured: dict = {}
+        real = ms.build_multi_style_update
+
+        def spy(*args, **kwargs):
+            captured.update(kwargs)
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(ms, "build_multi_style_update", spy)
+        monkeypatch.setattr(
+            stv_main, "_auto_remat_batched", lambda px, s: True,
+        )
+        images = stv_main._multi_initial_images(
+            mesh, params, content, [style], cfg, jax.random.key(0),
+            1, "xla", 1,
+        )
+        assert images.shape == (1, 1, 64, 64, 3)
+        assert captured["remat"] is True
+
+    def test_no_eager_full_res_init_on_warm_start(
+        self, batch_setup, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+        import style_transfer_visualizer_tpu.parallel.multistyle as ms
+
+        mesh, params, content, style, cfg = batch_setup
+        cfg.optimization.coarse_steps = 1
+        init_shapes: list[tuple] = []
+        real = ms.initialize_multi_inputs
+
+        def spy(content_img, *args, **kwargs):
+            init_shapes.append(tuple(content_img.shape))
+            return real(content_img, *args, **kwargs)
+
+        monkeypatch.setattr(ms, "initialize_multi_inputs", spy)
+        stv_main._multi_initial_images(
+            mesh, params, content, [style], cfg, jax.random.key(0),
+            1, "xla", 1,
+        )
+        # Only the coarse-resolution init is built; the (S,1,H,W,3)
+        # full-res stack would be discarded by the upsample anyway.
+        assert init_shapes == [(1, 32, 32, 3)]
+
+    def test_fallback_builds_full_res_init(self, batch_setup) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+
+        mesh, params, content, style, cfg = batch_setup
+        cfg.optimization.coarse_steps = 0
+        images = stv_main._multi_initial_images(
+            mesh, params, content, [style], cfg, jax.random.key(0),
+            1, "xla", 1,
+        )
+        assert images.shape == (1, 1, 64, 64, 3)
 
 
 class TestResumeInterplay:
