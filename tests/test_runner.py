@@ -392,6 +392,45 @@ def fake_chunked(step_value: float = 1.0):
     return chunked
 
 
+class TestAlignedChunk:
+    """The shared cadence-alignment policy (single-run + batch loops)."""
+
+    def test_no_cadences_uses_measured_default(self) -> None:
+        from style_transfer_visualizer_tpu.engine.runner import (
+            _DEFAULT_CHUNK,
+            aligned_chunk,
+        )
+
+        assert aligned_chunk([]) == _DEFAULT_CHUNK
+
+    def test_gcd_of_cadences(self) -> None:
+        from style_transfer_visualizer_tpu.engine.runner import (
+            aligned_chunk,
+        )
+
+        assert aligned_chunk([6, 4]) == 2
+        assert aligned_chunk([20]) == 20
+
+    def test_oversize_gcd_shrinks_along_divisors(self) -> None:
+        """A plain min() cap would skip every 60-step cadence hit."""
+        from style_transfer_visualizer_tpu.engine.runner import (
+            _MAX_CHUNK,
+            aligned_chunk,
+        )
+
+        chunk = aligned_chunk([120])
+        assert chunk <= _MAX_CHUNK
+        assert 120 % chunk == 0
+        assert chunk == 40
+
+    def test_coprime_cadences_fall_to_single_step(self) -> None:
+        from style_transfer_visualizer_tpu.engine.runner import (
+            aligned_chunk,
+        )
+
+        assert aligned_chunk([3, 7]) == 1
+
+
 class TestChunkedDispatch:
     """Multi-step dispatch: same results, fewer host round trips."""
 
