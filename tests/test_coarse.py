@@ -167,6 +167,42 @@ class TestCoarseMemoryPolicy:
         assert capture_build["remat"] is False
         assert "Coarse phase uses banded evaluation" in caplog.text
 
+    def test_no_valid_band_falls_back_to_whole_image(
+        self, tiny_setup, capture_build, monkeypatch, caplog,
+    ) -> None:
+        """auto_tile_rows finding no exact band means untiled coarse."""
+        import logging
+
+        import style_transfer_visualizer_tpu.engine.coarse as coarse_mod
+        import style_transfer_visualizer_tpu.ops.tiled as tiled_mod
+
+        params, content, style, cfg = tiny_setup
+        monkeypatch.setattr(
+            coarse_mod, "AUTO_TILE_PIXEL_THRESHOLD", 32 * 32,
+        )
+        monkeypatch.setattr(
+            tiled_mod, "auto_tile_rows", lambda *a, **k: None,
+        )
+        cfg.optimization.coarse_steps = 1
+        with caplog.at_level(logging.INFO):
+            warm = coarse_init(
+                params, content, style, cfg, jax.random.key(2),
+            )
+        assert warm is not None
+        assert capture_build["tile_rows"] == 0
+        assert "banded evaluation" not in caplog.text
+
+    def test_user_remat_flag_applies_to_coarse(
+        self, tiny_setup, capture_build,
+    ) -> None:
+        """An explicit --remat is honored below the auto threshold."""
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.coarse_steps = 1
+        cfg.optimization.remat = True
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert warm is not None
+        assert capture_build["remat"] is True
+
     def test_explicit_tile_rows_off_wins(
         self, tiny_setup, capture_build, monkeypatch,
     ) -> None:
@@ -437,6 +473,34 @@ class TestBatchCoarseMemory:
             1, "xla", 1,
         )
         assert images.shape == (1, 1, 64, 64, 3)
+        assert captured["remat"] is True
+
+    def test_user_remat_flag_wins_over_batch_auto_rule(
+        self, batch_setup, monkeypatch,
+    ) -> None:
+        """--remat short-circuits; the auto rule is never consulted."""
+        import style_transfer_visualizer_tpu.main as stv_main
+        import style_transfer_visualizer_tpu.parallel.multistyle as ms
+
+        mesh, params, content, style, cfg = batch_setup
+        cfg.optimization.coarse_steps = 1
+        cfg.optimization.remat = True
+        captured: dict = {}
+        real = ms.build_multi_style_update
+
+        def spy(*args, **kwargs):
+            captured.update(kwargs)
+            return real(*args, **kwargs)
+
+        def explode(px, s):
+            raise AssertionError("auto rule must not run under --remat")
+
+        monkeypatch.setattr(ms, "build_multi_style_update", spy)
+        monkeypatch.setattr(stv_main, "_auto_remat_batched", explode)
+        stv_main._multi_initial_images(
+            mesh, params, content, [style], cfg, jax.random.key(0),
+            1, "xla", 1,
+        )
         assert captured["remat"] is True
 
     def test_no_eager_full_res_init_on_warm_start(
