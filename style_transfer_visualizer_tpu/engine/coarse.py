@@ -40,8 +40,6 @@ _POOL_ALIGN = 16
 # Below this the coarse problem carries too little structure to help.
 _MIN_COARSE_DIM = 32
 
-CHUNK = 25  # matches the production dispatch chunk
-
 
 def coarse_dims(height: int, width: int) -> tuple[int, int] | None:
     """Half resolution rounded down to pool alignment; None if too small."""
@@ -110,8 +108,12 @@ def coarse_init(
         return None
     ch, cw = dims
 
+    from style_transfer_visualizer_tpu.engine.runner import (  # noqa: PLC0415
+        DEFAULT_CHUNK,
+    )
     from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
         build_update_step,
+        drive_chunked,
         resolve_precision,
     )
 
@@ -137,6 +139,16 @@ def coarse_init(
                 "Coarse phase uses banded evaluation (tile_rows=%d) "
                 "at %dx%d.",
                 tile_rows, cw, ch,
+            )
+        else:
+            # Mirror main._resolve_tile_rows: a silent whole-image
+            # fallback past the chip's measured graph ceiling would
+            # fail with an OOM that points nowhere near the warm start.
+            logger.warning(
+                "Coarse problem is %dx%d (>= %d px) but its height "
+                "admits no exact band tiling; attempting whole-image "
+                "evaluation.",
+                cw, ch, AUTO_TILE_PIXEL_THRESHOLD,
             )
     remat = not tile_rows and (
         opt_cfg.remat or ch * cw >= AUTO_REMAT_PIXEL_THRESHOLD
@@ -190,11 +202,9 @@ def coarse_init(
         "Coarse warm start: %d steps at %dx%d before %dx%d.",
         steps, cw, ch, width, height,
     )
-    remaining = steps
-    while remaining > 0:
-        k = min(CHUNK, remaining)
-        x, state, aux = bundle.chunked_update_fn(x, state, k)
-        remaining -= k
+    x, _, aux = drive_chunked(
+        bundle.chunked_update_fn, x, state, steps, DEFAULT_CHUNK,
+    )
     logger.info(
         "Coarse phase done (final loss %.4g); upsampling to full res.",
         float(aux.loss[-1]),

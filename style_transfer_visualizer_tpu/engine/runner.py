@@ -44,8 +44,9 @@ from style_transfer_visualizer_tpu.utils.logging import logger
 # compile time and the progress/interrupt granularity reasonable.
 _MAX_CHUNK = 50
 # Chunk used when no cadence constrains alignment (measured sweet spot:
-# k=25 reaches the device-compute floor at 512px, BASELINE.md).
-_DEFAULT_CHUNK = 25
+# k=25 reaches the device-compute floor at 512px, BASELINE.md). Public:
+# the coarse warm start and batch loop dispatch at the same sweet spot.
+DEFAULT_CHUNK = 25
 
 
 def aligned_chunk(cadences: list[int]) -> int:
@@ -59,7 +60,7 @@ def aligned_chunk(cadences: list[int]) -> int:
     constrains alignment: use the measured sweet spot.
     """
     if not cadences:
-        return _DEFAULT_CHUNK
+        return DEFAULT_CHUNK
     chunk = math.gcd(*cadences)
     if chunk > _MAX_CHUNK:
         chunk = max(
@@ -68,6 +69,7 @@ def aligned_chunk(cadences: list[int]) -> int:
             if chunk % d == 0
         )
     return max(1, chunk)
+
 
 if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.config import StyleTransferConfig

@@ -117,6 +117,31 @@ def make_chunked_update(
     )
 
 
+def drive_chunked(
+    chunked_update: Callable,
+    image: jax.Array,
+    state,
+    steps: int,
+    chunk: int,
+):
+    """Drive ``steps`` updates through a k-step dispatch, ``chunk`` at
+    a time.
+
+    The host-side splitting loop shared by the coarse warm start, the
+    batch warm start, and the sequence pipeline's per-frame budget:
+    ``chunked_update(image, state, k)`` runs ``k`` steps as one
+    dispatch. Returns the final carries plus the *last* dispatch's
+    stacked aux (None when ``steps`` is 0).
+    """
+    auxes = None
+    remaining = steps
+    while remaining > 0:
+        k = min(chunk, remaining)
+        image, state, auxes = chunked_update(image, state, k)
+        remaining -= k
+    return image, state, auxes
+
+
 def build_update_step(
     params: Params,
     targets: Targets,

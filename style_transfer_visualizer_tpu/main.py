@@ -417,9 +417,14 @@ def _multi_initial_images(
     buffers matter exactly when the batch is near the HBM ceiling.
     """
     from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
-        CHUNK,
         plan_warm_start,
         resize_image,
+    )
+    from style_transfer_visualizer_tpu.engine.runner import (  # noqa: PLC0415
+        DEFAULT_CHUNK,
+    )
+    from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
+        drive_chunked,
     )
     from style_transfer_visualizer_tpu.parallel.multistyle import (  # noqa: PLC0415
         build_multi_style_update,
@@ -479,11 +484,10 @@ def _multi_initial_images(
         "Coarse warm start: %d vmapped steps at %dx%d for %d styles.",
         opt_cfg.coarse_steps, cw, ch, n_styles,
     )
-    remaining = opt_cfg.coarse_steps
-    while remaining > 0:
-        k = min(CHUNK, remaining)
-        x, state, _aux = coarse_bundle.chunked_update_fn(x, state, k)
-        remaining -= k
+    x, _, _aux = drive_chunked(
+        coarse_bundle.chunked_update_fn, x, state,
+        opt_cfg.coarse_steps, DEFAULT_CHUNK,
+    )
     return jax.image.resize(
         x, (n_styles, 1, int(height), int(width), 3), method="linear",
     )

@@ -26,6 +26,7 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
     lbfgs_step,
 )
 from style_transfer_visualizer_tpu.engine.step import (
+    drive_chunked,
     make_chunked_update,
     resolve_precision,
 )
@@ -275,12 +276,11 @@ def stylize_sequence(
         # whole budget fuses into as few dispatches as possible (the
         # chunk cap bounds executable compile time).
         state = init_state()
-        chunk = min(opt_cfg.steps, _SEQUENCE_MAX_CHUNK)
-        remaining = opt_cfg.steps
-        while remaining > 0:
-            k = min(chunk, remaining)
-            x, state, auxes = update_many(x, state, run_params, targets, k)
-            remaining -= k
+        x, state, auxes = drive_chunked(
+            lambda img, st, k: update_many(img, st, run_params, targets, k),
+            x, state, opt_cfg.steps,
+            min(opt_cfg.steps, _SEQUENCE_MAX_CHUNK),
+        )
         aux = jax.tree.map(lambda a: a[-1], auxes)
         total_steps += opt_cfg.steps
 

@@ -27,7 +27,24 @@ from style_transfer_visualizer_tpu.utils.logging import logger
 #: weights, core_model.py:103-117). The ``dcbb9e9d`` filename infix is
 #: the SHA-256 prefix torchvision verifies on download; we check it too.
 WEIGHTS_URL = "https://download.pytorch.org/models/vgg19-dcbb9e9d.pth"
-_SHA256_PREFIX = "dcbb9e9d"
+
+_HEX_DIGITS = set("0123456789abcdef")
+
+
+def _expected_sha_prefix(url: str) -> str | None:
+    """SHA-256 prefix embedded in a torch-hub checkpoint filename.
+
+    torchvision names checkpoints ``<model>-<8+ hex>.pth`` and verifies
+    the digest prefix on download; mirror that for whatever URL was
+    given instead of hardwiring the default checkpoint's prefix (a
+    ``--url`` override must not fail verification against the wrong
+    hash). Returns None when the filename carries no hash to check.
+    """
+    stem = Path(url).stem
+    _, _, suffix = stem.rpartition("-")
+    if len(suffix) >= 8 and set(suffix) <= _HEX_DIGITS:
+        return suffix
+    return None
 
 
 def _download(url: str, dest: Path) -> None:
@@ -46,11 +63,17 @@ def _download(url: str, dest: Path) -> None:
         except BaseException:
             tmp_path.unlink(missing_ok=True)
             raise
-    if not digest.hexdigest().startswith(_SHA256_PREFIX):
+    expected = _expected_sha_prefix(url)
+    if expected is None:
+        logger.warning(
+            "Checkpoint filename %s carries no hash suffix; skipping "
+            "integrity verification.", Path(url).name,
+        )
+    elif not digest.hexdigest().startswith(expected):
         tmp_path.unlink(missing_ok=True)
         msg = (
             f"Downloaded checkpoint hash {digest.hexdigest()[:8]} does "
-            f"not match the expected prefix {_SHA256_PREFIX}"
+            f"not match the expected prefix {expected}"
         )
         raise RuntimeError(msg)
     tmp_path.replace(dest)

@@ -27,10 +27,12 @@ def _patch_network(monkeypatch, payload: bytes = _PAYLOAD) -> None:
         fetch_weights.urllib.request, "urlopen",
         lambda url: _FakeResponse(payload),
     )
-    monkeypatch.setattr(
-        fetch_weights, "_SHA256_PREFIX",
-        hashlib.sha256(payload).hexdigest()[:8],
-    )
+
+
+def _url_for(payload: bytes = _PAYLOAD) -> str:
+    """A torch-hub-style URL whose filename hash matches ``payload``."""
+    prefix = hashlib.sha256(payload).hexdigest()[:8]
+    return f"https://example.test/models/vgg19-{prefix}.pth"
 
 
 def _tiny_params():
@@ -63,15 +65,52 @@ def test_download_verify_convert(tmp_path: Path, monkeypatch) -> None:
     )
     ckpt_dir = tmp_path / "hub"
     cache = tmp_path / "cache"
+    url = _url_for()
     rc = fetch_weights.main([
+        "--url", url,
         "--checkpoint-dir", str(ckpt_dir), "--cache-dir", str(cache),
     ])
     assert rc == 0
-    ckpt = ckpt_dir / "vgg19-dcbb9e9d.pth"
+    ckpt = ckpt_dir / Path(url).name
     assert ckpt.read_bytes() == _PAYLOAD
     assert not list(ckpt_dir.glob("*.part"))
     with np.load(cache / vgg19.CACHE_FILENAME) as data:
         assert data["w0"].shape == (3, 3, 3, 4)
+
+
+def test_url_override_verifies_against_its_own_hash(
+    tmp_path: Path, monkeypatch,
+) -> None:
+    """A --url checkpoint is checked against ITS filename hash, not the
+    default checkpoint's — a non-default download must not be rejected
+    for failing the wrong hash."""
+    payload = b"some other model's bytes"
+    _patch_network(monkeypatch, payload)
+    monkeypatch.setattr(
+        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+    )
+    rc = fetch_weights.main([
+        "--url", _url_for(payload),
+        "--checkpoint-dir", str(tmp_path / "hub"),
+        "--cache-dir", str(tmp_path / "cache"),
+    ])
+    assert rc == 0
+
+
+def test_hashless_filename_skips_verification(
+    tmp_path: Path, monkeypatch, caplog,
+) -> None:
+    _patch_network(monkeypatch)
+    monkeypatch.setattr(
+        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+    )
+    rc = fetch_weights.main([
+        "--url", "https://example.test/models/weights.pth",
+        "--checkpoint-dir", str(tmp_path / "hub"),
+        "--cache-dir", str(tmp_path / "cache"),
+    ])
+    assert rc == 0
+    assert "skipping integrity verification" in caplog.text
 
 
 def test_existing_checkpoint_skips_download(
@@ -100,8 +139,9 @@ def test_existing_checkpoint_skips_download(
 def test_hash_mismatch_fails_and_cleans_up(
     tmp_path: Path, monkeypatch,
 ) -> None:
+    # The default URL expects the dcbb9e9d prefix; the fake payload
+    # hashes to something else.
     _patch_network(monkeypatch)
-    monkeypatch.setattr(fetch_weights, "_SHA256_PREFIX", "00000000")
     ckpt_dir = tmp_path / "hub"
     rc = fetch_weights.main([
         "--checkpoint-dir", str(ckpt_dir), "--cache-dir", str(tmp_path),

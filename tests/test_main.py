@@ -562,7 +562,7 @@ class TestResolveBatchChunk:
         self, make_style_transfer_config,
     ) -> None:
         from style_transfer_visualizer_tpu.engine.runner import (
-            _DEFAULT_CHUNK,
+            DEFAULT_CHUNK,
         )
 
         cfg = self._config(
@@ -570,7 +570,7 @@ class TestResolveBatchChunk:
         )
         assert stv_main._resolve_batch_chunk(
             self._bundle(chunked=True), cfg,
-        ) == _DEFAULT_CHUNK
+        ) == DEFAULT_CHUNK
 
     def test_checkpoint_cadence_folds(
         self, make_style_transfer_config,

@@ -397,11 +397,11 @@ class TestAlignedChunk:
 
     def test_no_cadences_uses_measured_default(self) -> None:
         from style_transfer_visualizer_tpu.engine.runner import (
-            _DEFAULT_CHUNK,
+            DEFAULT_CHUNK,
             aligned_chunk,
         )
 
-        assert aligned_chunk([]) == _DEFAULT_CHUNK
+        assert aligned_chunk([]) == DEFAULT_CHUNK
 
     def test_gcd_of_cadences(self) -> None:
         from style_transfer_visualizer_tpu.engine.runner import (
