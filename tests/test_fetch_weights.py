@@ -113,6 +113,23 @@ def test_hashless_filename_skips_verification(
     assert "skipping integrity verification" in caplog.text
 
 
+def test_non_hex_suffix_counts_as_hashless(
+    tmp_path: Path, monkeypatch, caplog,
+) -> None:
+    """A dash suffix that isn't hex (e.g. a variant tag) is not a hash."""
+    _patch_network(monkeypatch)
+    monkeypatch.setattr(
+        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+    )
+    rc = fetch_weights.main([
+        "--url", "https://example.test/models/vgg19-imagenet.pth",
+        "--checkpoint-dir", str(tmp_path / "hub"),
+        "--cache-dir", str(tmp_path / "cache"),
+    ])
+    assert rc == 0
+    assert "skipping integrity verification" in caplog.text
+
+
 def test_existing_checkpoint_skips_download(
     tmp_path: Path, monkeypatch,
 ) -> None:

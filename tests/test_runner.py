@@ -431,6 +431,38 @@ class TestAlignedChunk:
         assert aligned_chunk([3, 7]) == 1
 
 
+class TestDriveChunked:
+    """The shared host-side chunk-splitting loop (engine.step)."""
+
+    @staticmethod
+    def _counting_update():
+        calls: list[int] = []
+
+        def chunked(x, state, k):
+            calls.append(k)
+            return x + k, state, {"loss": jnp.full((k,), float(x + k))}
+
+        return chunked, calls
+
+    def test_splits_steps_into_chunks(self) -> None:
+        from style_transfer_visualizer_tpu.engine.step import drive_chunked
+
+        chunked, calls = self._counting_update()
+        x, state, aux = drive_chunked(chunked, 0, "st", 60, 25)
+        assert calls == [25, 25, 10]
+        assert x == 60
+        assert state == "st"
+        assert aux["loss"].shape == (10,)  # last dispatch's stacked aux
+
+    def test_zero_steps_is_a_no_op(self) -> None:
+        from style_transfer_visualizer_tpu.engine.step import drive_chunked
+
+        chunked, calls = self._counting_update()
+        x, state, aux = drive_chunked(chunked, 7, "st", 0, 25)
+        assert calls == []
+        assert (x, state, aux) == (7, "st", None)
+
+
 class TestChunkedDispatch:
     """Multi-step dispatch: same results, fewer host round trips."""
 
