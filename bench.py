@@ -39,6 +39,14 @@ TIMED_STEPS = 150
 
 def main() -> None:
     from style_transfer_visualizer_tpu.engine.step import build_update_step
+    from style_transfer_visualizer_tpu.utils.cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    # Remote compiles on this class of backend can take minutes cold
+    # (BASELINE.md backend notes); the persistent cache makes every run
+    # after the first start in seconds.
+    enable_persistent_compilation_cache()
     from style_transfer_visualizer_tpu.models import vgg19
     from style_transfer_visualizer_tpu.models.features import (
         compute_targets,
