@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--histories", default="100")
     ap.add_argument("--history-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--direction", default="two-loop",
+                    choices=["two-loop", "compact"])
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
@@ -72,6 +74,7 @@ def main() -> None:
                 lbfgs_max_iter=1, lbfgs_max_eval=1,
                 lbfgs_history_size=hist,
                 lbfgs_history_dtype=args.history_dtype,
+                lbfgs_direction=args.direction,
             )
             x = initialize_input(content, "random", jax.random.key(2))
             state = bundle.opt_state
@@ -88,6 +91,7 @@ def main() -> None:
                 "config": name, "precision": args.precision,
                 "optimizer": "lbfgs", "history_size": hist,
                 "history_dtype": args.history_dtype,
+                "direction": args.direction,
                 "history_mb": round(
                     2 * hist * n * (4 if args.history_dtype == "float32" else 2) / 2**20, 1,
                 ),

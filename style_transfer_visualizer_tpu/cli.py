@@ -167,6 +167,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "halves the ring's HBM traffic for long histories."
                 ),
             }),
+            ("--lbfgs-direction", {
+                "dest": "lbfgs_direction",
+                "choices": ["two-loop", "compact"], "default": suppress,
+                "help": (
+                    "L-BFGS direction computation. two-loop (default) "
+                    "bit-matches torch.optim.LBFGS; compact computes "
+                    "the same direction via batched history "
+                    "contractions (fewer HBM passes at m=100, "
+                    "different rounding)."
+                ),
+            }),
             ("--remat", {
                 "action": "store_true",
                 "help": (
@@ -393,9 +404,10 @@ def log_parameters(
     logger.info("Optimizer: %s", cfg.optimization.optimizer)
     if cfg.optimization.optimizer == "lbfgs":
         logger.info(
-            "L-BFGS History: %d pairs (%s)",
+            "L-BFGS History: %d pairs (%s), %s direction",
             cfg.optimization.lbfgs_history_size,
             cfg.optimization.lbfgs_history_dtype,
+            cfg.optimization.lbfgs_direction,
         )
     logger.info("Style Layers: %s", cfg.optimization.style_layers)
     logger.info("Content Layers: %s", cfg.optimization.content_layers)

@@ -69,6 +69,13 @@ class OptimizationConfig(_ValidatedSection):
     lbfgs_history_dtype: Literal["float32", "bfloat16"] = Field(
         d.DEFAULT_LBFGS_HISTORY_DTYPE,
     )
+    # Direction computation: "two-loop" bit-matches torch; "compact"
+    # computes the identical direction (Byrd-Nocedal-Schnabel compact
+    # representation) as batched ring contractions — fewer HBM passes
+    # over a long history ring, different rounding.
+    lbfgs_direction: Literal["two-loop", "compact"] = Field(
+        d.DEFAULT_LBFGS_DIRECTION,
+    )
     # Permit seeded-random VGG19 weights when no pretrained checkpoint is
     # reachable (air-gapped hosts); stylization quality will be poor.
     allow_random_weights: bool = False
@@ -236,8 +243,8 @@ def _merge_optimization(
     for key in (
         "steps", "style_w", "content_w", "lr", "init_method", "seed",
         "optimizer", "lbfgs_max_iter", "lbfgs_max_eval",
-        "lbfgs_history_size", "lbfgs_history_dtype", "tile_rows",
-        "coarse_steps",
+        "lbfgs_history_size", "lbfgs_history_dtype", "lbfgs_direction",
+        "tile_rows", "coarse_steps",
     ):
         if key in args:
             setattr(opt, key, args[key])

@@ -58,6 +58,10 @@ DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default
 # "bfloat16" halves the ring's HBM traffic (~10% of a 512px step at
 # m=100, BASELINE.md) at ~3 decimal digits per stored element.
 DEFAULT_LBFGS_HISTORY_DTYPE = "float32"
+# Direction computation: "two-loop" bit-matches torch.optim.LBFGS;
+# "compact" (Byrd-Nocedal-Schnabel) is the same direction in exact
+# arithmetic via batched ring contractions (less HBM traffic at m=100).
+DEFAULT_LBFGS_DIRECTION = "two-loop"
 
 # --- Video ------------------------------------------------------------
 DEFAULT_CREATE_VIDEO = True

@@ -191,6 +191,7 @@ def coarse_init(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        lbfgs_direction=opt_cfg.lbfgs_direction,
         remat=remat,
         gram_backend=gram_backend,
         conv_backend=conv_backend,

@@ -158,6 +158,7 @@ def build_update_step(
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 100,
     lbfgs_history_dtype: str = "float32",
+    lbfgs_direction: str = "two-loop",
     donate: bool | None = None,
     remat: bool = False,
     gram_backend: str = "xla",
@@ -233,6 +234,7 @@ def build_update_step(
                 max_iter=lbfgs_max_iter,
                 max_eval=lbfgs_max_eval,
                 history_size=lbfgs_history_size,
+                direction_method=lbfgs_direction,
             )
             return new_flat.reshape(image_shape), new_state, aux
 

@@ -367,6 +367,7 @@ def multi_style_transfer(
             lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
             lbfgs_history_size=opt_cfg.lbfgs_history_size,
             lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+            lbfgs_direction=opt_cfg.lbfgs_direction,
             remat=remat,
             gram_backend=gram_backend,
         )
@@ -473,6 +474,7 @@ def _multi_initial_images(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        lbfgs_direction=opt_cfg.lbfgs_direction,
         remat=remat,
         gram_backend=gram_backend,
     )
@@ -594,6 +596,7 @@ def _dp_sp_multi_style(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        lbfgs_direction=opt_cfg.lbfgs_direction,
     )
     bundle = MultiStyleBundle(
         update_fn=update_fn, opt_state=state, targets=stacked,
@@ -1196,6 +1199,7 @@ def _prepare_model_and_input(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        lbfgs_direction=opt_cfg.lbfgs_direction,
         remat=remat,
         gram_backend=gram_backend,
         conv_backend=conv_backend,
@@ -1327,6 +1331,7 @@ def _prepare_spatial_model_and_input(
         lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
         lbfgs_history_size=opt_cfg.lbfgs_history_size,
         lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+        lbfgs_direction=opt_cfg.lbfgs_direction,
         loss_fn=loss_fn,
     )
     input_img = jax.device_put(

@@ -136,6 +136,7 @@ def build_multi_style_update(
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 10,
     lbfgs_history_dtype: str = "float32",
+    lbfgs_direction: str = "two-loop",
     remat: bool = False,
     gram_backend: str = "xla",
 ) -> MultiStyleBundle:
@@ -181,6 +182,7 @@ def build_multi_style_update(
                 max_iter=lbfgs_max_iter,
                 max_eval=lbfgs_max_eval,
                 history_size=lbfgs_history_size,
+                direction_method=lbfgs_direction,
             )
 
         def init_state():

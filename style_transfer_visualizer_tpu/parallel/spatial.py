@@ -456,6 +456,7 @@ def build_dp_sp_update(
     lbfgs_max_eval: int = 1,
     lbfgs_history_size: int = 100,
     lbfgs_history_dtype: str = "float32",
+    lbfgs_direction: str = "two-loop",
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 
@@ -604,6 +605,7 @@ def build_dp_sp_update(
                     max_eval=lbfgs_max_eval,
                     history_size=lbfgs_history_size,
                     axis_name=MESH_AXIS_SPACE,
+                    direction_method=lbfgs_direction,
                 )
                 return new_flat.reshape(block_shape), new_st, aux
 

@@ -153,11 +153,13 @@ def _build_sequence_update(
                 max_iter=opt_cfg.lbfgs_max_iter,
                 max_eval=opt_cfg.lbfgs_max_eval,
                 history_size=opt_cfg.lbfgs_history_size,
+                direction_method=opt_cfg.lbfgs_direction,
             )
             return flat.reshape(image_shape), new_state, aux
 
         init_state = lambda: lbfgs_init(  # noqa: E731
             n, opt_cfg.lbfgs_history_size,
+            history_dtype=jax.numpy.dtype(opt_cfg.lbfgs_history_dtype),
         )
 
     # Weights (with their flipped copies) ride as runtime arguments,

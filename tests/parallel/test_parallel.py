@@ -383,19 +383,26 @@ class TestDpSpCombined:
         assert aux.style_score.shape == (2,)
         assert aux.content_score.shape == (2,)
 
-    @pytest.mark.parametrize("optimizer", ["adam", "lbfgs"])
+    @pytest.mark.parametrize(
+        ("optimizer", "direction"),
+        [("adam", "two-loop"), ("lbfgs", "two-loop"), ("lbfgs", "compact")],
+        ids=["adam", "lbfgs-two-loop", "lbfgs-compact"],
+    )
     def test_dp_sp_trajectory_matches_single_device(
-        self, tiny_params, optimizer,
+        self, tiny_params, optimizer, direction,
     ) -> None:
         """3 dp x sp steps == 3 single-device steps, per style.
 
         Three steps take the sharded L-BFGS through history insertion
-        and the two-loop recursion, so every psum'd dot product and
-        pmax'd norm is exercised against the whole-vector math.
+        and the direction computation — the two-loop's psum'd dot
+        products or the compact representation's psum'd ring
+        contractions — so every collective is exercised against the
+        whole-vector math.
         """
         kwargs = dict(
             optimizer=optimizer, lr=0.1, style_w=10.0, content_w=1.0,
             lbfgs_history_size=4, lbfgs_max_iter=1, lbfgs_max_eval=1,
+            lbfgs_direction=direction,
         )
         (update_fn, state, _), content, styles = _dp_sp_setup(
             tiny_params, **kwargs,

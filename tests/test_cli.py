@@ -1135,7 +1135,18 @@ class TestLbfgsHistoryFlags:
             cfg,
             argparse.Namespace(config=None),
         )
-        assert "L-BFGS History: 100 pairs (float32)" in caplog.text
+        assert (
+            "L-BFGS History: 100 pairs (float32), two-loop direction"
+            in caplog.text
+        )
+
+    def test_direction_flag_parses_and_merges(self) -> None:
+        args = _parse([
+            "--content", "c.png", "--style", "s.png",
+            "--lbfgs-direction", "compact",
+        ])
+        cfg = build_config_from_cli(vars(args))
+        assert cfg.optimization.lbfgs_direction == "compact"
 
 
 def test_styles_with_only_whitespace_segments_exits() -> None:

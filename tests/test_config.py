@@ -276,6 +276,22 @@ class TestLbfgsHistoryDtype:
         assert cfg.optimization.lbfgs_history_size == 20
 
 
+class TestLbfgsDirection:
+    def test_default_is_two_loop(self) -> None:
+        cfg = OptimizationConfig.model_validate({})
+        assert cfg.lbfgs_direction == "two-loop"
+
+    def test_invalid_direction_rejected(self) -> None:
+        with pytest.raises(ValidationError):
+            OptimizationConfig.model_validate(
+                {"lbfgs_direction": "cholesky"},
+            )
+
+    def test_cli_merge(self) -> None:
+        cfg = build_config_from_cli({"lbfgs_direction": "compact"})
+        assert cfg.optimization.lbfgs_direction == "compact"
+
+
 def test_custom_loader_injected() -> None:
     """build_config_from_cli accepts an injected TOML loader."""
     calls = []

@@ -284,6 +284,177 @@ class TestBf16HistoryRing:
         np.testing.assert_allclose(x16, x32, rtol=0.1, atol=0.05)
 
 
+class TestCompactDirection:
+    """Compact-representation direction vs the two-loop recursion.
+
+    Both express the same inverse-Hessian product in exact arithmetic
+    (Byrd-Nocedal-Schnabel 1994); these tests pin the equivalence across
+    every ring configuration and through full optimization trajectories.
+    """
+
+    @staticmethod
+    def _ring_state(num: int, pos: int, m: int = 8, n: int = 64):
+        """A hand-built L-BFGS state with curvature-positive pairs."""
+        r = np.random.default_rng(num * 17 + pos)
+        s = r.normal(size=(m, n)).astype(np.float32) * 0.1
+        y = r.normal(size=(m, n)).astype(np.float32) * 0.1
+        for i in range(m):
+            ys = s[i] @ y[i]
+            if ys <= 1e-3:  # enforce y.s > 0 like the insert condition
+                y[i] += s[i] * (0.1 + abs(ys)) / (s[i] @ s[i])
+        rho = np.array([1.0 / (s[i] @ y[i]) for i in range(m)], np.float32)
+        state = lbfgs_init(n, m)
+        return state._replace(
+            s_hist=jnp.asarray(s),
+            y_hist=jnp.asarray(y),
+            rho=jnp.asarray(rho),
+            hist_len=jnp.asarray(num, jnp.int32),
+            hist_pos=jnp.asarray(pos, jnp.int32),
+            h_diag=jnp.asarray(0.7, jnp.float32),
+        ), r.normal(size=n).astype(np.float32)
+
+    @pytest.mark.parametrize(
+        ("num", "pos"),
+        [(8, 3), (8, 0), (3, 3), (5, 1), (0, 0), (1, 1)],
+        ids=["full-wrapped", "full-aligned", "partial", "partial-wrapped",
+             "empty", "single"],
+    )
+    def test_direction_matches_two_loop(self, num: int, pos: int) -> None:
+        from style_transfer_visualizer_tpu.engine.optimizers import (
+            _compact_direction,
+            _two_loop,
+        )
+
+        state, g = self._ring_state(num, pos)
+        grad = jnp.asarray(g)
+        d_loop = np.asarray(_two_loop(grad, state, 8))
+        d_compact = np.asarray(_compact_direction(grad, state, 8))
+        np.testing.assert_allclose(
+            d_compact, d_loop,
+            rtol=1e-4, atol=1e-5 * float(np.abs(d_loop).max() + 1e-30),
+        )
+
+    def test_bf16_ring_direction(self) -> None:
+        """Compact direction honors a bfloat16 ring.
+
+        Compared against the two-loop over the SAME rounded ring, so the
+        tolerance reflects the algorithms' rounding alone, not the
+        bf16 storage error both share.
+        """
+        from style_transfer_visualizer_tpu.engine.optimizers import (
+            _compact_direction,
+            _two_loop,
+        )
+
+        state, g = self._ring_state(5, 2)
+        state16 = state._replace(
+            s_hist=state.s_hist.astype(jnp.bfloat16),
+            y_hist=state.y_hist.astype(jnp.bfloat16),
+        )
+        grad = jnp.asarray(g)
+        d_compact = np.asarray(_compact_direction(grad, state16, 8))
+        d_loop = np.asarray(_two_loop(grad, state16, 8))
+        assert d_compact.dtype == np.float32
+        scale = float(np.abs(d_loop).max())
+        np.testing.assert_allclose(
+            d_compact, d_loop, rtol=2e-2, atol=2e-2 * scale,
+        )
+
+    def _run(self, direction: str, steps: int = 20):
+        x = jnp.asarray(X0_np.copy())
+        state = lbfgs_init(N, history_size=8)
+        losses = []
+        for _ in range(steps):
+            x, state, aux = lbfgs_step(
+                _jax_vag, x, state, 0.4,
+                max_iter=1, max_eval=1, history_size=8,
+                direction_method=direction,
+            )
+            losses.append(float(aux.loss))
+        return np.asarray(x), losses
+
+    def test_trajectory_matches_two_loop(self) -> None:
+        """20 steps with ring wraps: iterates stay together."""
+        x_loop, losses_loop = self._run("two-loop")
+        x_compact, losses_compact = self._run("compact")
+        assert losses_compact[-1] < losses_compact[0]
+        np.testing.assert_allclose(x_compact, x_loop, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            losses_compact[-1], losses_loop[-1], rtol=1e-3,
+        )
+
+    def test_trajectory_matches_torch(self) -> None:
+        """The compact path holds the same torch-parity bar."""
+        tx, _, _ = _run_torch_lbfgs(20, 0.4, 1, 1)
+        x_compact, _ = self._run("compact")
+        np.testing.assert_allclose(x_compact, tx, rtol=1e-3, atol=1e-4)
+
+    def test_step_builder_threads_direction(self) -> None:
+        """build_update_step(lbfgs_direction=...) reaches the jitted step
+        and the compact trajectory tracks the two-loop one."""
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+        from style_transfer_visualizer_tpu.models.features import (
+            compute_targets,
+        )
+
+        params = {
+            0: {
+                "w": jnp.asarray(
+                    np.random.default_rng(0).normal(
+                        size=(3, 3, 3, 4),
+                    ).astype(np.float32) * 0.1,
+                ),
+                "b": jnp.zeros(4),
+            },
+        }
+        content = jnp.asarray(
+            np.random.default_rng(1).uniform(size=(1, 16, 16, 3)),
+            dtype=jnp.float32,
+        )
+        style = jnp.asarray(
+            np.random.default_rng(2).uniform(size=(1, 16, 16, 3)),
+            dtype=jnp.float32,
+        )
+        targets = compute_targets(params, style, content, (0,), (0,))
+        x0 = jnp.asarray(
+            np.random.default_rng(7).normal(
+                size=(1, 16, 16, 3),
+            ).astype(np.float32),
+        )
+
+        finals = {}
+        for direction in ("two-loop", "compact"):
+            bundle = build_update_step(
+                params, targets, (1, 16, 16, 3),
+                optimizer="lbfgs", lr=0.05, style_w=1.0, content_w=1.0,
+                style_layers=(0,), content_layers=(0,),
+                lbfgs_history_size=4, lbfgs_direction=direction,
+            )
+            x, st = x0, bundle.opt_state
+            for _ in range(6):
+                x, st, aux = bundle.update_fn(x, st)
+            finals[direction] = (np.asarray(x), float(aux.loss))
+        np.testing.assert_allclose(
+            finals["compact"][0], finals["two-loop"][0],
+            rtol=1e-3, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            finals["compact"][1], finals["two-loop"][1], rtol=1e-3,
+        )
+
+    def test_unknown_direction_raises(self) -> None:
+        x = jnp.asarray(X0_np.copy())
+        state = lbfgs_init(N, history_size=4)
+        with pytest.raises(ValueError, match="Unknown L-BFGS direction"):
+            lbfgs_step(
+                _jax_vag, x, state, 0.4,
+                max_iter=1, max_eval=1, history_size=4,
+                direction_method="cholesky",
+            )
+
+
 class TestStepBuilderDonation:
     """Explicit donate overrides skip the state-size heuristic."""
 
