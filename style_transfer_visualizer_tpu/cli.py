@@ -123,6 +123,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                            "help": "Style weight"}),
             ("--content-w", {"type": float, "default": suppress,
                              "help": "Content weight"}),
+            ("--tv-w", {
+                "type": float, "default": suppress,
+                "help": (
+                    "Total-variation weight: adds a smoothness "
+                    "regularizer on the optimized image to the "
+                    "objective (0, the default, reproduces the "
+                    "reference's style+content-only loss). Computed in "
+                    "the model's working space; composes with every "
+                    "path (batch styles, row sharding, banded 4K, "
+                    "coarse warm start)."
+                ),
+            }),
             ("--lr", {"type": float, "default": suppress,
                       "help": "Learning rate"}),
             ("--init-method", {
@@ -400,6 +412,8 @@ def log_parameters(
     logger.info("Save Every: %d", cfg.video.save_every)
     logger.info("Style Weight: %g", cfg.optimization.style_w)
     logger.info("Content Weight: %g", cfg.optimization.content_w)
+    if cfg.optimization.tv_w:
+        logger.info("TV Weight: %g", cfg.optimization.tv_w)
     logger.info("Learning Rate: %g", cfg.optimization.lr)
     logger.info("Optimizer: %s", cfg.optimization.optimizer)
     if cfg.optimization.optimizer == "lbfgs":

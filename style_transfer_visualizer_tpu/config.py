@@ -48,6 +48,10 @@ class OptimizationConfig(_ValidatedSection):
     steps: int = Field(d.DEFAULT_STEPS, ge=1)
     style_w: float = Field(d.DEFAULT_STYLE_WEIGHT, ge=0)
     content_w: float = Field(d.DEFAULT_CONTENT_WEIGHT, ge=0)
+    # TPU-framework addition: optional total-variation smoothness term
+    # (ops/tv.py), weighted into the objective. 0 (the default) matches
+    # the reference's style+content-only loss.
+    tv_w: float = Field(d.DEFAULT_TV_WEIGHT, ge=0)
     lr: float = Field(d.DEFAULT_LEARNING_RATE, gt=0)
     init_method: InitMethod = Field(d.DEFAULT_INIT_METHOD)
     seed: int = Field(d.DEFAULT_SEED, ge=0)
@@ -241,7 +245,8 @@ def _merge_optimization(
 ) -> None:
     opt = cfg.optimization
     for key in (
-        "steps", "style_w", "content_w", "lr", "init_method", "seed",
+        "steps", "style_w", "content_w", "tv_w", "lr", "init_method",
+        "seed",
         "optimizer", "lbfgs_max_iter", "lbfgs_max_eval",
         "lbfgs_history_size", "lbfgs_history_dtype", "lbfgs_direction",
         "tile_rows", "coarse_steps",

@@ -39,6 +39,8 @@ DEFAULT_STEPS = 1500
 DEFAULT_LEARNING_RATE = 1.0
 DEFAULT_STYLE_WEIGHT = 1e5
 DEFAULT_CONTENT_WEIGHT = 1.0
+# Total-variation weight (TPU-framework addition; 0 = reference loss).
+DEFAULT_TV_WEIGHT = 0.0
 DEFAULT_SEED = 0
 DEFAULT_INIT_METHOD: InitMethod = "random"
 DEFAULT_NORMALIZE = True

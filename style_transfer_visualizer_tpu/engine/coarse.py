@@ -184,6 +184,7 @@ def coarse_init(
         lr=opt_cfg.lr,
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
+        tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
         content_layers=content_layers,
         precision=config.hardware.precision,

@@ -33,6 +33,7 @@ from style_transfer_visualizer_tpu.ops.precision import (
     MIXED,
     PrecisionPolicy,
 )
+from style_transfer_visualizer_tpu.ops.tv import tv_loss
 
 _PRECISIONS: dict[str, jax.lax.Precision | PrecisionPolicy] = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -151,6 +152,7 @@ def build_update_step(
     lr: float,
     style_w: float,
     content_w: float,
+    tv_w: float = 0.0,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     precision: str = "highest",
@@ -181,7 +183,9 @@ def build_update_step(
     ``(params, image, targets) -> (total, (style_score,
     content_score))`` — e.g. the mesh-sharded spatial loss
     (``parallel.spatial.make_spatial_loss``); the optimizer machinery is
-    shared unchanged.
+    shared unchanged. A custom ``loss_fn`` owns its own TV term (the
+    sharded loss computes it seam-exactly per shard), so ``tv_w`` here
+    applies only to the whole-image and banded paths.
     """
     prec = resolve_precision(precision)
     if conv_backend != "pallas" and loss_fn is None:
@@ -208,16 +212,23 @@ def build_update_step(
                     tiled_total_loss,
                 )
 
-                return tiled_total_loss(
+                total, aux = tiled_total_loss(
                     params, img, targets, style_w, content_w,
                     tuple(style_layers), tuple(content_layers),
                     tile_rows, prec, conv_backend,
                 )
-            return total_loss(
-                params, img, targets, style_w, content_w,
-                tuple(style_layers), tuple(content_layers), prec, remat,
-                gram_backend, conv_backend,
-            )
+            else:
+                total, aux = total_loss(
+                    params, img, targets, style_w, content_w,
+                    tuple(style_layers), tuple(content_layers), prec,
+                    remat, gram_backend, conv_backend,
+                )
+            if tv_w:
+                # TV touches only the image (no VGG activations), so
+                # even at banded 4K sizes the whole-image term is a
+                # negligible add outside the band scan.
+                total = total + tv_w * tv_loss(img)
+            return total, aux
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 

@@ -360,6 +360,7 @@ def multi_style_transfer(
             lr=opt_cfg.lr,
             style_w=opt_cfg.style_w,
             content_w=opt_cfg.content_w,
+            tv_w=opt_cfg.tv_w,
             style_layers=tuple(opt_cfg.style_layers),
             content_layers=tuple(opt_cfg.content_layers),
             precision=config.hardware.precision,
@@ -467,6 +468,7 @@ def _multi_initial_images(
         lr=opt_cfg.lr,
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
+        tv_w=opt_cfg.tv_w,
         style_layers=tuple(opt_cfg.style_layers),
         content_layers=tuple(opt_cfg.content_layers),
         precision=config.hardware.precision,
@@ -589,6 +591,7 @@ def _dp_sp_multi_style(
         lr=opt_cfg.lr,
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
+        tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
         content_layers=content_layers,
         precision=precision,
@@ -1192,6 +1195,7 @@ def _prepare_model_and_input(
         lr=opt_cfg.lr,
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
+        tv_w=opt_cfg.tv_w,
         style_layers=tuple(opt_cfg.style_layers),
         content_layers=tuple(opt_cfg.content_layers),
         precision=precision_name,
@@ -1312,6 +1316,7 @@ def _prepare_spatial_model_and_input(
         tuple(content_img.shape),
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
+        tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
         content_layers=content_layers,
         precision=precision,
@@ -1324,6 +1329,7 @@ def _prepare_spatial_model_and_input(
         lr=opt_cfg.lr,
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
+        tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
         content_layers=content_layers,
         precision=config.hardware.precision,

@@ -27,6 +27,7 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
 )
 from style_transfer_visualizer_tpu.engine.step import resolve_precision
 from style_transfer_visualizer_tpu.ops.precision import PrecisionLike
+from style_transfer_visualizer_tpu.ops.tv import tv_loss
 from style_transfer_visualizer_tpu.models.features import (
     Targets,
     compute_content_targets,
@@ -139,6 +140,7 @@ def build_multi_style_update(
     lbfgs_direction: str = "two-loop",
     remat: bool = False,
     gram_backend: str = "xla",
+    tv_w: float = 0.0,
 ) -> MultiStyleBundle:
     """Compile the stacked multi-style step sharded over the mesh.
 
@@ -161,11 +163,14 @@ def build_multi_style_update(
     def single_vag(flat: jax.Array, p: Params, style_targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
-            return total_loss(
+            total, aux = total_loss(
                 p, img, style_targets, style_w, content_w,
                 tuple(style_layers), tuple(content_layers), prec, remat,
                 gram_backend,
             )
+            if tv_w:
+                total = total + tv_w * tv_loss(img)
+            return total, aux
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 

@@ -178,6 +178,44 @@ def sharded_gram(
     return raw / (global_pixels * c)
 
 
+def sharded_tv(
+    x: jax.Array,
+    global_shape: tuple[int, ...],
+    *,
+    axis_name: str = MESH_AXIS_SPACE,
+) -> jax.Array:
+    """Global ``ops.tv.tv_loss`` from a row-sharded image block.
+
+    Horizontal differences are shard-local; vertical differences need
+    one boundary row per shard pair — each shard fetches its lower
+    neighbor's first row (``ppermute``) and adds the seam term, masked
+    away on the last shard. Sums psum over the mesh and divide by the
+    *global* difference counts, so the result equals the single-device
+    ``tv_loss`` on the gathered image.
+    """
+    b, gh, gw, c = (int(d) for d in global_shape)
+    xf = x.astype(jnp.float32)
+    local_dx = jnp.sum(jnp.square(xf[:, :, 1:, :] - xf[:, :, :-1, :]))
+    local_dy = jnp.sum(jnp.square(xf[:, 1:, :, :] - xf[:, :-1, :, :]))
+    n = jax.lax.axis_size(axis_name)
+    if n > 1:
+        # Shard i+1's first row rides down to shard i; the last shard
+        # receives zeros and its seam term is masked out.
+        below_top = jax.lax.ppermute(
+            xf[:, :1],
+            axis_name,
+            perm=[(i + 1, i) for i in range(n - 1)],
+        )
+        seam = jnp.sum(jnp.square(below_top - xf[:, -1:]))
+        is_interior = jax.lax.axis_index(axis_name) < n - 1
+        local_dy = local_dy + jnp.where(is_interior, seam, 0.0)
+    sum_dx = jax.lax.psum(local_dx, axis_name)
+    sum_dy = jax.lax.psum(local_dy, axis_name)
+    return sum_dy / (b * (gh - 1) * gw * c) + sum_dx / (
+        b * gh * (gw - 1) * c
+    )
+
+
 def _sharded_loss_shard_fn(
     params: Params,
     x: jax.Array,
@@ -189,12 +227,17 @@ def _sharded_loss_shard_fn(
     global_shape: tuple[int, ...],
     axis_name: str,
     precision: PrecisionLike,
+    tv_w: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-shard loss body.
 
     Returns the replicated global ``(total, style_score,
     content_score)`` — the same decomposition the single-device loss
-    reports, so callers can surface per-component telemetry.
+    reports, so callers can surface per-component telemetry. A nonzero
+    ``tv_w`` adds the seam-exact sharded total-variation term
+    (``sharded_tv``) to the total only, mirroring how the unsharded
+    paths fold TV into the objective without touching the style/content
+    telemetry split.
     """
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = sharded_extract_features(
@@ -228,6 +271,10 @@ def _sharded_loss_shard_fn(
             n_elems = b * layer_h * layer_w * acts[idx].shape[-1]
             content_score += global_sq / n_elems
     total = style_w * style_score + content_w * content_score
+    if tv_w:
+        total = total + tv_w * sharded_tv(
+            x, global_shape, axis_name=axis_name,
+        )
     return total, style_score, content_score
 
 
@@ -243,6 +290,7 @@ def build_sharded_loss(
     content_layers: tuple[int, ...],
     precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
+    tv_w: float = 0.0,
 ):
     """Return loss_fn(image) computed with rows sharded over ``axis_name``.
 
@@ -275,6 +323,7 @@ def build_sharded_loss(
         global_shape=tuple(global_shape),
         axis_name=axis_name,
         precision=precision,
+        tv_w=tv_w,
     )
 
     mapped = jax.shard_map(
@@ -300,6 +349,7 @@ def make_spatial_loss(
     content_layers: tuple[int, ...],
     precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
+    tv_w: float = 0.0,
 ):
     """Spatially-sharded loss with the single-device loss's contract.
 
@@ -335,6 +385,7 @@ def make_spatial_loss(
         global_shape=tuple(global_shape),
         axis_name=axis_name,
         precision=precision,
+        tv_w=tv_w,
     )
 
     def loss_fn(params: Params, image: jax.Array, targets: Targets):
@@ -457,6 +508,7 @@ def build_dp_sp_update(
     lbfgs_history_size: int = 100,
     lbfgs_history_dtype: str = "float32",
     lbfgs_direction: str = "two-loop",
+    tv_w: float = 0.0,
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 
@@ -529,6 +581,7 @@ def build_dp_sp_update(
             global_shape=tuple(image_shape),
             axis_name=MESH_AXIS_SPACE,
             precision=precision,
+            tv_w=tv_w,
         )
         return total, (style_score, content_score)
 

@@ -130,10 +130,17 @@ def _build_sequence_update(
     def vag_with_targets(flat: jax.Array, p: Params, targets: Targets):
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
-            return total_loss(
+            total, aux = total_loss(
                 p, img, targets, opt_cfg.style_w, opt_cfg.content_w,
                 style_layers, content_layers, prec,
             )
+            if opt_cfg.tv_w:
+                from style_transfer_visualizer_tpu.ops.tv import (  # noqa: PLC0415
+                    tv_loss,
+                )
+
+                total = total + opt_cfg.tv_w * tv_loss(img)
+            return total, aux
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 

@@ -288,6 +288,71 @@ class TestSpatialSharding:
             rtol=1e-4, atol=1e-7,
         )
 
+    def test_sharded_tv_matches_whole_image(self) -> None:
+        """sharded_tv over 4 row shards == ops.tv.tv_loss, value + grad."""
+        from jax.sharding import PartitionSpec as P
+
+        from style_transfer_visualizer_tpu.ops.tv import tv_loss
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            sharded_tv,
+        )
+
+        mesh = create_mesh(n_style=1, n_space=4)
+        img = jax.random.normal(jax.random.key(3), (1, 16, 12, 3))
+        shape = tuple(img.shape)
+
+        def global_tv(x):
+            return jax.shard_map(
+                lambda xb: sharded_tv(xb, shape),
+                mesh=mesh,
+                in_specs=P(None, MESH_AXIS_SPACE, None, None),
+                out_specs=P(),
+            )(x)
+
+        np.testing.assert_allclose(
+            float(jax.jit(global_tv)(img)), float(tv_loss(img)),
+            rtol=1e-5,
+        )
+        # The seam terms are where the sharded form can silently go
+        # wrong; the gradient check catches a mis-routed boundary row.
+        g_sharded = jax.jit(jax.grad(global_tv))(img)
+        g_whole = jax.grad(tv_loss)(img)
+        np.testing.assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_whole),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    def test_sharded_loss_with_tv_matches_single_device(
+        self, tiny_params, images,
+    ) -> None:
+        from style_transfer_visualizer_tpu.ops.tv import tv_loss
+
+        content, styles = images
+        mesh = create_mesh(n_style=1, n_space=2)
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, styles[0], content,
+            STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+        )
+        loss_fn = build_sharded_loss(
+            mesh, tiny_params, sharded_targets, tuple(content.shape),
+            style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH, tv_w=2.5,
+        )
+        ref_targets = compute_targets(
+            tiny_params, styles[0], content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        x = content * 0.5
+        ref, _ = total_loss(
+            tiny_params, x, ref_targets, 10.0, 1.0,
+            STYLE_LAYERS, CONTENT_LAYERS, HIGH,
+        )
+        want = float(ref) + 2.5 * float(tv_loss(x))
+        np.testing.assert_allclose(
+            float(jax.jit(loss_fn)(x)), want, rtol=1e-5,
+        )
+
     def test_deep_taps_through_pools(self, tiny_params) -> None:
         """Sharding survives all five pools (default layer set, 64px)."""
         rng = np.random.default_rng(3)
@@ -403,6 +468,57 @@ class TestDpSpCombined:
             optimizer=optimizer, lr=0.1, style_w=10.0, content_w=1.0,
             lbfgs_history_size=4, lbfgs_max_iter=1, lbfgs_max_eval=1,
             lbfgs_direction=direction,
+        )
+        (update_fn, state, _), content, styles = _dp_sp_setup(
+            tiny_params, **kwargs,
+        )
+        images = jnp.stack([content, content])
+        traj = []
+        for _ in range(3):
+            images, state, aux = update_fn(images, state)
+            traj.append((np.asarray(images), np.asarray(aux.loss)))
+
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+
+        single_kwargs = dict(kwargs)
+        single_kwargs["style_layers"] = STYLE_LAYERS
+        single_kwargs["content_layers"] = CONTENT_LAYERS
+        single_kwargs["precision"] = "highest"
+        for s in range(2):
+            targets = compute_targets(
+                tiny_params, styles[s], content,
+                STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+            )
+            single = build_update_step(
+                tiny_params, targets, tuple(content.shape),
+                **single_kwargs,
+            )
+            x, st = jnp.array(content), single.opt_state
+            for step in range(3):
+                x, st, aux_s = single.update_fn(x, st)
+                np.testing.assert_allclose(
+                    traj[step][0][s], np.asarray(x),
+                    rtol=2e-3, atol=1e-5,
+                )
+                np.testing.assert_allclose(
+                    traj[step][1][s], float(aux_s.loss), rtol=1e-3,
+                )
+
+    def test_dp_sp_tv_trajectory_matches_single_device(
+        self, tiny_params,
+    ) -> None:
+        """TV shards seam-exactly: dp x sp trajectory == single device.
+
+        The single-device step computes TV on the whole image; each
+        dp x sp shard computes its block's terms plus one ppermuted
+        seam row — three Adam steps agreeing per pixel proves the
+        decomposition is exact through the gradient.
+        """
+        kwargs = dict(
+            optimizer="adam", lr=0.1, style_w=10.0, content_w=1.0,
+            tv_w=5.0,
         )
         (update_fn, state, _), content, styles = _dp_sp_setup(
             tiny_params, **kwargs,

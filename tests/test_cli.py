@@ -1149,6 +1149,41 @@ class TestLbfgsHistoryFlags:
         assert cfg.optimization.lbfgs_direction == "compact"
 
 
+class TestTvWeightFlag:
+    def test_flag_parses_merges_and_is_echoed(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        args = _parse([
+            "--content", "c.png", "--style", "s.png", "--tv-w", "0.25",
+        ])
+        cfg = build_config_from_cli(vars(args))
+        assert cfg.optimization.tv_w == 0.25
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        assert "TV Weight: 0.25" in caplog.text
+
+    def test_default_is_zero_and_unlogged(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        """tv_w = 0 reproduces the reference loss; the echo stays quiet."""
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        args = _parse(["--content", "c.png", "--style", "s.png"])
+        cfg = build_config_from_cli(vars(args))
+        assert cfg.optimization.tv_w == 0.0
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        assert "TV Weight" not in caplog.text
+
+
 def test_styles_with_only_whitespace_segments_exits() -> None:
     """--styles ' , ' has no usable paths and must fail loudly."""
     args = _parse([

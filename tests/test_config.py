@@ -48,6 +48,7 @@ class TestValidationBounds:
             ("steps", 0),
             ("style_w", -1.0),
             ("content_w", -0.5),
+            ("tv_w", -0.1),
             ("lr", 0.0),
             ("seed", -1),
             ("lbfgs_max_iter", 0),
