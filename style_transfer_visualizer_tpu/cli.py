@@ -51,6 +51,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "postprocess MP4 per style, no intro/outro)."
                 ),
             }),
+            ("--style-blend", {
+                "dest": "style_blend", "type": str, "default": None,
+                "help": (
+                    "Comma-separated weights, one per --styles entry: "
+                    "blends the styles' Gram targets into ONE "
+                    "interpolated stylization instead of a per-style "
+                    "batch. Weights normalize to sum 1; outputs are "
+                    "named with the joined style stems "
+                    "(stylized_{c}_x_{s1+s2}.png) and gallery "
+                    "intro/outro panels show the highest-weight style."
+                ),
+            }),
         ],
         "output": [
             ("--output", {"type": str, "help": "Output directory",
@@ -497,6 +509,12 @@ def run_from_args(args: argparse.Namespace) -> None:
 
     cfg = stv_config.build_config_from_cli(vars(args), base_config=base_cfg)
 
+    if getattr(args, "style_blend", None) and not getattr(
+        args, "styles", None,
+    ):
+        msg = "--style-blend requires --styles (the images to blend)"
+        raise SystemExit(msg)
+
     if getattr(args, "styles", None):
         style_paths = [
             s.strip() for s in args.styles.split(",") if s.strip()
@@ -504,6 +522,12 @@ def run_from_args(args: argparse.Namespace) -> None:
         if not style_paths:
             msg = "--styles was given but contains no paths"
             raise SystemExit(msg)
+        if getattr(args, "style_blend", None):
+            style_blend = _parse_blend_weights(
+                args.style_blend, style_paths,
+            )
+            _run_blended(args, cfg, style_blend)
+            return
         logger.info(
             "Multi-style batch: content=%s styles=%s",
             args.content, style_paths,
@@ -524,6 +548,65 @@ def run_from_args(args: argparse.Namespace) -> None:
             request=ComparisonRequest(
                 include_inputs=args.compare_inputs,
                 include_result=args.compare_result,
+            ),
+        )
+
+
+def _parse_blend_weights(
+    spec: str,
+    style_paths: list[str],
+) -> list[tuple[str, float]]:
+    """Validate and normalize ``--style-blend`` into (path, weight) pairs."""
+    try:
+        weights = [float(w) for w in spec.split(",") if w.strip()]
+    except ValueError as exc:
+        msg = f"--style-blend must be comma-separated numbers: {exc}"
+        raise SystemExit(msg) from exc
+    if len(weights) != len(style_paths):
+        msg = (
+            f"--style-blend has {len(weights)} weights for "
+            f"{len(style_paths)} --styles entries"
+        )
+        raise SystemExit(msg)
+    if any(w < 0 for w in weights):
+        msg = "--style-blend weights must be non-negative"
+        raise SystemExit(msg)
+    total = sum(weights)
+    if total <= 0:
+        msg = "--style-blend weights must not all be zero"
+        raise SystemExit(msg)
+    return [(p, w / total) for p, w in zip(style_paths, weights)]
+
+
+def _run_blended(
+    args: argparse.Namespace,
+    cfg: stv_config.StyleTransferConfig,
+    style_blend: list[tuple[str, float]],
+) -> None:
+    """One interpolated stylization from weighted styles (blend mode)."""
+    # The highest-weight style fronts the gallery intro/outro panels
+    # and the --compare-* renders (ties resolve to the earliest).
+    primary = max(style_blend, key=lambda pair: pair[1])[0]
+    logger.info(
+        "Blended styles: %s",
+        ", ".join(f"{p} (w={w:.3f})" for p, w in style_blend),
+    )
+    paths = InputPaths(content_path=args.content, style_path=primary)
+    log_parameters(paths, cfg, args)
+    stv_main.style_transfer(paths, cfg, style_blend=style_blend)
+
+    if args.compare_inputs or args.compare_result:
+        content_stem = Path(args.content).stem
+        joined = "+".join(Path(p).stem for p, _ in style_blend)
+        render_requested_comparisons(
+            content_path=Path(args.content),
+            style_path=Path(primary),
+            output_dir=Path(cfg.output.output),
+            request=ComparisonRequest(
+                include_inputs=args.compare_inputs,
+                include_result=args.compare_result,
+                result_path=Path(cfg.output.output)
+                / f"stylized_{content_stem}_x_{joined}.png",
             ),
         )
 

@@ -30,6 +30,7 @@ from style_transfer_visualizer_tpu.constants import (
 from style_transfer_visualizer_tpu.models.features import (
     compute_targets,
     initialize_input,
+    targets_maybe_blended,
 )
 from style_transfer_visualizer_tpu.utils.logging import logger
 
@@ -91,6 +92,7 @@ def coarse_init(
     *,
     gram_backend: str = "xla",
     conv_backend: str = "xla",
+    blend_imgs: list[tuple[jax.Array, float]] | None = None,
 ) -> jax.Array | None:
     """Warm-started full-res init image, or None when coarse is off/moot.
 
@@ -98,7 +100,9 @@ def coarse_init(
     optimizer on the half-resolution problem and upsamples the result.
     Returns None when ``coarse_steps`` is 0 or the image is too small
     to downsample meaningfully — the caller falls back to the plain
-    ``init_method`` start.
+    ``init_method`` start. On blended runs (``blend_imgs``) the coarse
+    phase blends the same styles at its own resolution, so the warm
+    start optimizes the very objective the full-res phase continues.
     """
     opt_cfg = config.optimization
     steps = opt_cfg.coarse_steps
@@ -162,22 +166,34 @@ def coarse_init(
 
         # Content and style were both resized to (ch, cw), so one band
         # height serves both target passes.
-        targets = compute_tiled_targets(
-            params, coarse_style, coarse_content,
-            style_layers, content_layers,
-            tile_rows_style=tile_rows,
-            tile_rows_content=tile_rows,
-            precision=prec,
-            conv_backend=conv_backend,
-        )
+        def one_targets(s_img, content_layers_):
+            return compute_tiled_targets(
+                params, s_img, coarse_content,
+                style_layers, content_layers_,
+                tile_rows_style=tile_rows,
+                tile_rows_content=tile_rows,
+                precision=prec,
+                conv_backend=conv_backend,
+            )
     else:
-        targets = compute_targets(
-            params, coarse_style, coarse_content,
-            style_layers, content_layers,
-            precision=prec,
-            gram_backend=gram_backend,
-            conv_backend=conv_backend,
-        )
+        def one_targets(s_img, content_layers_):
+            return compute_targets(
+                params, s_img, coarse_content,
+                style_layers, content_layers_,
+                precision=prec,
+                gram_backend=gram_backend,
+                conv_backend=conv_backend,
+            )
+
+    coarse_blend = None
+    if blend_imgs is not None:
+        coarse_blend = [
+            (resize_image(img, ch, cw), weight)
+            for img, weight in blend_imgs
+        ]
+    targets = targets_maybe_blended(
+        one_targets, coarse_style, content_layers, coarse_blend,
+    )
     bundle = build_update_step(
         params, targets, tuple(coarse_content.shape),
         optimizer=opt_cfg.optimizer,

@@ -29,6 +29,7 @@ from style_transfer_visualizer_tpu.media.modes import select_video_mode
 from style_transfer_visualizer_tpu.models.features import (
     compute_targets,
     initialize_input,
+    targets_maybe_blended,
 )
 from style_transfer_visualizer_tpu.models.vgg19 import load_vgg19_params
 from style_transfer_visualizer_tpu.ops.precision import PrecisionPolicy
@@ -47,9 +48,21 @@ if TYPE_CHECKING:
 def style_transfer(
     paths: InputPaths,
     config: StyleTransferConfig,
+    style_blend: list[tuple[str, float]] | None = None,
 ) -> jax.Array:
-    """Run the full pipeline; return the final image in [0, 1]."""
+    """Run the full pipeline; return the final image in [0, 1].
+
+    ``style_blend`` — a list of ``(style_path, weight)`` covering every
+    style — switches the run to multi-style *interpolation*: per-style
+    Gram targets blend by weight into one objective
+    (``models.features.blend_targets``) and one stylized output named
+    with the joined style stems. ``paths.style_path`` stays the
+    display style (intro/outro gallery panels); the reference supports
+    exactly one style image per run (core_model.py:218-232).
+    """
     stv_runtime.validate_input_paths(paths.content_path, paths.style_path)
+    for blend_path, _ in style_blend or ():
+        stv_runtime.validate_input_paths(paths.content_path, blend_path)
     stv_runtime.validate_parameters(config.video.quality)
 
     # Final-only mode disables all timelapse outputs.
@@ -70,13 +83,14 @@ def style_transfer(
     key = stv_runtime.setup_random_seed(config.optimization.seed)
 
     with jax.default_device(device):
-        return _run_on_device(paths, config, key)
+        return _run_on_device(paths, config, key, style_blend=style_blend)
 
 
 def _run_on_device(
     paths: InputPaths,
     config: StyleTransferConfig,
     key: jax.Array,
+    style_blend: list[tuple[str, float]] | None = None,
 ) -> jax.Array:
     opt_cfg = config.optimization
 
@@ -86,6 +100,17 @@ def _run_on_device(
     style_img = stv_image_io.load_image_to_array(
         paths.style_path, normalize=opt_cfg.normalize,
     )
+    blend_imgs: list[tuple[jax.Array, float]] | None = None
+    if style_blend:
+        blend_imgs = [
+            (
+                stv_image_io.load_image_to_array(
+                    blend_path, normalize=opt_cfg.normalize,
+                ),
+                float(weight),
+            )
+            for blend_path, weight in style_blend
+        ]
 
     if config.video.create_video:
         height, width = content_img.shape[1:3]
@@ -105,7 +130,7 @@ def _run_on_device(
             )
 
     bundle, input_img = _prepare_model_and_input(
-        content_img, style_img, config, key,
+        content_img, style_img, config, key, blend_imgs=blend_imgs,
     )
 
     output_path = stv_runtime.setup_output_directory(config.output.output)
@@ -113,6 +138,11 @@ def _run_on_device(
     style_path = Path(paths.style_path)
     content_name = content_path.stem
     style_name = style_path.stem
+    if style_blend:
+        # Blended outputs name every contributing style, in user order.
+        style_name = "+".join(
+            Path(blend_path).stem for blend_path, _ in style_blend
+        )
     video_name = f"timelapse_{content_name}_x_{style_name}.mp4"
     gif_name = f"timelapse_{content_name}_x_{style_name}.gif"
 
@@ -1103,8 +1133,16 @@ def _prepare_model_and_input(
     style_img: jax.Array,
     config: StyleTransferConfig,
     key: jax.Array,
+    blend_imgs: list[tuple[jax.Array, float]] | None = None,
 ) -> tuple[StepBundle, jax.Array]:
-    """Load weights, precompute targets, build the jitted step, init image."""
+    """Load weights, precompute targets, build the jitted step, init image.
+
+    ``blend_imgs`` — ``(style_image, weight)`` for every style of a
+    blended run — replaces the single ``style_img`` in the *targets*
+    math: the first entry computes full targets (content included),
+    the rest contribute style Grams only, and the weighted blend
+    (``blend_targets``) feeds the unchanged step builder.
+    """
     opt_cfg = config.optimization
     params = load_vgg19_params(
         allow_random=opt_cfg.allow_random_weights,
@@ -1119,6 +1157,7 @@ def _prepare_model_and_input(
             raise ValueError(msg)
         return _prepare_spatial_model_and_input(
             params, content_img, style_img, config, key,
+            blend_imgs=blend_imgs,
         )
     precision_name = config.hardware.precision
     from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
@@ -1144,40 +1183,48 @@ def _prepare_model_and_input(
             compute_tiled_targets,
         )
 
-        style_h, style_w_px = int(style_img.shape[1]), int(style_img.shape[2])
-        tile_rows_style = None
-        if style_h * style_w_px >= AUTO_TILE_PIXEL_THRESHOLD:
-            tile_rows_style = auto_tile_rows(
-                style_h, style_w_px, tuple(opt_cfg.style_layers),
-            )
         if gram_backend == "pallas":
             logger.info(
                 "Banded evaluation accumulates raw Gram partials with "
                 "its own fused path; --gram-backend pallas does not "
                 "apply while tiling.",
             )
-        targets = compute_tiled_targets(
-            params,
-            style_img,
-            content_img,
-            tuple(opt_cfg.style_layers),
-            tuple(opt_cfg.content_layers),
-            tile_rows_style=tile_rows_style,
-            tile_rows_content=tile_rows,
-            precision=_precision(precision_name),
-            conv_backend=conv_backend,
-        )
+
+        def one_targets(s_img: jax.Array, content_layers: tuple[int, ...]):
+            style_h = int(s_img.shape[1])
+            style_w_px = int(s_img.shape[2])
+            tile_rows_style = None
+            if style_h * style_w_px >= AUTO_TILE_PIXEL_THRESHOLD:
+                tile_rows_style = auto_tile_rows(
+                    style_h, style_w_px, tuple(opt_cfg.style_layers),
+                )
+            return compute_tiled_targets(
+                params,
+                s_img,
+                content_img,
+                tuple(opt_cfg.style_layers),
+                content_layers,
+                tile_rows_style=tile_rows_style,
+                tile_rows_content=tile_rows,
+                precision=_precision(precision_name),
+                conv_backend=conv_backend,
+            )
     else:
-        targets = compute_targets(
-            params,
-            style_img,
-            content_img,
-            tuple(opt_cfg.style_layers),
-            tuple(opt_cfg.content_layers),
-            precision=_precision(precision_name),
-            gram_backend=gram_backend,
-            conv_backend=conv_backend,
-        )
+        def one_targets(s_img: jax.Array, content_layers: tuple[int, ...]):
+            return compute_targets(
+                params,
+                s_img,
+                content_img,
+                tuple(opt_cfg.style_layers),
+                content_layers,
+                precision=_precision(precision_name),
+                gram_backend=gram_backend,
+                conv_backend=conv_backend,
+            )
+
+    targets = targets_maybe_blended(
+        one_targets, style_img, tuple(opt_cfg.content_layers), blend_imgs,
+    )
     remat = not tile_rows and (
         opt_cfg.remat
         or int(height) * int(width) >= AUTO_REMAT_PIXEL_THRESHOLD
@@ -1212,6 +1259,7 @@ def _prepare_model_and_input(
     input_img = _initial_image(
         params, content_img, style_img, config, key,
         gram_backend=gram_backend, conv_backend=conv_backend,
+        blend_imgs=blend_imgs,
     )
     return bundle, input_img
 
@@ -1225,6 +1273,7 @@ def _initial_image(
     *,
     gram_backend: str = "xla",
     conv_backend: str = "xla",
+    blend_imgs: list[tuple[jax.Array, float]] | None = None,
 ) -> jax.Array:
     """Starting image: coarse warm start when requested, else init_method."""
     if config.optimization.coarse_steps > 0 and config.output.resume_from:
@@ -1239,6 +1288,7 @@ def _initial_image(
         warm = coarse_init(
             params, content_img, style_img, config, key,
             gram_backend=gram_backend, conv_backend=conv_backend,
+            blend_imgs=blend_imgs,
         )
         if warm is not None:
             return warm
@@ -1253,6 +1303,7 @@ def _prepare_spatial_model_and_input(
     style_img: jax.Array,
     config: StyleTransferConfig,
     key: jax.Array,
+    blend_imgs: list[tuple[jax.Array, float]] | None = None,
 ) -> tuple[StepBundle, jax.Array]:
     """Build a row-sharded update step over an n-device space mesh.
 
@@ -1296,9 +1347,17 @@ def _prepare_spatial_model_and_input(
     precision = _precision(config.hardware.precision)
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)
-    grams_only = compute_targets(
-        params, style_img, content_img, style_layers, (),
-        precision=precision,
+    def one_targets(s_img: jax.Array, content_layers_: tuple[int, ...]):
+        # Style Grams are C x C and size-independent; the sharded
+        # content targets are handled separately below, so this path
+        # only ever computes with content_layers_ == ().
+        return compute_targets(
+            params, s_img, content_img, style_layers, content_layers_,
+            precision=precision,
+        )
+
+    grams_only = targets_maybe_blended(
+        one_targets, style_img, (), blend_imgs,
     )
     sharded = compute_sharded_targets(
         mesh, params, content_img, content_img, (), content_layers,
@@ -1341,7 +1400,10 @@ def _prepare_spatial_model_and_input(
         loss_fn=loss_fn,
     )
     input_img = jax.device_put(
-        _initial_image(params, content_img, style_img, config, key),
+        _initial_image(
+            params, content_img, style_img, config, key,
+            blend_imgs=blend_imgs,
+        ),
         row_sharding,
     )
     return bundle, input_img

@@ -52,6 +52,60 @@ class Targets:
     content_feats: dict[int, jax.Array]
 
 
+def blend_targets(
+    targets_seq: "list[Targets]",
+    weights: "list[float]",
+) -> Targets:
+    """Weighted blend of style Gram targets (multi-style interpolation).
+
+    Gram matrices are second moments of the style's feature
+    distribution, so a convex combination of per-style Grams IS the
+    target of a style *mixture* — the classic interpolation from the
+    style-transfer literature (Gatys et al.; Dumoulin et al.'s style
+    interpolation operates on the same statistics). Content targets
+    come from the first entry; every entry was computed against the
+    same content image, and style-only extras (``content_layers=()``)
+    carry none. The reference has no multi-style blending
+    (core_model.py:218-232 sets targets from exactly one style image).
+    """
+    if len(targets_seq) != len(weights) or not targets_seq:
+        msg = "blend_targets needs one weight per Targets entry"
+        raise ValueError(msg)
+    grams: dict[int, jax.Array] = {}
+    for idx in targets_seq[0].style_grams:
+        acc = weights[0] * targets_seq[0].style_grams[idx]
+        for t, w in zip(targets_seq[1:], weights[1:], strict=True):
+            acc = acc + w * t.style_grams[idx]
+        grams[idx] = jax.lax.stop_gradient(acc)
+    return Targets(
+        style_grams=grams,
+        content_feats=targets_seq[0].content_feats,
+    )
+
+
+def targets_maybe_blended(
+    one_targets,
+    style_img: jax.Array,
+    content_layers: tuple[int, ...],
+    blend_imgs: "list[tuple[jax.Array, float]] | None",
+) -> Targets:
+    """Single-style targets, or the weighted multi-style Gram blend.
+
+    ``one_targets(style_image, content_layers)`` is the caller's own
+    target computation (plain, banded, sharded-grams, or coarse);
+    blending calls it once with content layers (the first style) and
+    style-only (``content_layers=()``) for the rest, then mixes the
+    Grams by weight (:func:`blend_targets`).
+    """
+    if blend_imgs is None:
+        return one_targets(style_img, content_layers)
+    first = one_targets(blend_imgs[0][0], content_layers)
+    extras = [one_targets(img, ()) for img, _ in blend_imgs[1:]]
+    return blend_targets(
+        [first, *extras], [weight for _, weight in blend_imgs],
+    )
+
+
 def _validate_layers(indices: tuple[int, ...]) -> None:
     for idx in indices:
         if not 0 <= idx < len(LAYER_TABLE):

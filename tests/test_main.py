@@ -44,8 +44,9 @@ def patched_pipeline(monkeypatch):
     """Stub the expensive seams; record what the orchestrator wires up."""
     recorded: dict = {}
 
-    def fake_prepare(content_img, style_img, config, key):
+    def fake_prepare(content_img, style_img, config, key, blend_imgs=None):
         recorded["input_shape"] = tuple(content_img.shape)
+        recorded["blend_imgs"] = blend_imgs
         return _fake_bundle(content_img.shape), jnp.array(content_img)
 
     monkeypatch.setattr(
