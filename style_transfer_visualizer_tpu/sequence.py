@@ -35,6 +35,7 @@ from style_transfer_visualizer_tpu.models.features import (
     compute_content_targets,
     compute_targets,
     initialize_input,
+    targets_maybe_blended,
 )
 from style_transfer_visualizer_tpu.utils.logging import logger
 
@@ -190,6 +191,7 @@ def stylize_sequence(
     *,
     params: Params | None = None,
     assemble_gif: bool = False,
+    style_blend: list[tuple[str | Path, float]] | None = None,
 ) -> SequenceResult:
     """Stylize every frame in ``frames_dir`` against one style image.
 
@@ -197,6 +199,13 @@ def stylize_sequence(
     written as ``stylized_{frame_stem}.png`` under ``output_dir``;
     with ``assemble_gif`` the stylized frames are also assembled into
     ``stylized_sequence.gif`` at ``config.video.fps``.
+
+    ``style_blend`` — optional ``(path, weight)`` pairs covering every
+    contributing style: the clip is optimized against the weighted Gram
+    mixture (and the coarse warm start, if any, blends the same styles
+    at its own resolution). ``style_path`` still names the primary
+    style. The style Grams — blended or not — are computed once for
+    the whole clip.
     """
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
         load_vgg19_params,
@@ -219,6 +228,17 @@ def stylize_sequence(
     style_img = stv_image_io.load_image_to_array(
         style_path, normalize=opt_cfg.normalize,
     )
+    blend_imgs: list[tuple[jax.Array, float]] | None = None
+    if style_blend:
+        blend_imgs = [
+            (
+                stv_image_io.load_image_to_array(
+                    blend_path, normalize=opt_cfg.normalize,
+                ),
+                float(weight),
+            )
+            for blend_path, weight in style_blend
+        ]
     prec = resolve_precision(config.hardware.precision)
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)
@@ -232,9 +252,11 @@ def stylize_sequence(
 
     # Style grams are constant for the whole clip: extract them once and
     # rebuild only the content targets per frame.
-    base_targets = compute_targets(
-        params, style_img, first_content, style_layers, content_layers,
-        prec,
+    base_targets = targets_maybe_blended(
+        lambda s_img, c_layers: compute_targets(
+            params, s_img, first_content, style_layers, c_layers, prec,
+        ),
+        style_img, content_layers, blend_imgs,
     )
 
     outputs: list[Path] = []
@@ -276,7 +298,10 @@ def stylize_sequence(
                     coarse_init,
                 )
 
-                x = coarse_init(params, content, style_img, config, key)
+                x = coarse_init(
+                    params, content, style_img, config, key,
+                    blend_imgs=blend_imgs,
+                )
             if x is None:
                 x = initialize_input(content, opt_cfg.init_method, key)
         # else: warm start — keep x from the previous stylized frame.

@@ -21,8 +21,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--frames", required=True, type=str,
         help="Directory of input frames (png/jpg), processed in name order.",
     )
-    p.add_argument("--style", required=True, type=str,
+    p.add_argument("--style", type=str,
                    help="Path to style image")
+    p.add_argument(
+        "--styles", type=str, default=None,
+        help="Comma-separated style images for a blended sequence "
+             "(requires --style-blend; replaces --style)",
+    )
+    p.add_argument(
+        "--style-blend", dest="style_blend", type=str, default=None,
+        help="Comma-separated non-negative weights, one per --styles "
+             "entry; the clip optimizes against the weighted Gram "
+             "mixture of the styles (weights are normalized to sum 1)",
+    )
     p.add_argument(
         "--output", type=str, default=argparse.SUPPRESS,
         help="Output directory for stylized frames",
@@ -34,10 +45,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--style-w", type=float, default=argparse.SUPPRESS)
     p.add_argument("--content-w", type=float, default=argparse.SUPPRESS)
+    p.add_argument(
+        "--tv-w", dest="tv_w", type=float, default=argparse.SUPPRESS,
+        help="Total-variation weight: smoothness regularizer on each "
+             "stylized frame (0, the default, is style+content only)",
+    )
     p.add_argument("--lr", type=float, default=argparse.SUPPRESS)
     p.add_argument(
         "--optimizer", choices=["lbfgs", "adam"],
         default=argparse.SUPPRESS,
+    )
+    p.add_argument(
+        "--lbfgs-history-size", dest="lbfgs_history_size", type=int,
+        default=argparse.SUPPRESS,
+        help="L-BFGS curvature-pair history length (default 100)",
+    )
+    p.add_argument(
+        "--lbfgs-history-dtype", dest="lbfgs_history_dtype",
+        choices=["float32", "bfloat16"], default=argparse.SUPPRESS,
+        help="Storage dtype for the L-BFGS curvature ring",
+    )
+    p.add_argument(
+        "--lbfgs-direction", dest="lbfgs_direction",
+        choices=["two-loop", "compact"], default=argparse.SUPPRESS,
+        help="L-BFGS direction algorithm (see style-visualizer --help)",
     )
     p.add_argument(
         "--init-method", choices=["random", "white", "content"],
@@ -54,8 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--device", type=str, default=argparse.SUPPRESS)
     p.add_argument(
-        "--precision", choices=["highest", "high", "default"],
+        "--precision", choices=["highest", "mixed", "high", "default"],
         default=argparse.SUPPRESS,
+        help="MXU matmul precision tier (see style-visualizer --help; "
+             "'mixed' is the certified-parity default)",
     )
     p.add_argument("--allow-random-weights", action="store_true")
     p.add_argument(
@@ -73,6 +106,35 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     """Entry point for style-sequence."""
     args = build_parser().parse_args(argv)
+
+    style_blend: list[tuple[str, float]] | None = None
+    if args.styles:
+        if not args.style_blend:
+            msg = "--styles requires --style-blend (the mixture weights)"
+            raise SystemExit(msg)
+        if args.style:
+            msg = "--style and --styles are mutually exclusive"
+            raise SystemExit(msg)
+        from style_transfer_visualizer_tpu.cli import (  # noqa: PLC0415
+            _parse_blend_weights,
+        )
+
+        style_paths = [s for s in args.styles.split(",") if s.strip()]
+        style_blend = _parse_blend_weights(args.style_blend, style_paths)
+        # The highest-weight style is the primary (ties: earliest).
+        style_path = max(style_blend, key=lambda pair: pair[1])[0]
+        logger.info(
+            "Blended styles: %s",
+            ", ".join(f"{p} (w={w:.3f})" for p, w in style_blend),
+        )
+    elif args.style_blend:
+        msg = "--style-blend requires --styles (the images to blend)"
+        raise SystemExit(msg)
+    elif args.style:
+        style_path = args.style
+    else:
+        msg = "one of --style or --styles is required"
+        raise SystemExit(msg)
 
     base_cfg = (
         stv_config.ConfigLoader.load(args.config) if args.config else None
@@ -94,8 +156,9 @@ def main(argv: list[str] | None = None) -> int:
     device = setup_device(cfg.hardware.device)
     with jax.default_device(device):
         result = stylize_sequence(
-            args.frames, args.style, cfg, cfg.output.output,
+            args.frames, style_path, cfg, cfg.output.output,
             assemble_gif=args.gif,
+            style_blend=style_blend,
         )
     logger.info(
         "Sequence complete: %d frames, %d total steps.",

@@ -146,7 +146,7 @@ class TestSequenceGif:
 
         recorded = {}
 
-        def fake_stylize(frames, style, cfg, out, assemble_gif=False):
+        def fake_stylize(frames, style, cfg, out, assemble_gif=False, **kw):
             recorded["gif"] = assemble_gif
             recorded["fps"] = cfg.video.fps
             return seq.SequenceResult(frame_paths=[], total_steps=0)
@@ -236,3 +236,139 @@ def test_cli_loads_base_config_from_toml(
     ])
     assert rc == 0
     assert recorded["steps"] == 13
+
+
+class TestSequenceBlend:
+    """--styles/--style-blend on the sequence pipeline."""
+
+    def test_weight_one_blend_matches_single_style(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        # A (1.0, 0.0) blend is the single-style problem exactly, so the
+        # stylized frames must agree pixel-for-pixel.
+        other = tmp_path / "other_style.png"
+        Image.new("RGB", (64, 64), (20, 200, 40)).save(other)
+        opt = {
+            "steps": 2, "optimizer": "adam", "lr": 0.05,
+            "style_layers": [0], "content_layers": [2],
+            "init_method": "content",
+        }
+        cfg = make_style_transfer_config(optimization=opt)
+        params = vgg19.init_random_params(jax.random.key(0))
+        single = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "single", params=params,
+        )
+        blended = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "blend", params=params,
+            style_blend=[(style_file, 1.0), (other, 0.0)],
+        )
+        for a, b in zip(single.frame_paths, blended.frame_paths,
+                        strict=True):
+            with Image.open(a) as ia, Image.open(b) as ib:
+                assert np.array_equal(np.asarray(ia), np.asarray(ib))
+
+    def test_blend_changes_output_when_weights_do(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        other = tmp_path / "other_style.png"
+        Image.new("RGB", (64, 64), (20, 200, 40)).save(other)
+        opt = {
+            "steps": 2, "optimizer": "adam", "lr": 0.05,
+            "style_layers": [0], "content_layers": [2],
+            "init_method": "content",
+        }
+        cfg = make_style_transfer_config(optimization=opt)
+        params = vgg19.init_random_params(jax.random.key(0))
+        a = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "a", params=params,
+            style_blend=[(style_file, 0.9), (other, 0.1)],
+        )
+        b = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "b", params=params,
+            style_blend=[(style_file, 0.1), (other, 0.9)],
+        )
+        with Image.open(a.frame_paths[0]) as ia, \
+                Image.open(b.frame_paths[0]) as ib:
+            assert not np.array_equal(np.asarray(ia), np.asarray(ib))
+
+
+class TestSequenceBlendCli:
+    def _fake(self, recorded):
+        def fake_stylize(frames, style, cfg, out, **kw):
+            recorded["style"] = style
+            recorded["blend"] = kw.get("style_blend")
+            recorded["tv_w"] = cfg.optimization.tv_w
+            return seq.SequenceResult(frame_paths=[], total_steps=0)
+        return fake_stylize
+
+    def test_blend_happy_path_picks_primary(
+        self, frames_dir, tmp_path, monkeypatch,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        for p in (s1, s2):
+            Image.new("RGB", (64, 64)).save(p)
+        recorded = {}
+        monkeypatch.setattr(
+            sequence_cli, "stylize_sequence", self._fake(recorded),
+        )
+        rc = sequence_cli.main([
+            "--frames", str(frames_dir),
+            "--styles", f"{s1},{s2}", "--style-blend", "1,3",
+            "--output", str(tmp_path / "o"), "--device", "cpu",
+        ])
+        assert rc == 0
+        assert recorded["style"] == str(s2)  # highest weight fronts
+        assert [w for _, w in recorded["blend"]] == [0.25, 0.75]
+
+    def test_tv_w_threads_through(
+        self, frames_dir, style_file, tmp_path, monkeypatch,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        recorded = {}
+        monkeypatch.setattr(
+            sequence_cli, "stylize_sequence", self._fake(recorded),
+        )
+        rc = sequence_cli.main([
+            "--frames", str(frames_dir), "--style", str(style_file),
+            "--tv-w", "0.003", "--precision", "mixed",
+            "--output", str(tmp_path / "o"), "--device", "cpu",
+        ])
+        assert rc == 0
+        assert recorded["tv_w"] == pytest.approx(0.003)
+
+    @pytest.mark.parametrize(
+        ("argv_extra", "match"),
+        [
+            (["--styles", "a.png,b.png"], "requires --style-blend"),
+            (["--style-blend", "1,2"], "requires --styles"),
+            ([], "one of --style or --styles"),
+        ],
+    )
+    def test_blend_arg_validation(
+        self, frames_dir, argv_extra, match,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        with pytest.raises(SystemExit, match=match):
+            sequence_cli.main(
+                ["--frames", str(frames_dir), *argv_extra],
+            )
+
+    def test_style_and_styles_conflict(
+        self, frames_dir, style_file, tmp_path,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64)).save(s2)
+        with pytest.raises(SystemExit, match="mutually exclusive"):
+            sequence_cli.main([
+                "--frames", str(frames_dir),
+                "--style", str(style_file),
+                "--styles", f"{style_file},{s2}",
+                "--style-blend", "1,1",
+            ])
