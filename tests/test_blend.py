@@ -6,6 +6,8 @@ that mixes per-style Gram targets by weight into one objective.
 """
 from __future__ import annotations
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,6 +233,49 @@ class TestBlendCli:
     def test_weights_normalize_and_pair_in_order(self) -> None:
         got = stv_cli._parse_blend_weights("3,1", ["a.png", "b.png"])
         assert got == [("a.png", 0.75), ("b.png", 0.25)]
+
+    def test_trailing_comma_tolerated(self) -> None:
+        """Empty segments are dropped before pairing, like --styles."""
+        got = stv_cli._parse_blend_weights("1,3,", ["a.png", "b.png"])
+        assert got == [("a.png", 0.25), ("b.png", 0.75)]
+
+    def test_blend_compare_result_targets_joined_stem(
+        self, monkeypatch, tmp_path, content_image, style_image,
+        make_image_file,
+    ) -> None:
+        """--compare-result on a blended run points at the joined-stem
+        PNG and fronts the highest-weight style."""
+        other = make_image_file("other.png", color=(200, 40, 10))
+        monkeypatch.setattr(
+            stv_cli.stv_main,
+            "style_transfer",
+            lambda paths, cfg, style_blend=None: None,
+        )
+        recorded: dict = {}
+
+        def fake_render(**kwargs):
+            recorded.update(kwargs)
+            return []
+
+        monkeypatch.setattr(
+            stv_cli, "render_requested_comparisons", fake_render,
+        )
+        args = self._parse([
+            "--content", str(content_image),
+            "--styles", f"{style_image},{other}",
+            "--style-blend", "1,3",
+            "--output", str(tmp_path), "--device", "cpu",
+            "--compare-result",
+        ])
+        stv_cli.run_from_args(args)
+        assert recorded["style_path"] == Path(other)
+        assert recorded["request"].include_result is True
+        assert recorded["request"].include_inputs is False
+        expected = (
+            tmp_path
+            / f"stylized_{content_image.stem}_x_{style_image.stem}+other.png"
+        )
+        assert recorded["request"].result_path == expected
 
     def test_dispatch_runs_blend_with_primary_style(
         self, monkeypatch, tmp_path, content_image, style_image,

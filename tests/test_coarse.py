@@ -101,6 +101,33 @@ class TestCoarseInit:
         # The coarse phase moved the pixels: not a plain content upsample.
         assert not np.allclose(np.asarray(warm), np.asarray(content))
 
+    def test_degenerate_blend_matches_single_style(self, tiny_setup) -> None:
+        """blend_imgs with weights (1, 0) reproduces the plain coarse
+        warm start bit-for-bit (the coarse phase blends the same styles
+        at its own resolution)."""
+        params, content, style, cfg = tiny_setup
+        other = jax.random.uniform(
+            jax.random.key(9), content.shape, content.dtype,
+        )
+        plain = coarse_init(params, content, style, cfg, jax.random.key(2))
+        blended = coarse_init(
+            params, content, style, cfg, jax.random.key(2),
+            blend_imgs=[(style, 1.0), (other, 0.0)],
+        )
+        np.testing.assert_array_equal(np.asarray(blended), np.asarray(plain))
+
+    def test_nondegenerate_blend_changes_warm_start(self, tiny_setup) -> None:
+        params, content, style, cfg = tiny_setup
+        other = jax.random.uniform(
+            jax.random.key(9), content.shape, content.dtype,
+        )
+        plain = coarse_init(params, content, style, cfg, jax.random.key(2))
+        blended = coarse_init(
+            params, content, style, cfg, jax.random.key(2),
+            blend_imgs=[(style, 0.5), (other, 0.5)],
+        )
+        assert not np.array_equal(np.asarray(blended), np.asarray(plain))
+
 
 class TestCoarseMemoryPolicy:
     """The coarse phase follows the main phase's memory policy at its

@@ -71,6 +71,32 @@ class TestStylizeSequence:
             with Image.open(p) as im:
                 assert im.size == (64, 64)
 
+    def test_tv_w_alters_the_optimized_frames(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        """A nonzero --tv-w folds the smoothness term into the sequence
+        objective: same seed, different pixels vs the tv-free run."""
+        params = vgg19.init_random_params(jax.random.key(0))
+
+        def run(tv_w: float, name: str):
+            cfg = make_style_transfer_config(
+                optimization={
+                    "steps": 2, "optimizer": "adam", "lr": 0.05,
+                    "style_layers": [0], "content_layers": [2],
+                    "init_method": "content", "tv_w": tv_w,
+                },
+            )
+            return seq.stylize_sequence(
+                frames_dir, style_file, cfg, tmp_path / name, params=params,
+            )
+
+        plain = run(0.0, "plain")
+        smoothed = run(50.0, "smoothed")
+        assert len(smoothed.frame_paths) == 3
+        with Image.open(plain.frame_paths[0]) as ia, \
+                Image.open(smoothed.frame_paths[0]) as ib:
+            assert not np.array_equal(np.asarray(ia), np.asarray(ib))
+
     def test_mismatched_frame_shapes(
         self, frames_dir, style_file, make_style_transfer_config, tmp_path,
     ) -> None:
