@@ -22,6 +22,9 @@ curve-parity gate is certified on (BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -33,11 +36,18 @@ import jax.numpy as jnp
 REFERENCE_CPU_STEPS_PER_SEC = 0.137  # steps/s, 512px, torch 2.13 CPU
 REFERENCE_CPU_LBFGS_STEPS_PER_SEC = 0.1351  # same rig, L-BFGS default
 
-SIZE = 512
-TIMED_STEPS = 150
+# Env overrides exist for driving the harness itself (smoke tests,
+# CPU-only rigs); the headline contract is the 512px/150-step default.
+SIZE = int(os.environ.get("STV_BENCH_SIZE", "512"))
+TIMED_STEPS = int(os.environ.get("STV_BENCH_STEPS", "150"))
 
 
 def main() -> None:
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # here so `JAX_PLATFORMS=cpu python bench.py` works as documented
+    # (useful for driving the harness itself without the tunnel).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from style_transfer_visualizer_tpu.engine.step import build_update_step
     from style_transfer_visualizer_tpu.utils.cache import (
         enable_persistent_compilation_cache,
@@ -77,7 +87,7 @@ def main() -> None:
     # The production runner fuses steps into one dispatch when no
     # cadence constrains alignment (runner._resolve_chunk_size); this
     # measures exactly that path.
-    chunk = 25
+    chunk = min(25, TIMED_STEPS)
     x, state, aux = bundle.chunked_update_fn(x, state, chunk)  # compile
     jax.block_until_ready(x)
 
@@ -133,5 +143,52 @@ def main() -> None:
     )
 
 
+def _run_with_retries(
+    attempts: int = int(os.environ.get("STV_BENCH_ATTEMPTS", "3")),
+    backoff_s: float = float(os.environ.get("STV_BENCH_BACKOFF", "90")),
+) -> int:
+    """Run the measurement in a child process, retrying on failure.
+
+    The TPU tunnel on this class of rig can be transiently unavailable
+    (backend init blocks for minutes, then raises UNAVAILABLE); one
+    mid-run hiccup should not cost the benchmark its headline number.
+    The child prints the JSON line; the parent forwards only that line
+    to stdout so the contract (ONE JSON line) holds across retries.
+    """
+    env = dict(os.environ, STV_BENCH_CHILD="1")
+    last_rc = 1
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(backoff_s)
+        proc = subprocess.run(  # noqa: S603 (self-invocation)
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+            check=False,
+        )
+        json_line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode == 0 and json_line is not None:
+            print(json_line)
+            return 0
+        last_rc = proc.returncode or 1
+        print(
+            f"bench attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}); retrying",
+            file=sys.stderr,
+        )
+    return last_rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STV_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_run_with_retries())
