@@ -171,6 +171,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "choices": ["lbfgs", "adam"], "default": suppress,
                 "help": "Pixel optimizer (default: lbfgs)",
             }),
+            ("--model", {
+                "choices": ["vgg19", "vgg16"], "default": suppress,
+                "help": (
+                    "Feature backbone (default: vgg19, the reference's "
+                    "model). With vgg16, layer lists left at the VGG19 "
+                    "defaults remap to vgg16's own standard taps "
+                    "(style 0,5,10,17,24; content 19); explicit "
+                    "--style-layers/--content-layers are used as given."
+                ),
+            }),
             ("--lbfgs-history-size", {
                 "dest": "lbfgs_history_size", "type": int,
                 "default": suppress,
@@ -427,6 +437,7 @@ def log_parameters(
     if cfg.optimization.tv_w:
         logger.info("TV Weight: %g", cfg.optimization.tv_w)
     logger.info("Learning Rate: %g", cfg.optimization.lr)
+    logger.info("Model: %s", cfg.optimization.model)
     logger.info("Optimizer: %s", cfg.optimization.optimizer)
     if cfg.optimization.optimizer == "lbfgs":
         logger.info(

@@ -13,7 +13,7 @@ from pathlib import Path
 from typing import Any, Literal
 
 import tomllib
-from pydantic import BaseModel, ConfigDict, Field
+from pydantic import BaseModel, ConfigDict, Field, model_validator
 
 from style_transfer_visualizer_tpu import config_defaults as d
 from style_transfer_visualizer_tpu.constants import (
@@ -64,6 +64,9 @@ class OptimizationConfig(_ValidatedSection):
     content_layers: list[int] = Field(
         default_factory=lambda: list(d.DEFAULT_CONTENT_LAYERS),
     )
+    # TPU-framework addition: selectable VGG-family backbone (the
+    # reference hardcodes torchvision VGG19, core_model.py:103-117).
+    model: Literal["vgg19", "vgg16"] = Field(d.DEFAULT_MODEL)
     # TPU-framework additions:
     optimizer: OptimizerName = Field(d.DEFAULT_OPTIMIZER)
     lbfgs_history_size: int = Field(d.DEFAULT_LBFGS_HISTORY_SIZE, ge=1)
@@ -83,6 +86,40 @@ class OptimizationConfig(_ValidatedSection):
     # Permit seeded-random VGG19 weights when no pretrained checkpoint is
     # reachable (air-gapped hosts); stylization quality will be poor.
     allow_random_weights: bool = False
+
+    @model_validator(mode="after")
+    def _remap_default_layers_for_model(self) -> OptimizationConfig:
+        """Move VGG19-default layer lists onto the selected model's taps.
+
+        Layer indices address torchvision's flat ``features`` numbering,
+        which differs per architecture; a non-VGG19 model with the layer
+        lists still at the VGG19 defaults means the user never chose
+        layers, so the model's own literature-standard taps (the same
+        named conv1_1..conv5_1 / conv4_2 layers) apply instead.
+        Explicitly chosen lists are never touched.
+        """
+        if self.model == "vgg19":
+            return self
+        from style_transfer_visualizer_tpu.models.arch import (  # noqa: PLC0415
+            get_architecture,
+        )
+
+        arch = get_architecture(self.model)
+        changed = False
+        if tuple(self.style_layers) == d.DEFAULT_STYLE_LAYERS:
+            self.__dict__["style_layers"] = list(arch.default_style_layers)
+            changed = True
+        if tuple(self.content_layers) == d.DEFAULT_CONTENT_LAYERS:
+            self.__dict__["content_layers"] = list(
+                arch.default_content_layers,
+            )
+            changed = True
+        if changed:
+            logger.info(
+                "Model %s: layer defaults remapped to style=%s content=%s",
+                self.model, self.style_layers, self.content_layers,
+            )
+        return self
     # Rematerialize feature segments in the backward pass (trades ~1
     # extra forward of FLOPs for HBM headroom). Auto-enabled for
     # 4MP+ inputs; force with this flag.
@@ -247,7 +284,7 @@ def _merge_optimization(
     for key in (
         "steps", "style_w", "content_w", "tv_w", "lr", "init_method",
         "seed",
-        "optimizer", "lbfgs_max_iter", "lbfgs_max_eval",
+        "optimizer", "model", "lbfgs_max_iter", "lbfgs_max_eval",
         "lbfgs_history_size", "lbfgs_history_dtype", "lbfgs_direction",
         "tile_rows", "coarse_steps",
     ):

@@ -53,6 +53,13 @@ DEFAULT_LBFGS_MAX_EVAL = 1
 # content.
 DEFAULT_STYLE_LAYERS: tuple[int, ...] = (0, 5, 10, 19, 28)
 DEFAULT_CONTENT_LAYERS: tuple[int, ...] = (21,)
+
+# TPU-framework addition: selectable VGG-family backbone. "vgg19" is
+# the reference's (only) model; "vgg16" is the perceptual-loss standard
+# (Johnson et al.). When the model changes and the layer lists are left
+# at the VGG19 defaults above, config validation remaps them to the
+# model's own literature-standard taps (models/arch.py).
+DEFAULT_MODEL: str = "vgg19"
 # TPU-framework additions:
 DEFAULT_OPTIMIZER: OptimizerName = "lbfgs"
 DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default

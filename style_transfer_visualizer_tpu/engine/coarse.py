@@ -136,8 +136,14 @@ def coarse_init(
             auto_tile_rows,
         )
 
+        from style_transfer_visualizer_tpu.models.arch import (  # noqa: PLC0415
+            layer_table_from_params,
+        )
+
         taps = tuple(set(style_layers) | set(content_layers))
-        tile_rows = auto_tile_rows(ch, cw, taps) or 0
+        tile_rows = auto_tile_rows(
+            ch, cw, taps, table=layer_table_from_params(params),
+        ) or 0
         if tile_rows:
             logger.info(
                 "Coarse phase uses banded evaluation (tile_rows=%d) "

@@ -31,7 +31,11 @@ from style_transfer_visualizer_tpu.models.features import (
     initialize_input,
     targets_maybe_blended,
 )
-from style_transfer_visualizer_tpu.models.vgg19 import load_vgg19_params
+from style_transfer_visualizer_tpu.models.arch import (
+    get_architecture,
+    layer_table_from_params,
+)
+from style_transfer_visualizer_tpu.models.vgg19 import load_pretrained_params
 from style_transfer_visualizer_tpu.ops.precision import PrecisionPolicy
 from style_transfer_visualizer_tpu.type_defs import InputPaths, SaveOptions
 from style_transfer_visualizer_tpu.utils.logging import logger
@@ -321,7 +325,8 @@ def multi_style_transfer(
             for p in style_paths
         ]
 
-        params = load_vgg19_params(
+        params = load_pretrained_params(
+            get_architecture(opt_cfg.model),
             allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
         )
         n_styles = len(style_imgs)
@@ -1144,7 +1149,8 @@ def _prepare_model_and_input(
     (``blend_targets``) feeds the unchanged step builder.
     """
     opt_cfg = config.optimization
-    params = load_vgg19_params(
+    params = load_pretrained_params(
+        get_architecture(opt_cfg.model),
         allow_random=opt_cfg.allow_random_weights,
         seed=opt_cfg.seed,
     )
@@ -1197,6 +1203,7 @@ def _prepare_model_and_input(
             if style_h * style_w_px >= AUTO_TILE_PIXEL_THRESHOLD:
                 tile_rows_style = auto_tile_rows(
                     style_h, style_w_px, tuple(opt_cfg.style_layers),
+                    table=layer_table_from_params(params),
                 )
             return compute_tiled_targets(
                 params,
@@ -1379,6 +1386,7 @@ def _prepare_spatial_model_and_input(
         style_layers=style_layers,
         content_layers=content_layers,
         precision=precision,
+        table=layer_table_from_params(params),
     )
     bundle = build_update_step(
         params,
@@ -1430,7 +1438,10 @@ def _resolve_tile_rows(
             validate_tiling,
         )
 
-        validate_tiling(height, opt_cfg.tile_rows, taps)
+        validate_tiling(
+            height, opt_cfg.tile_rows, taps,
+            get_architecture(opt_cfg.model).layer_table,
+        )
         return opt_cfg.tile_rows
     if opt_cfg.tile_rows == 0:
         # Explicit off-switch: whole-image evaluation regardless of size.
@@ -1441,7 +1452,10 @@ def _resolve_tile_rows(
         auto_tile_rows,
     )
 
-    rows = auto_tile_rows(height, width, taps)
+    rows = auto_tile_rows(
+        height, width, taps,
+        table=get_architecture(opt_cfg.model).layer_table,
+    )
     if rows is None:
         logger.warning(
             "Input is %dx%d (>= %d px) but its height admits no exact "

@@ -19,13 +19,14 @@ from typing import TYPE_CHECKING
 import jax
 import jax.numpy as jnp
 
-from style_transfer_visualizer_tpu.models.vgg19 import (
+from style_transfer_visualizer_tpu.models.arch import (
     CONV,
-    LAYER_TABLE,
     POOL,
     RELU,
-    Params,
+    LayerTable,
+    layer_table_from_params,
 )
+from style_transfer_visualizer_tpu.models.vgg19 import Params
 from style_transfer_visualizer_tpu.ops.gram import gram_apply
 from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
 from style_transfer_visualizer_tpu.ops.precision import (
@@ -106,11 +107,11 @@ def targets_maybe_blended(
     )
 
 
-def _validate_layers(indices: tuple[int, ...]) -> None:
+def _validate_layers(indices: tuple[int, ...], table: LayerTable) -> None:
     for idx in indices:
-        if not 0 <= idx < len(LAYER_TABLE):
+        if not 0 <= idx < len(table):
             msg = (
-                f"Layer index {idx} out of range 0..{len(LAYER_TABLE) - 1}"
+                f"Layer index {idx} out of range 0..{len(table) - 1}"
             )
             raise ValueError(msg)
 
@@ -118,10 +119,10 @@ def _validate_layers(indices: tuple[int, ...]) -> None:
 def _apply_layer(
     params: Params,
     idx: int,
+    kind: str,
     x: jax.Array,
     precision: PrecisionLike,
 ) -> jax.Array:
-    kind = LAYER_TABLE[idx][0]
     if kind == CONV:
         layer = params[idx]
         if "w_flip" in layer:
@@ -183,6 +184,7 @@ def _sweep(
     tap_set: frozenset[int],
     precision: PrecisionLike,
     conv_backend: str,
+    table: LayerTable,
 ) -> tuple[jax.Array, dict[int, jax.Array]]:
     """Run a contiguous layer range, fusing conv+ReLU pairs on Pallas.
 
@@ -198,12 +200,12 @@ def _sweep(
     i = 0
     while i < len(indices):
         idx = indices[i]
-        kind = LAYER_TABLE[idx][0]
+        kind = table[idx][0]
         if kind == CONV and conv_backend == "pallas":
             nxt = indices[i + 1] if i + 1 < len(indices) else None
             fuse = (
                 nxt == idx + 1
-                and LAYER_TABLE[nxt][0] == RELU
+                and table[nxt][0] == RELU
                 and idx not in tap_set
             )
             x = _pallas_conv(params, idx, x, precision, fuse)
@@ -218,7 +220,7 @@ def _sweep(
                 acts[idx] = x
             i += 1
             continue
-        x = _apply_layer(params, idx, x, precision)
+        x = _apply_layer(params, idx, kind, x, precision)
         if idx in tap_set:
             acts[idx] = x
         i += 1
@@ -251,7 +253,12 @@ def extract_features(
     """
     if not taps:
         return {}
-    _validate_layers(taps)
+    # The layer table is derived from the params pytree's static
+    # structure (models.arch), so the sweep adapts to whatever
+    # architecture's weights it is handed — VGG19, VGG16, or a tiny
+    # test stack — with no global switch.
+    table = layer_table_from_params(params)
+    _validate_layers(taps, table)
     tap_set = frozenset(taps)
     last = max(taps)
     acts: dict[int, jax.Array] = {}
@@ -259,7 +266,7 @@ def extract_features(
     if not remat:
         _, acts = _sweep(
             params, x, tuple(range(last + 1)), tap_set, precision,
-            conv_backend,
+            conv_backend, table,
         )
         return acts
 
@@ -269,7 +276,7 @@ def extract_features(
     current: list[int] = []
     for idx in range(last + 1):
         current.append(idx)
-        if idx in tap_set or LAYER_TABLE[idx][0] == POOL:
+        if idx in tap_set or table[idx][0] == POOL:
             segments.append(current)
             current = []
     # Defensive only: the loop ends at max(taps), which is itself a tap,
@@ -278,7 +285,9 @@ def extract_features(
         segments.append(current)
 
     def run_segment(seg: tuple[int, ...], params: Params, x: jax.Array):
-        return _sweep(params, x, seg, tap_set, precision, conv_backend)
+        return _sweep(
+            params, x, seg, tap_set, precision, conv_backend, table,
+        )
 
     for seg in segments:
         seg_t = tuple(seg)

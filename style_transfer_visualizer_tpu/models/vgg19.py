@@ -24,57 +24,55 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from style_transfer_visualizer_tpu.models.arch import (
+    CONV,
+    POOL,
+    RELU,
+    VGG19,
+    Architecture,
+    pools_before_in,
+)
 from style_transfer_visualizer_tpu.utils.logging import logger
 
-# Layer-type tags.
-CONV = "conv"
-RELU = "relu"
-POOL = "pool"
+# CONV/RELU/POOL are re-exported: they predate models.arch as this
+# module's public tags and tests/consumers address them as vgg19.CONV.
+__all__ = [
+    "CACHE_FILENAME",
+    "CONV",
+    "CONV_INDICES",
+    "LAYER_TABLE",
+    "NUM_LAYERS",
+    "POOL",
+    "RELU",
+    "Params",
+    "add_flipped_kernels",
+    "convert_torch_state_dict",
+    "init_random_params",
+    "load_params_npz",
+    "load_pretrained_params",
+    "load_vgg19_params",
+    "pools_before",
+    "save_params_npz",
+]
 
-# VGG-19 configuration "E": conv channel widths with 'M' max-pool markers.
-_VGG19_CFG: tuple[int | str, ...] = (
-    64, 64, "M",
-    128, 128, "M",
-    256, 256, 256, 256, "M",
-    512, 512, 512, 512, "M",
-    512, 512, 512, 512, "M",
-)
-
-
-def _build_layer_table() -> tuple[tuple[str, int, int], ...]:
-    """Expand the config into (kind, in_ch, out_ch) rows, one per index."""
-    rows: list[tuple[str, int, int]] = []
-    in_ch = 3
-    for item in _VGG19_CFG:
-        if item == "M":
-            rows.append((POOL, in_ch, in_ch))
-        else:
-            out_ch = int(item)
-            rows.append((CONV, in_ch, out_ch))
-            rows.append((RELU, out_ch, out_ch))
-            in_ch = out_ch
-    return tuple(rows)
-
-
-LAYER_TABLE = _build_layer_table()
-NUM_LAYERS = len(LAYER_TABLE)  # 37, matching torchvision indices 0..36
-CONV_INDICES = tuple(
-    i for i, (kind, _, _) in enumerate(LAYER_TABLE) if kind == CONV
-)
+# VGG19 module-level constants (the default architecture); other
+# families live in models.arch and flow through the same functions via
+# their ``arch`` parameter.
+LAYER_TABLE = VGG19.layer_table
+NUM_LAYERS = VGG19.num_layers  # 37, matching torchvision indices 0..36
+CONV_INDICES = VGG19.conv_indices
 
 
 def pools_before(idx: int) -> int:
-    """Number of 2x2 pools crossed at or before layer ``idx``.
+    """Number of 2x2 pools crossed at or before layer ``idx`` (VGG19).
 
     Spatial dims at a tap are the input dims divided by
     ``2**pools_before(idx)`` — load-bearing for Gram/content-loss
-    normalization and for spatial-sharding divisibility checks.
+    normalization and for spatial-sharding divisibility checks. For
+    other architectures use ``Architecture.pools_before`` or
+    ``arch.pools_before_in(table, idx)`` with a derived table.
     """
-    return sum(
-        1
-        for j, (kind, _, _) in enumerate(LAYER_TABLE)
-        if j <= idx and kind == POOL
-    )
+    return pools_before_in(LAYER_TABLE, idx)
 
 # Params: {layer_index: {"w": (3,3,in,out) f32, "b": (out,) f32}}
 Params = dict[int, dict[str, jax.Array]]
@@ -115,15 +113,13 @@ def add_flipped_kernels(params: Params) -> Params:
 _DEFAULT_CACHE_DIR = Path(
     os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"),
 ) / "style_transfer_visualizer_tpu"
-CACHE_FILENAME = "vgg19_imagenet.npz"
-
-# Known torchvision checkpoint locations to convert from, in order.
-_TORCH_CHECKPOINT_GLOBS = ("vgg19-*.pth", "vgg19.pth")
+CACHE_FILENAME = VGG19.cache_filename
 
 
 def init_random_params(
     key: jax.Array | int,
     dtype: jnp.dtype = jnp.float32,
+    arch: Architecture = VGG19,
 ) -> Params:
     """He-normal random conv weights (air-gapped / testing fallback).
 
@@ -137,8 +133,8 @@ def init_random_params(
         seed = int(key)
     rng = np.random.default_rng(seed)
     host: dict[int, dict[str, np.ndarray]] = {}
-    for idx in CONV_INDICES:
-        _, in_ch, out_ch = LAYER_TABLE[idx]
+    for idx in arch.conv_indices:
+        _, in_ch, out_ch = arch.layer_table[idx]
         fan_in = 3 * 3 * in_ch
         host[idx] = {
             "w": (
@@ -150,15 +146,18 @@ def init_random_params(
     return jax.device_put(host)
 
 
-def convert_torch_state_dict(state_dict: dict[str, Any]) -> Params:
-    """Convert a torchvision VGG19 ``features`` state dict to our pytree.
+def convert_torch_state_dict(
+    state_dict: dict[str, Any],
+    arch: Architecture = VGG19,
+) -> Params:
+    """Convert a torchvision VGG ``features`` state dict to our pytree.
 
     Accepts either bare ``{i}.weight`` keys (a ``.features`` submodule dump)
     or full-model ``features.{i}.weight`` keys. OIHW kernels are transposed
     to HWIO for NHWC convolution.
     """
     params: Params = {}
-    for idx in CONV_INDICES:
+    for idx in arch.conv_indices:
         found = None
         for prefix in (f"features.{idx}", f"{idx}"):
             wkey, bkey = f"{prefix}.weight", f"{prefix}.bias"
@@ -169,7 +168,7 @@ def convert_torch_state_dict(state_dict: dict[str, Any]) -> Params:
             msg = f"State dict is missing conv layer {idx}"
             raise KeyError(msg)
         w_oihw, b = (np.asarray(t, dtype=np.float32) for t in found)
-        _, in_ch, out_ch = LAYER_TABLE[idx]
+        _, in_ch, out_ch = arch.layer_table[idx]
         if w_oihw.shape != (out_ch, in_ch, 3, 3):
             msg = (
                 f"Layer {idx}: expected OIHW {(out_ch, in_ch, 3, 3)}, "
@@ -204,19 +203,26 @@ def save_params_npz(params: Params, path: Path) -> None:
 
 
 def load_params_npz(path: Path) -> Params:
-    """Load a params pytree from a flat .npz archive."""
+    """Load a params pytree from a flat .npz archive.
+
+    Conv indices come from the archive's own key set, so one loader
+    serves every architecture's cache file.
+    """
     with np.load(path) as data:
+        indices = sorted(
+            int(k[1:]) for k in data.files if k.startswith("w")
+        )
         return {
             idx: {
                 "w": jnp.asarray(data[f"w{idx}"]),
                 "b": jnp.asarray(data[f"b{idx}"]),
             }
-            for idx in CONV_INDICES
+            for idx in indices
         }
 
 
-def _find_torch_checkpoint() -> Path | None:
-    """Look for a torchvision VGG19 checkpoint in conventional cache dirs."""
+def _find_torch_checkpoint(arch: Architecture = VGG19) -> Path | None:
+    """Look for a torchvision checkpoint in conventional cache dirs."""
     candidates = []
     hub_dir = os.environ.get("TORCH_HOME")
     if hub_dir:
@@ -225,13 +231,16 @@ def _find_torch_checkpoint() -> Path | None:
     for directory in candidates:
         if not directory.is_dir():
             continue
-        for pattern in _TORCH_CHECKPOINT_GLOBS:
+        for pattern in arch.checkpoint_globs:
             for hit in sorted(directory.glob(pattern)):
                 return hit
     return None
 
 
-def _convert_checkpoint(checkpoint: Path) -> Params:
+def _convert_checkpoint(
+    checkpoint: Path,
+    arch: Architecture = VGG19,
+) -> Params:
     """Convert a torch .pth checkpoint (requires torch on the host)."""
     import torch  # noqa: PLC0415 - optional heavy dep, host-side only
 
@@ -239,8 +248,58 @@ def _convert_checkpoint(checkpoint: Path) -> Params:
     if hasattr(state, "state_dict"):  # pragma: no cover - full-model file
         state = state.state_dict()
     return convert_torch_state_dict(
-        {k: v.numpy() for k, v in state.items()},
+        {k: v.numpy() for k, v in state.items()}, arch,
     )
+
+
+def load_pretrained_params(
+    arch: Architecture,
+    cache_dir: Path | None = None,
+    *,
+    allow_random: bool = False,
+    seed: int = 0,
+) -> Params:
+    """Load pretrained feature weights for ``arch``, converting and caching.
+
+    Order: .npz cache hit -> torchvision checkpoint conversion -> seeded
+    random init (only with ``allow_random=True``; logged loudly since
+    stylization quality depends on pretrained features). Same cache-hit/
+    convert logging contract as the reference's ``initialize_vgg``
+    (core_model.py:103-117).
+    """
+    cache_dir = cache_dir or _DEFAULT_CACHE_DIR
+    cache_path = cache_dir / arch.cache_filename
+    model = arch.name.upper()
+
+    if cache_path.exists():
+        logger.info("Using cached %s weights at %s", model, cache_path)
+        return load_params_npz(cache_path)
+
+    checkpoint = _find_torch_checkpoint(arch)
+    if checkpoint is not None:
+        logger.info(
+            "Converting %s weights from %s to %s",
+            model, checkpoint, cache_path,
+        )
+        params = _convert_checkpoint(checkpoint, arch)
+        save_params_npz(params, cache_path)
+        return params
+
+    if allow_random:
+        logger.warning(
+            "Pretrained %s weights unavailable (no cache at %s, no torch "
+            "checkpoint found); using seeded random weights. Stylization "
+            "quality will be poor.",
+            model, cache_path,
+        )
+        return init_random_params(jax.random.key(seed), arch=arch)
+
+    msg = (
+        f"{model} weights not found. Place a torchvision checkpoint under "
+        f"~/.cache/torch/hub/checkpoints/ or a converted archive at "
+        f"{cache_path}, or pass allow_random=True."
+    )
+    raise FileNotFoundError(msg)
 
 
 def load_vgg19_params(
@@ -249,40 +308,7 @@ def load_vgg19_params(
     allow_random: bool = False,
     seed: int = 0,
 ) -> Params:
-    """Load pretrained VGG19 feature weights, converting and caching.
-
-    Order: .npz cache hit -> torchvision checkpoint conversion -> seeded
-    random init (only with ``allow_random=True``; logged loudly since
-    stylization quality depends on pretrained features).
-    """
-    cache_dir = cache_dir or _DEFAULT_CACHE_DIR
-    cache_path = cache_dir / CACHE_FILENAME
-
-    if cache_path.exists():
-        logger.info("Using cached VGG19 weights at %s", cache_path)
-        return load_params_npz(cache_path)
-
-    checkpoint = _find_torch_checkpoint()
-    if checkpoint is not None:
-        logger.info(
-            "Converting VGG19 weights from %s to %s", checkpoint, cache_path,
-        )
-        params = _convert_checkpoint(checkpoint)
-        save_params_npz(params, cache_path)
-        return params
-
-    if allow_random:
-        logger.warning(
-            "Pretrained VGG19 weights unavailable (no cache at %s, no torch "
-            "checkpoint found); using seeded random weights. Stylization "
-            "quality will be poor.",
-            cache_path,
-        )
-        return init_random_params(jax.random.key(seed))
-
-    msg = (
-        f"VGG19 weights not found. Place a torchvision checkpoint under "
-        f"~/.cache/torch/hub/checkpoints/ or a converted archive at "
-        f"{cache_path}, or pass allow_random=True."
+    """Load pretrained VGG19 feature weights (the default architecture)."""
+    return load_pretrained_params(
+        VGG19, cache_dir, allow_random=allow_random, seed=seed,
     )
-    raise FileNotFoundError(msg)

@@ -118,7 +118,9 @@ def gram_precision(precision: object) -> jax.lax.Precision | None:
 
 #: The pipeline-default parity tier (see module docstring for the
 #: measured rationale). Indices 0/2/5/7 are conv1_1, conv1_2, conv2_1,
-#: conv2_2 in torchvision's vgg19.features numbering.
+#: conv2_2 in torchvision's vgg19.features numbering — the first two
+#: blocks land on the same flat indices in every VGG-family config
+#: (vgg16 included), so the policy applies unchanged across backbones.
 MIXED = PrecisionPolicy(
     conv_base=jax.lax.Precision.HIGH,
     conv_overrides=(

@@ -34,11 +34,13 @@ import jax
 import jax.numpy as jnp
 
 from style_transfer_visualizer_tpu.constants import GRAM_MATRIX_CLAMP_MAX
-from style_transfer_visualizer_tpu.models.vgg19 import (
+from style_transfer_visualizer_tpu.models.arch import (
     CONV,
-    LAYER_TABLE,
-    pools_before,
+    LayerTable,
+    layer_table_from_params,
+    pools_before_in,
 )
+from style_transfer_visualizer_tpu.models.vgg19 import LAYER_TABLE
 from style_transfer_visualizer_tpu.ops.kernel_util import round_up
 from style_transfer_visualizer_tpu.ops.precision import (
     PrecisionLike,
@@ -50,23 +52,27 @@ if TYPE_CHECKING:
     from style_transfer_visualizer_tpu.models.vgg19 import Params
 
 
-def receptive_margin(taps: tuple[int, ...]) -> tuple[int, int]:
+def receptive_margin(
+    taps: tuple[int, ...],
+    table: LayerTable = LAYER_TABLE,
+) -> tuple[int, int]:
     """(margin_rows, align) for exact band tiling of the given taps.
 
     ``margin_rows`` is the receptive-field radius of the deepest tap in
     input rows — each 3x3 conv adds one row of context per side at its
     own pooling scale — rounded up to ``align = 2^pools`` so window
-    starts stay on the global pooling grid.
+    starts stay on the global pooling grid. ``table`` selects the
+    architecture's layer layout (VGG19 by default).
     """
     if not taps:
         return 0, 1
     last = max(taps)
     radius = sum(
-        2 ** pools_before(idx)
-        for idx, (kind, _, _) in enumerate(LAYER_TABLE[: last + 1])
+        2 ** pools_before_in(table, idx)
+        for idx, (kind, _, _) in enumerate(table[: last + 1])
         if kind == CONV
     )
-    align = 2 ** pools_before(last)
+    align = 2 ** pools_before_in(table, last)
     return round_up(radius, align), align
 
 
@@ -74,9 +80,10 @@ def validate_tiling(
     global_h: int,
     tile_rows: int,
     taps: tuple[int, ...],
+    table: LayerTable = LAYER_TABLE,
 ) -> None:
     """Check that ``tile_rows`` produces an exact, aligned band tiling."""
-    margin, align = receptive_margin(taps)
+    margin, align = receptive_margin(taps, table)
     if tile_rows % align != 0 or global_h % align != 0:
         msg = (
             f"Tiled evaluation needs tile_rows ({tile_rows}) and image "
@@ -105,6 +112,7 @@ def auto_tile_rows(
     taps: tuple[int, ...],
     *,
     max_band_pixels: int = 3_500_000,
+    table: LayerTable = LAYER_TABLE,
 ) -> int | None:
     """Pick a band height for auto-tiling, or None if none fits.
 
@@ -115,7 +123,7 @@ def auto_tile_rows(
     same way). Fewer bands means less margin-recompute overhead:
     measured at 4K, 3 bands of 720 run 17% faster than 5 of 432.
     """
-    margin, align = receptive_margin(taps)
+    margin, align = receptive_margin(taps, table)
     for n_tiles in range(2, 65):
         if global_h % n_tiles != 0:
             continue
@@ -149,6 +157,7 @@ def _raw_band_partials(
         extract_features,
     )
 
+    table = layer_table_from_params(params)
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = extract_features(
         params, window, taps, precision=precision,
@@ -157,7 +166,7 @@ def _raw_band_partials(
     grams: dict[int, jax.Array] = {}
     content_sq: dict[int, jax.Array] = {}
     for idx in taps:
-        scale = 2 ** pools_before(idx)
+        scale = 2 ** pools_before_in(table, idx)
         act = acts[idx]
         b, _, w_l, c = act.shape
         valid = jax.lax.dynamic_slice(
@@ -204,10 +213,11 @@ def tiled_style_content_losses(
     pass replays one band at a time instead of keeping every band's
     activations live.
     """
+    table = layer_table_from_params(params)
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     b, gh, gw, _ = x.shape
-    validate_tiling(int(gh), tile_rows, taps)
-    margin, _ = receptive_margin(taps)
+    validate_tiling(int(gh), tile_rows, taps, table)
+    margin, _ = receptive_margin(taps, table)
     window_h = tile_rows + 2 * margin
     n_tiles = int(gh) // tile_rows
 
@@ -233,7 +243,7 @@ def tiled_style_content_losses(
         new_sq = {k: sq_acc[k] + sq[k] for k in sq_acc}
         return (new_grams, new_sq), None
 
-    channels = {idx: LAYER_TABLE[idx][2] for idx in taps}
+    channels = {idx: table[idx][2] for idx in taps}
     init = (
         {
             idx: jnp.zeros((channels[idx], channels[idx]), jnp.float32)
@@ -247,7 +257,7 @@ def tiled_style_content_losses(
 
     style_losses = []
     for idx in style_layers:
-        scale = 2 ** pools_before(idx)
+        scale = 2 ** pools_before_in(table, idx)
         c = channels[idx]
         n_norm = b * (gh // scale) * (gw // scale) * c
         gram = jnp.minimum(grams_raw[idx], GRAM_MATRIX_CLAMP_MAX) / n_norm
@@ -256,7 +266,7 @@ def tiled_style_content_losses(
         )
     content_losses = []
     for idx in content_layers:
-        scale = 2 ** pools_before(idx)
+        scale = 2 ** pools_before_in(table, idx)
         n_elems = b * (gh // scale) * (gw // scale) * channels[idx]
         content_losses.append(content_sq[idx] / n_elems)
     return style_losses, content_losses
@@ -346,8 +356,9 @@ def compute_tiled_targets(
     else:
         zeros = Targets(style_grams={}, content_feats={})
         b, gh, gw, _ = style_img.shape
-        validate_tiling(int(gh), tile_rows_style, tuple(style_layers))
-        margin, _ = receptive_margin(tuple(style_layers))
+        table = layer_table_from_params(params)
+        validate_tiling(int(gh), tile_rows_style, tuple(style_layers), table)
+        margin, _ = receptive_margin(tuple(style_layers), table)
         window_h = tile_rows_style + 2 * margin
         n_tiles = int(gh) // tile_rows_style
 
@@ -366,7 +377,7 @@ def compute_tiled_targets(
             )
             return {k: carry[k] + grams[k] for k in carry}, None
 
-        channels = {idx: LAYER_TABLE[idx][2] for idx in style_layers}
+        channels = {idx: table[idx][2] for idx in style_layers}
         init = {
             idx: jnp.zeros((channels[idx], channels[idx]), jnp.float32)
             for idx in style_layers
@@ -374,7 +385,7 @@ def compute_tiled_targets(
         raw, _ = jax.lax.scan(style_band, init, jnp.arange(n_tiles))
         style_grams = {}
         for idx in style_layers:
-            scale = 2 ** pools_before(idx)
+            scale = 2 ** pools_before_in(table, idx)
             n_norm = b * (gh // scale) * (gw // scale) * channels[idx]
             style_grams[idx] = jax.lax.stop_gradient(
                 jnp.minimum(raw[idx], GRAM_MATRIX_CLAMP_MAX) / n_norm,
@@ -391,8 +402,9 @@ def compute_tiled_targets(
     else:
         b, gh, gw, _ = content_img.shape
         taps = tuple(content_layers)
-        validate_tiling(int(gh), tile_rows_content, taps)
-        margin, _ = receptive_margin(taps)
+        table = layer_table_from_params(params)
+        validate_tiling(int(gh), tile_rows_content, taps, table)
+        margin, _ = receptive_margin(taps, table)
         window_h = tile_rows_content + 2 * margin
         n_tiles = int(gh) // tile_rows_content
 
@@ -411,7 +423,7 @@ def compute_tiled_targets(
             valid_offset = i * tile_rows_content - win_start
             new_carry = {}
             for idx in taps:
-                scale = 2 ** pools_before(idx)
+                scale = 2 ** pools_before_in(table, idx)
                 act = acts[idx]
                 valid = jax.lax.dynamic_slice(
                     act,
@@ -430,9 +442,9 @@ def compute_tiled_targets(
 
         init_feats = {}
         for idx in taps:
-            scale = 2 ** pools_before(idx)
+            scale = 2 ** pools_before_in(table, idx)
             init_feats[idx] = jnp.zeros(
-                (b, gh // scale, gw // scale, LAYER_TABLE[idx][2]),
+                (b, gh // scale, gw // scale, table[idx][2]),
                 content_img.dtype,
             )
         feats, _ = jax.lax.scan(

@@ -29,13 +29,15 @@ from style_transfer_visualizer_tpu.constants import (
     MESH_AXIS_SPACE,
     MESH_AXIS_STYLE,
 )
-from style_transfer_visualizer_tpu.models.vgg19 import (
+from style_transfer_visualizer_tpu.models.arch import (
     CONV,
-    LAYER_TABLE,
     POOL,
     RELU,
-    pools_before,
+    LayerTable,
+    layer_table_from_params,
+    pools_before_in,
 )
+from style_transfer_visualizer_tpu.models.vgg19 import LAYER_TABLE
 from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
 from style_transfer_visualizer_tpu.ops.precision import (
     PrecisionLike,
@@ -56,16 +58,18 @@ def validate_shard_divisibility(
     global_h: int,
     n_space: int,
     taps: tuple[int, ...],
+    table: LayerTable = LAYER_TABLE,
 ) -> None:
     """Require per-shard heights to stay even across every pool crossed.
 
     A shard whose height goes odd at a pool silently drops a row under
     VALID pooling, diverging from single-device semantics — so this is
-    checked at build time instead.
+    checked at build time instead. ``table`` selects the architecture's
+    layer layout (VGG19 by default).
     """
     if not taps:
         return
-    max_pools = max(pools_before(idx) for idx in taps)
+    max_pools = max(pools_before_in(table, idx) for idx in taps)
     required = n_space * (2**max_pools)
     if global_h % required != 0:
         msg = (
@@ -129,11 +133,12 @@ def sharded_extract_features(
     """Per-shard activations at each tap (rows stay sharded throughout)."""
     if not taps:
         return {}
+    table = layer_table_from_params(params)
     tap_set = frozenset(taps)
     last = max(taps)
     acts: dict[int, jax.Array] = {}
     # Breaks at max(taps), never exhausts the table:
-    for idx, (kind, _, _) in enumerate(LAYER_TABLE):  # pragma: no branch
+    for idx, (kind, _, _) in enumerate(table):  # pragma: no branch
         if kind == CONV:
             layer = params[idx]
             x = _sharded_conv(
@@ -239,6 +244,7 @@ def _sharded_loss_shard_fn(
     paths fold TV into the objective without touching the style/content
     telemetry split.
     """
+    table = layer_table_from_params(params)
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = sharded_extract_features(
         params, x, taps, axis_name=axis_name, precision=precision,
@@ -249,8 +255,8 @@ def _sharded_loss_shard_fn(
     b, gh, gw, _ = global_shape
     for idx in taps:
         # Spatial dims halve at each pool crossed before this tap.
-        layer_h = gh // (2 ** pools_before(idx))
-        layer_w = gw // (2 ** pools_before(idx))
+        layer_h = gh // (2 ** pools_before_in(table, idx))
+        layer_w = gw // (2 ** pools_before_in(table, idx))
         if idx in style_layers:
             gram = sharded_gram(
                 acts[idx],
@@ -302,6 +308,7 @@ def build_sharded_loss(
         int(global_shape[1]),
         mesh.shape[axis_name],
         tuple(set(style_layers) | set(content_layers)),
+        layer_table_from_params(params),
     )
     row_spec = P(None, axis_name, None, None)
     # Style Grams replicate; content activations row-shard like the image.
@@ -350,6 +357,7 @@ def make_spatial_loss(
     precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
     tv_w: float = 0.0,
+    table: LayerTable = LAYER_TABLE,
 ):
     """Spatially-sharded loss with the single-device loss's contract.
 
@@ -357,12 +365,14 @@ def make_spatial_loss(
     content_score))`` — a drop-in for ``models.features.total_loss`` in
     the jitted step builder, with rows sharded over ``axis_name``.
     Params and targets are runtime arguments (not closure constants) so
-    the serialized HLO stays small on remote-compile backends.
+    the serialized HLO stays small on remote-compile backends; the
+    divisibility check uses ``table`` (the params arrive later).
     """
     validate_shard_divisibility(
         int(global_shape[1]),
         mesh.shape[axis_name],
         tuple(set(style_layers) | set(content_layers)),
+        table,
     )
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
         Targets,
@@ -440,16 +450,18 @@ def compute_sharded_targets(
     )
 
     taps = tuple(set(style_layers) | set(content_layers))
+    arch_table = layer_table_from_params(params)
     validate_shard_divisibility(
-        int(content_img.shape[1]), mesh.shape[axis_name], taps,
+        int(content_img.shape[1]), mesh.shape[axis_name], taps, arch_table,
     )
     validate_shard_divisibility(
-        int(style_img.shape[1]), mesh.shape[axis_name], taps,
+        int(style_img.shape[1]), mesh.shape[axis_name], taps, arch_table,
     )
     row_spec = P(None, axis_name, None, None)
     b, gh, gw, _ = content_img.shape
 
     def shard_fn(params, style, content):
+        table = layer_table_from_params(params)
         style_acts = sharded_extract_features(
             params, style, tuple(style_layers),
             axis_name=axis_name, precision=precision,
@@ -462,8 +474,8 @@ def compute_sharded_targets(
         n_space = jax.lax.axis_size(axis_name)
         grams = {}
         for idx, act in style_acts.items():
-            layer_h = (sh * n_space) // (2 ** pools_before(idx))
-            layer_w = sw // (2 ** pools_before(idx))
+            layer_h = (sh * n_space) // (2 ** pools_before_in(table, idx))
+            layer_w = sw // (2 ** pools_before_in(table, idx))
             grams[idx] = jax.lax.stop_gradient(
                 sharded_gram(
                     act, sb * layer_h * layer_w,
@@ -555,6 +567,7 @@ def build_dp_sp_update(
         int(image_shape[1]),
         n_space,
         tuple(set(style_layers) | set(content_layers)),
+        layer_table_from_params(params),
     )
     n_global = 1
     for dim in image_shape:

@@ -207,8 +207,11 @@ def stylize_sequence(
     style. The style Grams — blended or not — are computed once for
     the whole clip.
     """
+    from style_transfer_visualizer_tpu.models.arch import (  # noqa: PLC0415
+        get_architecture,
+    )
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
-        load_vgg19_params,
+        load_pretrained_params,
     )
     from style_transfer_visualizer_tpu.runtime.device import (  # noqa: PLC0415
         setup_random_seed,
@@ -221,7 +224,8 @@ def stylize_sequence(
 
     key = setup_random_seed(opt_cfg.seed)
     if params is None:
-        params = load_vgg19_params(
+        params = load_pretrained_params(
+            get_architecture(opt_cfg.model),
             allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
         )
 

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
         default=argparse.SUPPRESS,
     )
     p.add_argument(
+        "--model", choices=["vgg19", "vgg16"],
+        default=argparse.SUPPRESS,
+        help="Feature backbone (default: vgg19; see style-visualizer help)",
+    )
+    p.add_argument(
         "--lbfgs-history-size", dest="lbfgs_history_size", type=int,
         default=argparse.SUPPRESS,
         help="L-BFGS curvature-pair history length (default 100)",

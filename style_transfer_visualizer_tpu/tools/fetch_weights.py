@@ -21,12 +21,15 @@ import urllib.request
 from pathlib import Path
 
 from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.models.arch import VGG19, get_architecture
 from style_transfer_visualizer_tpu.utils.logging import logger
 
 #: torchvision's IMAGENET1K_V1 VGG19 checkpoint (the reference's
 #: weights, core_model.py:103-117). The ``dcbb9e9d`` filename infix is
 #: the SHA-256 prefix torchvision verifies on download; we check it too.
-WEIGHTS_URL = "https://download.pytorch.org/models/vgg19-dcbb9e9d.pth"
+#: Other model families carry their own URL in models.arch
+#: (``Architecture.checkpoint_url``); select with --model.
+WEIGHTS_URL = VGG19.checkpoint_url
 
 _HEX_DIGITS = set("0123456789abcdef")
 
@@ -89,8 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     parser.add_argument(
-        "--url", default=WEIGHTS_URL,
-        help="Checkpoint URL (default: torchvision IMAGENET1K_V1 VGG19)",
+        "--model", choices=["vgg19", "vgg16"], default="vgg19",
+        help="Which backbone's weights to fetch (default: vgg19)",
+    )
+    parser.add_argument(
+        "--url", default=None,
+        help=(
+            "Checkpoint URL (default: the selected model's torchvision "
+            "IMAGENET1K_V1 checkpoint)"
+        ),
     )
     parser.add_argument(
         "--checkpoint-dir",
@@ -107,19 +117,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = parser.parse_args(argv)
 
+    arch = get_architecture(args.model)
+    url = args.url or arch.checkpoint_url
     cache_dir = (
         Path(args.cache_dir) if args.cache_dir else vgg19._DEFAULT_CACHE_DIR  # noqa: SLF001
     )
-    cache_path = cache_dir / vgg19.CACHE_FILENAME
+    cache_path = cache_dir / arch.cache_filename
     if cache_path.exists() and not args.force:
         logger.info("Converted weights already cached at %s", cache_path)
         return 0
 
-    checkpoint = Path(args.checkpoint_dir) / Path(args.url).name
+    checkpoint = Path(args.checkpoint_dir) / Path(url).name
     if not checkpoint.exists() or args.force:
-        logger.info("Downloading %s -> %s", args.url, checkpoint)
+        logger.info("Downloading %s -> %s", url, checkpoint)
         try:
-            _download(args.url, checkpoint)
+            _download(url, checkpoint)
         except (urllib.error.URLError, OSError, RuntimeError) as exc:
             logger.error(
                 "Download failed (%s). On an air-gapped machine, run "
@@ -131,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         logger.info("Using existing checkpoint at %s", checkpoint)
 
-    params = vgg19._convert_checkpoint(checkpoint)  # noqa: SLF001
+    params = vgg19._convert_checkpoint(checkpoint, arch)  # noqa: SLF001
     vgg19.save_params_npz(params, cache_path)
     logger.info("Converted weights cached at %s", cache_path)
     logger.info(

@@ -293,6 +293,50 @@ class TestLbfgsDirection:
         assert cfg.optimization.lbfgs_direction == "compact"
 
 
+class TestModelSelection:
+    def test_default_is_vgg19_with_reference_layers(self) -> None:
+        cfg = OptimizationConfig.model_validate({})
+        assert cfg.model == "vgg19"
+        assert tuple(cfg.style_layers) == d.DEFAULT_STYLE_LAYERS
+        assert tuple(cfg.content_layers) == d.DEFAULT_CONTENT_LAYERS
+
+    def test_vgg16_remaps_default_layers(self) -> None:
+        cfg = OptimizationConfig.model_validate({"model": "vgg16"})
+        assert cfg.style_layers == [0, 5, 10, 17, 24]
+        assert cfg.content_layers == [19]
+
+    def test_vgg16_keeps_explicit_layers(self) -> None:
+        cfg = OptimizationConfig.model_validate(
+            {"model": "vgg16", "style_layers": [0, 2],
+             "content_layers": [7]},
+        )
+        assert cfg.style_layers == [0, 2]
+        assert cfg.content_layers == [7]
+
+    def test_unknown_model_rejected(self) -> None:
+        with pytest.raises(ValidationError):
+            OptimizationConfig.model_validate({"model": "resnet50"})
+
+    def test_cli_merge_remaps(self) -> None:
+        cfg = build_config_from_cli({"model": "vgg16"})
+        assert cfg.optimization.model == "vgg16"
+        assert cfg.optimization.style_layers == [0, 5, 10, 17, 24]
+
+    def test_cli_merge_explicit_layers_win(self) -> None:
+        cfg = build_config_from_cli(
+            {"model": "vgg16", "style_layers": "0,2",
+             "content_layers": "7"},
+        )
+        assert cfg.optimization.style_layers == [0, 2]
+        assert cfg.optimization.content_layers == [7]
+
+    def test_toml_model_remaps(self, tmp_path: Path) -> None:
+        toml = tmp_path / "c.toml"
+        toml.write_text('[optimization]\nmodel = "vgg16"\n')
+        cfg = ConfigLoader.load(str(toml))
+        assert cfg.optimization.content_layers == [19]
+
+
 def test_custom_loader_injected() -> None:
     """build_config_from_cli accepts an injected TOML loader."""
     calls = []

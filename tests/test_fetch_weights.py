@@ -61,7 +61,7 @@ def test_cache_hit_short_circuits(tmp_path: Path, monkeypatch) -> None:
 def test_download_verify_convert(tmp_path: Path, monkeypatch) -> None:
     _patch_network(monkeypatch)
     monkeypatch.setattr(
-        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+        vgg19, "_convert_checkpoint", lambda ckpt, _a=None: _tiny_params(),
     )
     ckpt_dir = tmp_path / "hub"
     cache = tmp_path / "cache"
@@ -87,7 +87,7 @@ def test_url_override_verifies_against_its_own_hash(
     payload = b"some other model's bytes"
     _patch_network(monkeypatch, payload)
     monkeypatch.setattr(
-        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+        vgg19, "_convert_checkpoint", lambda ckpt, _a=None: _tiny_params(),
     )
     rc = fetch_weights.main([
         "--url", _url_for(payload),
@@ -102,7 +102,7 @@ def test_hashless_filename_skips_verification(
 ) -> None:
     _patch_network(monkeypatch)
     monkeypatch.setattr(
-        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+        vgg19, "_convert_checkpoint", lambda ckpt, _a=None: _tiny_params(),
     )
     rc = fetch_weights.main([
         "--url", "https://example.test/models/weights.pth",
@@ -119,7 +119,7 @@ def test_non_hex_suffix_counts_as_hashless(
     """A dash suffix that isn't hex (e.g. a variant tag) is not a hash."""
     _patch_network(monkeypatch)
     monkeypatch.setattr(
-        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+        vgg19, "_convert_checkpoint", lambda ckpt, _a=None: _tiny_params(),
     )
     rc = fetch_weights.main([
         "--url", "https://example.test/models/vgg19-imagenet.pth",
@@ -143,7 +143,7 @@ def test_existing_checkpoint_skips_download(
 
     monkeypatch.setattr(fetch_weights.urllib.request, "urlopen", no_network)
     monkeypatch.setattr(
-        vgg19, "_convert_checkpoint", lambda ckpt: _tiny_params(),
+        vgg19, "_convert_checkpoint", lambda ckpt, _a=None: _tiny_params(),
     )
     cache = tmp_path / "cache"
     rc = fetch_weights.main([

@@ -505,7 +505,7 @@ class TestResolveTileRows:
         from style_transfer_visualizer_tpu.ops import tiled
 
         monkeypatch.setattr(
-            tiled, "auto_tile_rows", lambda h, w, taps: 432,
+            tiled, "auto_tile_rows", lambda h, w, taps, table=None: 432,
         )
         cfg = self._config(make_style_transfer_config, -1)
         with caplog.at_level(logging.INFO):
@@ -521,7 +521,7 @@ class TestResolveTileRows:
         from style_transfer_visualizer_tpu.ops import tiled
 
         monkeypatch.setattr(
-            tiled, "auto_tile_rows", lambda h, w, taps: None,
+            tiled, "auto_tile_rows", lambda h, w, taps, table=None: None,
         )
         cfg = self._config(make_style_transfer_config, -1)
         with caplog.at_level(logging.WARNING):
@@ -652,8 +652,8 @@ class TestPrepareModelAndInput:
 
         monkeypatch.setattr(
             stv_main,
-            "load_vgg19_params",
-            lambda **kw: vgg19.init_random_params(jax.random.key(0)),
+            "load_pretrained_params",
+            lambda *a, **kw: vgg19.init_random_params(jax.random.key(0)),
         )
         cfg = make_style_transfer_config(
             optimization={"steps": 1, "style_layers": [0],
@@ -679,8 +679,8 @@ class TestPrepareModelAndInputBranches:
 
         monkeypatch.setattr(
             stv_main,
-            "load_vgg19_params",
-            lambda **kw: vgg19.init_random_params(jax.random.key(0)),
+            "load_pretrained_params",
+            lambda *a, **kw: vgg19.init_random_params(jax.random.key(0)),
         )
 
     def test_auto_remat_over_threshold_logs(
@@ -784,8 +784,8 @@ class TestPrepareBranchDirections:
 
         monkeypatch.setattr(
             stv_main,
-            "load_vgg19_params",
-            lambda **kw: vgg19.init_random_params(jax.random.key(0)),
+            "load_pretrained_params",
+            lambda *a, **kw: vgg19.init_random_params(jax.random.key(0)),
         )
 
     def test_explicit_conv_backend_logs_nothing(

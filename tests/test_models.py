@@ -97,7 +97,7 @@ class TestParams:
         self, tmp_path, caplog, monkeypatch,
     ) -> None:
         monkeypatch.setattr(
-            vgg19, "_find_torch_checkpoint", lambda: None,
+            vgg19, "_find_torch_checkpoint", lambda _a=None: None,
         )
         vgg19.load_vgg19_params(tmp_path / "empty", allow_random=True)
         assert "seeded random weights" in caplog.text
@@ -106,7 +106,7 @@ class TestParams:
         self, tmp_path, monkeypatch,
     ) -> None:
         monkeypatch.setattr(
-            vgg19, "_find_torch_checkpoint", lambda: None,
+            vgg19, "_find_torch_checkpoint", lambda _a=None: None,
         )
         with pytest.raises(FileNotFoundError, match="VGG19 weights"):
             vgg19.load_vgg19_params(tmp_path / "empty")
@@ -123,7 +123,7 @@ class TestParams:
         ckpt = tmp_path / "vgg19-test.pth"
         torch.save(sd, ckpt)
         monkeypatch.setattr(
-            vgg19, "_find_torch_checkpoint", lambda: ckpt,
+            vgg19, "_find_torch_checkpoint", lambda _a=None: ckpt,
         )
         cache_dir = tmp_path / "cache"
         params = vgg19.load_vgg19_params(cache_dir)
@@ -143,13 +143,13 @@ def _tiny_table() -> tuple[tuple[str, int, int], ...]:
 
 
 @pytest.fixture
-def tiny_stack(monkeypatch):
-    """Patch the layer table to a tiny stack; build matched torch/JAX nets."""
-    table = _tiny_table()
-    monkeypatch.setattr(vgg19, "LAYER_TABLE", table)
-    monkeypatch.setattr(
-        "style_transfer_visualizer_tpu.models.features.LAYER_TABLE", table,
-    )
+def tiny_stack():
+    """Build matched torch/JAX tiny nets.
+
+    No table patching needed: the feature sweep derives the layer table
+    from the params pytree itself (models.arch.layer_table_from_params),
+    so handing it grammar-consistent tiny params IS the configuration.
+    """
     torch.manual_seed(0)
     convs = {
         0: torch.nn.Conv2d(3, 8, 3, padding=1),
@@ -303,8 +303,13 @@ class TestFeatureMechanics:
         assert extract_features({}, jnp.zeros((1, 8, 8, 3)), ()) == {}
 
     def test_bad_tap_index(self) -> None:
+        params = vgg19.init_random_params(jax.random.key(0))
         with pytest.raises(ValueError, match="out of range"):
-            extract_features({}, jnp.zeros((1, 8, 8, 3)), (99,))
+            extract_features(params, jnp.zeros((1, 8, 8, 3)), (99,))
+
+    def test_empty_params_rejected(self) -> None:
+        with pytest.raises(ValueError, match="empty params"):
+            extract_features({}, jnp.zeros((1, 8, 8, 3)), (0,))
 
     def test_real_vgg_tap_shapes(self) -> None:
         params = vgg19.init_random_params(jax.random.key(0))
@@ -524,7 +529,7 @@ class TestBranchDirections:
         )
 
         with pytest.raises(ValueError, match="out of range"):
-            _validate_layers((-1,))
+            _validate_layers((-1,), vgg19.LAYER_TABLE)
 
     def test_find_torch_checkpoint_exhausts_then_hits(
         self, tmp_path, monkeypatch,
