@@ -285,10 +285,14 @@ class GifFrameCollector:
             import imageio.v2 as imageio  # noqa: PLC0415
 
             self._output_path.parent.mkdir(parents=True, exist_ok=True)
+            # Modern imageio's Pillow plugin takes GIF frame duration
+            # in MILLISECONDS (matching PIL); passing seconds here
+            # silently writes 0 ms frames (viewers then substitute
+            # their own ~100 ms default, masking the wrong rate).
             with imageio.get_writer(
                 self._output_path.as_posix(),
                 mode="I",
-                duration=1.0 / float(self._fps),
+                duration=1000.0 / float(self._fps),
                 loop=0,
             ) as writer:
                 for frame_path in self._frames:

@@ -183,6 +183,97 @@ def _build_sequence_update(
     )
 
 
+def _resolve_frame_source(
+    frames_source: str | Path,
+    output_dir: Path,
+    *,
+    max_frames: int | None,
+    frame_stride: int,
+) -> tuple[list[Path], Path | None, float | None]:
+    """Frames to stylize, from a directory or a decodable clip file.
+
+    Returns ``(frames, extracted_dir, source_fps)``; ``extracted_dir``
+    is a temporary directory the caller must remove when the input was
+    a clip, and ``source_fps`` is the clip's native frame rate (None
+    for directory input).
+    """
+    from style_transfer_visualizer_tpu.media.decode import (  # noqa: PLC0415
+        extract_frames,
+        is_video_file,
+        probe_video,
+    )
+
+    if is_video_file(frames_source):
+        import tempfile  # noqa: PLC0415
+
+        info = probe_video(frames_source)
+        extracted_dir = Path(
+            tempfile.mkdtemp(prefix="_decoded_frames_", dir=output_dir),
+        )
+        frames = extract_frames(
+            frames_source, extracted_dir,
+            max_frames=max_frames, stride=frame_stride,
+        )
+        return frames, extracted_dir, info.fps
+    frames = discover_frames(frames_source)
+    if frame_stride > 1:
+        frames = frames[::frame_stride]
+    if max_frames is not None:
+        frames = frames[:max_frames]
+    if not frames:
+        msg = f"No frames left from {frames_source} after striding/capping"
+        raise ValueError(msg)
+    return frames, None, None
+
+
+def _append_png_frames(sink, frame_files: list[Path]) -> None:
+    """Feed saved PNG frames into a video sink, closing it afterward."""
+    from PIL import Image  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    try:
+        for frame_file in frame_files:
+            with Image.open(frame_file) as img:
+                sink.append_data(
+                    np.asarray(img.convert("RGB"), dtype=np.uint8),
+                )
+    finally:
+        sink.close()
+
+
+def _assemble_output_video(
+    outputs: list[Path],
+    video_path: Path,
+    fps: float,
+    config: StyleTransferConfig,
+) -> None:
+    """Encode stylized frames into ``video_path`` (.gif or .mp4)."""
+    from style_transfer_visualizer_tpu.media.encode import (  # noqa: PLC0415
+        FfmpegPipeWriter,
+        GifFrameCollector,
+    )
+
+    suffix = video_path.suffix.lower()
+    if suffix == ".gif":
+        sink = GifFrameCollector(video_path, fps)
+    elif suffix in (".mp4", ".mov", ".mkv", ".webm"):
+        # VideoConfig.fps is a bounded int; the encoder consumes the
+        # clamped value while GIFs keep the exact source rate.
+        video_cfg = config.video.model_copy(
+            update={"fps": max(1, min(60, round(fps)))},
+        )
+        sink = FfmpegPipeWriter(video_cfg, video_path)
+    else:
+        msg = (
+            f"Unsupported --output-video suffix {suffix!r} "
+            "(use .gif or .mp4/.mov/.mkv/.webm)"
+        )
+        raise ValueError(msg)
+    _append_png_frames(sink, outputs)
+    logger.info("Sequence video saved to: %s", video_path)
+
+
 def stylize_sequence(
     frames_dir: str | Path,
     style_path: str | Path,
@@ -192,13 +283,28 @@ def stylize_sequence(
     params: Params | None = None,
     assemble_gif: bool = False,
     style_blend: list[tuple[str | Path, float]] | None = None,
+    output_video: str | None = None,
+    output_fps: float | None = None,
+    max_frames: int | None = None,
+    frame_stride: int = 1,
 ) -> SequenceResult:
     """Stylize every frame in ``frames_dir`` against one style image.
 
-    Per-frame budget is ``config.optimization.steps``. Outputs are
-    written as ``stylized_{frame_stem}.png`` under ``output_dir``;
-    with ``assemble_gif`` the stylized frames are also assembled into
+    ``frames_dir`` names either a directory of frames or a video clip
+    file (GIF/WebP decode via Pillow; MP4-class containers via the
+    ffmpeg boundary — `media/decode.py`), which is decoded into a
+    temporary frame directory first. Per-frame budget is
+    ``config.optimization.steps``. Outputs are written as
+    ``stylized_{frame_stem}.png`` under ``output_dir``; with
+    ``assemble_gif`` the stylized frames are also assembled into
     ``stylized_sequence.gif`` at ``config.video.fps``.
+
+    ``output_video`` — optional clip filename (``.gif`` or an
+    ffmpeg-encodable container) assembled from the stylized frames
+    under ``output_dir`` at ``output_fps`` (default: the source clip's
+    native rate for video input, else ``config.video.fps``).
+    ``max_frames``/``frame_stride`` bound the workload: keep every
+    stride-th frame, then cap the count.
 
     ``style_blend`` — optional ``(path, weight)`` pairs covering every
     contributing style: the clip is optimized against the weighted Gram
@@ -218,9 +324,12 @@ def stylize_sequence(
     )
 
     opt_cfg = config.optimization
-    frames = discover_frames(frames_dir)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    frames, extracted_dir, source_fps = _resolve_frame_source(
+        frames_dir, output_dir,
+        max_frames=max_frames, frame_stride=frame_stride,
+    )
 
     key = setup_random_seed(opt_cfg.seed)
     if params is None:
@@ -263,6 +372,64 @@ def stylize_sequence(
         style_img, content_layers, blend_imgs,
     )
 
+    try:
+        outputs, frame_seconds, frame_losses, total_steps = _stylize_frames(
+            frames, first_content, base_targets, config,
+            update_many, init_state, run_params,
+            style_img=style_img, blend_imgs=blend_imgs,
+            key=key, model_params=params, output_dir=output_dir,
+        )
+    finally:
+        if extracted_dir is not None:
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(extracted_dir, ignore_errors=True)
+
+    if assemble_gif and outputs:
+        from style_transfer_visualizer_tpu.media.encode import (  # noqa: PLC0415
+            GifFrameCollector,
+        )
+
+        gif_path = output_dir / "stylized_sequence.gif"
+        _append_png_frames(
+            GifFrameCollector(gif_path, config.video.fps), outputs,
+        )
+        logger.info("Sequence GIF saved to: %s", gif_path)
+
+    if output_video and outputs:
+        fps = output_fps or source_fps or float(config.video.fps)
+        _assemble_output_video(
+            outputs, output_dir / output_video, fps, config,
+        )
+
+    return SequenceResult(
+        frame_paths=outputs,
+        total_steps=total_steps,
+        frame_seconds=tuple(frame_seconds),
+        frame_losses=tuple(frame_losses),
+    )
+
+
+def _stylize_frames(
+    frames: list[Path],
+    first_content,
+    base_targets,
+    config: StyleTransferConfig,
+    update_many,
+    init_state,
+    run_params,
+    *,
+    style_img,
+    blend_imgs,
+    key,
+    model_params,
+    output_dir: Path,
+) -> tuple[list[Path], list[float], list[float], int]:
+    """The per-frame warm-start loop; returns the run telemetry."""
+    opt_cfg = config.optimization
+    prec = resolve_precision(config.hardware.precision)
+    content_layers = tuple(opt_cfg.content_layers)
+    params = model_params
     outputs: list[Path] = []
     frame_seconds: list[float] = []
     frame_losses: list[float] = []
@@ -336,30 +503,4 @@ def stylize_sequence(
             out_path,
         )
 
-    if assemble_gif and outputs:
-        from PIL import Image  # noqa: PLC0415
-
-        import numpy as np  # noqa: PLC0415
-
-        from style_transfer_visualizer_tpu.media.encode import (  # noqa: PLC0415
-            GifFrameCollector,
-        )
-
-        gif_path = output_dir / "stylized_sequence.gif"
-        collector = GifFrameCollector(gif_path, config.video.fps)
-        try:
-            for frame_file in outputs:
-                with Image.open(frame_file) as img:
-                    collector.append_data(
-                        np.asarray(img.convert("RGB"), dtype=np.uint8),
-                    )
-        finally:
-            collector.close()
-        logger.info("Sequence GIF saved to: %s", gif_path)
-
-    return SequenceResult(
-        frame_paths=outputs,
-        total_steps=total_steps,
-        frame_seconds=tuple(frame_seconds),
-        frame_losses=tuple(frame_losses),
-    )
+    return outputs, frame_seconds, frame_losses, total_steps

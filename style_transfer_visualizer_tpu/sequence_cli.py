@@ -19,7 +19,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--frames", required=True, type=str,
-        help="Directory of input frames (png/jpg), processed in name order.",
+        help="Directory of input frames (png/jpg), processed in name "
+             "order — or a video clip file (.gif/.webp decode via "
+             "Pillow; .mp4/.mov/.mkv/.webm/.avi via ffmpeg), decoded "
+             "into frames first.",
     )
     p.add_argument("--style", type=str,
                    help="Path to style image")
@@ -101,8 +104,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="Assemble stylized frames into stylized_sequence.gif",
     )
     p.add_argument(
+        "--output-video", dest="output_video", type=str, default=None,
+        help="Assemble stylized frames into this clip file under the "
+             "output directory (.gif, or .mp4/.mov/.mkv/.webm with "
+             "ffmpeg on PATH). Defaults its frame rate to the source "
+             "clip's when --frames is a video file.",
+    )
+    p.add_argument(
+        "--max-frames", dest="max_frames", type=int, default=None,
+        help="Stylize at most N frames (applied after --frame-stride)",
+    )
+    p.add_argument(
+        "--frame-stride", dest="frame_stride", type=int, default=1,
+        help="Keep every Nth source frame (temporal downsampling)",
+    )
+    p.add_argument(
         "--fps", type=int, default=argparse.SUPPRESS,
-        help="Frame rate for --gif assembly (default 10)",
+        help="Frame rate for --gif/--output-video assembly (default 10; "
+             "video-file input defaults --output-video to the source "
+             "rate instead)",
     )
     p.add_argument("--config", type=str, help="Path to config.toml")
     return p
@@ -158,12 +178,20 @@ def main(argv: list[str] | None = None) -> int:
     enable_persistent_compilation_cache()
     import jax  # noqa: PLC0415
 
+    # An explicit --fps pins the assembly rate; otherwise video-file
+    # input inherits the source clip's native rate inside
+    # stylize_sequence (argparse.SUPPRESS keeps the distinction).
+    explicit_fps = vars(args).get("fps")
     device = setup_device(cfg.hardware.device)
     with jax.default_device(device):
         result = stylize_sequence(
             args.frames, style_path, cfg, cfg.output.output,
             assemble_gif=args.gif,
             style_blend=style_blend,
+            output_video=args.output_video,
+            output_fps=float(explicit_fps) if explicit_fps else None,
+            max_frames=args.max_frames,
+            frame_stride=args.frame_stride,
         )
     logger.info(
         "Sequence complete: %d frames, %d total steps.",

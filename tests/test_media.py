@@ -325,6 +325,17 @@ class TestGifCollector:
         with pytest.raises(RuntimeError, match="closed"):
             collector.append_data(sample_frame)
 
+    def test_frame_duration_encodes_fps(self, tmp_path) -> None:
+        """fps=5 must land as 200 ms GIF frames — the writer's duration
+        unit is milliseconds; seconds would silently produce 0 ms."""
+        out = tmp_path / "t.gif"
+        collector = encode.GifFrameCollector(out, fps=5)
+        for value in (0, 250):
+            collector.append_data(np.full((16, 16, 3), value, np.uint8))
+        collector.close()
+        with Image.open(out) as gif:
+            assert gif.info["duration"] == 200
+
 
 class TestSetupFunctions:
     def test_video_disabled(self, tmp_path) -> None:
