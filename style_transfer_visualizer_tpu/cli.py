@@ -147,6 +147,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "coarse warm start)."
                 ),
             }),
+            ("--preserve-color", {
+                "dest": "preserve_color",
+                "choices": ["off", "luminance", "match"],
+                "default": suppress,
+                "help": (
+                    "Keep the content image's colors (Gatys et al. "
+                    "2016): 'luminance' recombines the stylized "
+                    "luminance with the content's chrominance in every "
+                    "output (final PNG, timelapse frames); 'match' "
+                    "remaps the style image onto the content's color "
+                    "statistics before style targets are computed. "
+                    "'off' (default) inherits the style's palette."
+                ),
+            }),
             ("--lr", {"type": float, "default": suppress,
                       "help": "Learning rate"}),
             ("--init-method", {
@@ -436,6 +450,10 @@ def log_parameters(
     logger.info("Content Weight: %g", cfg.optimization.content_w)
     if cfg.optimization.tv_w:
         logger.info("TV Weight: %g", cfg.optimization.tv_w)
+    if cfg.optimization.preserve_color != "off":
+        logger.info(
+            "Color Preservation: %s", cfg.optimization.preserve_color,
+        )
     logger.info("Learning Rate: %g", cfg.optimization.lr)
     logger.info("Model: %s", cfg.optimization.model)
     logger.info("Optimizer: %s", cfg.optimization.optimizer)

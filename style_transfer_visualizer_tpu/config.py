@@ -21,6 +21,7 @@ from style_transfer_visualizer_tpu.constants import (
     VIDEO_QUALITY_MIN,
 )
 from style_transfer_visualizer_tpu.type_defs import (
+    ColorPreservation,
     ConvBackendName,
     GramBackendName,
     InitMethod,
@@ -52,6 +53,12 @@ class OptimizationConfig(_ValidatedSection):
     # (ops/tv.py), weighted into the objective. 0 (the default) matches
     # the reference's style+content-only loss.
     tv_w: float = Field(d.DEFAULT_TV_WEIGHT, ge=0)
+    # TPU-framework addition: color preservation (Gatys et al. 2016,
+    # arXiv:1606.05897). "luminance" keeps the content's chrominance in
+    # every output; "match" remaps the style image onto the content's
+    # color statistics before Gram targets are computed. "off" is the
+    # reference behavior (ops/color.py).
+    preserve_color: ColorPreservation = Field(d.DEFAULT_PRESERVE_COLOR)
     lr: float = Field(d.DEFAULT_LEARNING_RATE, gt=0)
     init_method: InitMethod = Field(d.DEFAULT_INIT_METHOD)
     seed: int = Field(d.DEFAULT_SEED, ge=0)
@@ -286,7 +293,7 @@ def _merge_optimization(
         "seed",
         "optimizer", "model", "lbfgs_max_iter", "lbfgs_max_eval",
         "lbfgs_history_size", "lbfgs_history_dtype", "lbfgs_direction",
-        "tile_rows", "coarse_steps",
+        "tile_rows", "coarse_steps", "preserve_color",
     ):
         if key in args:
             setattr(opt, key, args[key])

@@ -41,6 +41,9 @@ DEFAULT_STYLE_WEIGHT = 1e5
 DEFAULT_CONTENT_WEIGHT = 1.0
 # Total-variation weight (TPU-framework addition; 0 = reference loss).
 DEFAULT_TV_WEIGHT = 0.0
+# Color preservation (TPU-framework addition; "off" = reference
+# behavior, the output inherits the style's palette).
+DEFAULT_PRESERVE_COLOR = "off"
 DEFAULT_SEED = 0
 DEFAULT_INIT_METHOD: InitMethod = "random"
 DEFAULT_NORMALIZE = True

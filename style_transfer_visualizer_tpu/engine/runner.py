@@ -143,6 +143,7 @@ class OptimizationRunner:
         intro_last_frame: np.ndarray | None = None,
         intro_crossfade_frames: int = 0,
         frame_fetcher: Callable[[jax.Array], object] | None = None,
+        chroma_source: jax.Array | None = None,
         async_frames: bool = True,
         start_step: int = 0,
         checkpoint_path: object | None = None,
@@ -165,6 +166,10 @@ class OptimizationRunner:
         self.intro_transition_done = intro_last_frame is None
 
         self._frame_fetcher = frame_fetcher or self._default_frame_fetcher
+        # Content image in [0,1] RGB for luminance-only color
+        # preservation of timelapse frames (--preserve-color luminance);
+        # None leaves frame colors untouched.
+        self._chroma_source = chroma_source
         self._async_frames = async_frames
         self._frame_stream = None
 
@@ -255,6 +260,12 @@ class OptimizationRunner:
         prepared = stv_image_io.prepare_image_for_output(
             image, normalize=self.config.optimization.normalize,
         )
+        if self._chroma_source is not None:
+            from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+                luminance_transfer,
+            )
+
+            prepared = luminance_transfer(prepared, self._chroma_source)
         return stv_image_io.pack_uint8_frame(prepared)
 
     def _configure_logging(self) -> None:

@@ -82,6 +82,35 @@ def pil_to_array(img: Image.Image) -> np.ndarray:
     return arr
 
 
+def load_image_to_host_array(path: str | Path) -> np.ndarray:
+    """Decode and validate an image to a (1, H, W, 3) [0,1] host array.
+
+    The host stage of :func:`load_image_to_array`, exposed separately so
+    callers can apply host-side pre-transforms (e.g. the style-image
+    color matching of ``--preserve-color match``) before device
+    placement.
+    """
+    img = load_image(path)
+    validate_image_dimensions(img)
+    return pil_to_array(img)[None, ...]
+
+
+def host_array_to_device(
+    host: np.ndarray,
+    device: jax.Device | None = None,
+    *,
+    normalize: bool = False,
+) -> jax.Array:
+    """Place a (1, H, W, 3) [0,1] host array on ``device``.
+
+    Normalization (when requested) runs on the device.
+    """
+    arr = jax.device_put(jnp.asarray(host), device)
+    if normalize:
+        arr = normalize_image(arr)
+    return arr
+
+
 def load_image_to_array(
     path: str | Path,
     device: jax.Device | None = None,
@@ -94,13 +123,34 @@ def load_image_to_array(
     float32 array on ``device`` and (optionally) normalizes it there.
     No resizing or padding is performed.
     """
-    img = load_image(path)
-    validate_image_dimensions(img)
-    host = pil_to_array(img)[None, ...]
-    arr = jax.device_put(jnp.asarray(host), device)
-    if normalize:
-        arr = normalize_image(arr)
-    return arr
+    return host_array_to_device(
+        load_image_to_host_array(path), device, normalize=normalize,
+    )
+
+
+def load_style_image_to_array(
+    path: str | Path,
+    device: jax.Device | None = None,
+    *,
+    normalize: bool = False,
+    match_to: np.ndarray | None = None,
+) -> jax.Array:
+    """Load a style image, optionally color-matched to ``match_to``.
+
+    ``match_to`` — a (1, H, W, 3) [0,1] host array, typically the
+    content image — remaps the style's pixel statistics (mean + 3x3
+    covariance) onto it before device placement: the
+    ``--preserve-color match`` path, applied on the host so the
+    optimization's Gram targets already carry the content's palette.
+    """
+    host = load_image_to_host_array(path)
+    if match_to is not None:
+        from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+            match_color_distribution,
+        )
+
+        host = match_color_distribution(host, match_to)
+    return host_array_to_device(host, device, normalize=normalize)
 
 
 @jax.jit
@@ -157,9 +207,21 @@ def array_to_uint8_frame(
     x: jax.Array,
     *,
     normalize: bool,
+    chroma_source: jax.Array | None = None,
 ) -> np.ndarray:
-    """Produce a host-side HWC uint8 frame from a working image array."""
+    """Produce a host-side HWC uint8 frame from a working image array.
+
+    ``chroma_source`` (a (1, H, W, 3) [0,1] RGB array, typically the
+    content image) recolors the frame via luminance-only transfer
+    before packing — the ``--preserve-color luminance`` path.
+    """
     prepared = prepare_image_for_output(x, normalize=normalize)
+    if chroma_source is not None:
+        from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+            luminance_transfer,
+        )
+
+        prepared = luminance_transfer(prepared, chroma_source)
     return np.asarray(pack_uint8_frame(prepared))
 
 

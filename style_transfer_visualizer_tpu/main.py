@@ -98,18 +98,34 @@ def _run_on_device(
 ) -> jax.Array:
     opt_cfg = config.optimization
 
-    content_img = stv_image_io.load_image_to_array(
-        paths.content_path, normalize=opt_cfg.normalize,
+    # Color preservation (Gatys et al. 2016; ops/color.py): "match"
+    # remaps every style image onto the content's color statistics on
+    # the host before targets are computed; "luminance" leaves the
+    # optimization alone and recolors every output (frames, final PNG,
+    # return value) with the content's chrominance.
+    content_host = stv_image_io.load_image_to_host_array(paths.content_path)
+    content_img = stv_image_io.host_array_to_device(
+        content_host, normalize=opt_cfg.normalize,
     )
-    style_img = stv_image_io.load_image_to_array(
-        paths.style_path, normalize=opt_cfg.normalize,
+    match_to = (
+        content_host if opt_cfg.preserve_color == "match" else None
+    )
+    chroma_source = (
+        stv_image_io.host_array_to_device(content_host)
+        if opt_cfg.preserve_color == "luminance"
+        else None
+    )
+    style_img = stv_image_io.load_style_image_to_array(
+        paths.style_path, normalize=opt_cfg.normalize, match_to=match_to,
     )
     blend_imgs: list[tuple[jax.Array, float]] | None = None
     if style_blend:
         blend_imgs = [
             (
-                stv_image_io.load_image_to_array(
-                    blend_path, normalize=opt_cfg.normalize,
+                stv_image_io.load_style_image_to_array(
+                    blend_path,
+                    normalize=opt_cfg.normalize,
+                    match_to=match_to,
                 ),
                 float(weight),
             )
@@ -209,6 +225,7 @@ def _run_on_device(
         start_step=start_step,
         checkpoint_path=checkpoint_path,
         chunked_update_fn=bundle.chunked_update_fn,
+        chroma_source=chroma_source,
     )
     # The optimized image must survive late media failures: every sink
     # is closed even when one fails, and the final PNG is saved before
@@ -235,6 +252,7 @@ def _run_on_device(
             style_path,
             input_img,
             normalize=opt_cfg.normalize,
+            chroma_source=chroma_source,
         )
     finally:
         for sink_name, sink in (
@@ -261,6 +279,7 @@ def _run_on_device(
         and "video" not in close_errors,
         gif_created=gif_collector is not None and "gif" not in close_errors,
         plot_losses=config.output.plot_losses,
+        chroma_source=chroma_source,
     )
     stv_runtime.save_outputs(
         input_img, loss_metrics, output_path, elapsed, save_opts,
@@ -268,8 +287,15 @@ def _run_on_device(
     if close_errors:
         raise next(iter(close_errors.values()))
 
-    return stv_image_io.prepare_image_for_output(
-        input_img, normalize=opt_cfg.normalize,
+    from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+        maybe_restore_color,
+    )
+
+    return maybe_restore_color(
+        stv_image_io.prepare_image_for_output(
+            input_img, normalize=opt_cfg.normalize,
+        ),
+        chroma_source,
     )
 
 
@@ -315,12 +341,24 @@ def multi_style_transfer(
     key = stv_runtime.setup_random_seed(opt_cfg.seed)
 
     with jax.default_device(device):
-        content_img = stv_image_io.load_image_to_array(
-            content_path, normalize=opt_cfg.normalize,
+        # Same color-preservation contract as the single-run path:
+        # "match" recolors every style before its targets, "luminance"
+        # recolors every output against the one shared content image.
+        content_host = stv_image_io.load_image_to_host_array(content_path)
+        content_img = stv_image_io.host_array_to_device(
+            content_host, normalize=opt_cfg.normalize,
+        )
+        match_to = (
+            content_host if opt_cfg.preserve_color == "match" else None
+        )
+        chroma_source = (
+            stv_image_io.host_array_to_device(content_host)
+            if opt_cfg.preserve_color == "luminance"
+            else None
         )
         style_imgs = [
-            stv_image_io.load_image_to_array(
-                p, normalize=opt_cfg.normalize,
+            stv_image_io.load_style_image_to_array(
+                p, normalize=opt_cfg.normalize, match_to=match_to,
             )
             for p in style_paths
         ]
@@ -359,6 +397,7 @@ def multi_style_transfer(
             return _dp_sp_multi_style(
                 mesh, params, content_img, style_imgs, style_paths,
                 content_path, config, key,
+                chroma_source=chroma_source,
             )
 
         from style_transfer_visualizer_tpu.ops.gram import (  # noqa: PLC0415
@@ -422,11 +461,13 @@ def multi_style_transfer(
             content_name=Path(content_path).stem,
             content_path=Path(content_path),
             style_paths=[Path(p) for p in style_paths],
+            chroma_source=chroma_source,
         )
 
         saved = _save_multi_style_outputs(
             images, style_paths, content_path, output_path,
             normalize=opt_cfg.normalize,
+            chroma_source=chroma_source,
         )
         if close_errors:
             raise close_errors[0]
@@ -541,6 +582,8 @@ def _dp_sp_multi_style(
     content_path: str,
     config: StyleTransferConfig,
     key: jax.Array,
+    *,
+    chroma_source: jax.Array | None = None,
 ) -> list[Path]:
     """S styles x N row shards on one mesh (configs[2] x configs[3]).
 
@@ -655,10 +698,12 @@ def _dp_sp_multi_style(
         content_name=Path(content_path).stem,
         content_path=Path(content_path),
         style_paths=[Path(p) for p in style_paths],
+        chroma_source=chroma_source,
     )
     saved = _save_multi_style_outputs(
         images, style_paths, content_path, output_path,
         normalize=opt_cfg.normalize,
+        chroma_source=chroma_source,
     )
     if close_errors:
         raise close_errors[0]
@@ -674,6 +719,7 @@ def _append_batch_outros(
     video_sinks: list,
     *,
     normalize: bool,
+    chroma_source: jax.Array | None = None,
 ) -> None:
     """Per-style outro comparison segments for batch timelapses.
 
@@ -696,8 +742,13 @@ def _append_batch_outros(
     if not any(wanted):
         return
 
-    prepared = stv_image_io.prepare_image_for_output(
-        images, normalize=normalize,
+    from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+        maybe_restore_color,
+    )
+
+    prepared = maybe_restore_color(
+        stv_image_io.prepare_image_for_output(images, normalize=normalize),
+        chroma_source,
     )
     frames = np.asarray(stv_image_io.pack_uint8_frames_batch(prepared))
     for i, style_path in enumerate(style_paths):
@@ -736,13 +787,21 @@ def _save_multi_style_outputs(
     output_path: Path,
     *,
     normalize: bool,
+    chroma_source: jax.Array | None = None,
 ) -> list[Path]:
     """Persist one stylized PNG per style with canonical names."""
+    from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+        maybe_restore_color,
+    )
+
     content_name = Path(content_path).stem
     saved: list[Path] = []
     for i, style_path in enumerate(style_paths):
-        final = stv_image_io.prepare_image_for_output(
-            images[i], normalize=normalize,
+        final = maybe_restore_color(
+            stv_image_io.prepare_image_for_output(
+                images[i], normalize=normalize,
+            ),
+            chroma_source,
         )
         out_file = stv_runtime.stylized_image_path_from_names(
             output_path, content_name, Path(style_path).stem,
@@ -795,6 +854,7 @@ def _run_multi_style_loop(
     content_name: str = "content",
     content_path: Path | None = None,
     style_paths: list[Path] | None = None,
+    chroma_source: jax.Array | None = None,
 ):
     """The batch-mode optimization loop with the full logging contract.
 
@@ -916,10 +976,17 @@ def _run_multi_style_loop(
                 gif_options=gif_options,
             )
 
+    from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+        maybe_restore_color,
+    )
+
     def submit_frames(imgs: jax.Array) -> None:
         """Pack all styles' frames on-device; deliver off-thread."""
-        prepared = stv_image_io.prepare_image_for_output(
-            imgs, normalize=opt_cfg.normalize,
+        prepared = maybe_restore_color(
+            stv_image_io.prepare_image_for_output(
+                imgs, normalize=opt_cfg.normalize,
+            ),
+            chroma_source,
         )
         packed = stv_image_io.pack_uint8_frames_batch(prepared)
 
@@ -1085,6 +1152,7 @@ def _run_multi_style_loop(
                 config, images, content_path, style_paths,
                 gif_sinks, video_sinks,
                 normalize=opt_cfg.normalize,
+                chroma_source=chroma_source,
             )
     finally:
         with contextlib.suppress(Exception):
@@ -1488,6 +1556,7 @@ def _maybe_append_final_segments(
     input_img: jax.Array,
     *,
     normalize: bool,
+    chroma_source: jax.Array | None = None,
 ) -> None:
     """Append outro comparison frames to active sinks when configured."""
     gif_outro_requested = bool(
@@ -1499,7 +1568,7 @@ def _maybe_append_final_segments(
         return
 
     final_frame = stv_image_io.array_to_uint8_frame(
-        input_img, normalize=normalize,
+        input_img, normalize=normalize, chroma_source=chroma_source,
     )
     final_frame = np.ascontiguousarray(final_frame)
 

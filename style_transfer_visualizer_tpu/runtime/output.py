@@ -97,12 +97,16 @@ def save_outputs(
     final_path = stylized_image_path_from_names(
         output_dir, opts.content_name, opts.style_name,
     )
-    stv_image_io.save_array_as_image(
-        stv_image_io.prepare_image_for_output(
-            input_img, normalize=opts.normalize,
-        ),
-        final_path,
+    final_img = stv_image_io.prepare_image_for_output(
+        input_img, normalize=opts.normalize,
     )
+    if opts.chroma_source is not None:
+        from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+            luminance_transfer,
+        )
+
+        final_img = luminance_transfer(final_img, opts.chroma_source)
+    stv_image_io.save_array_as_image(final_img, final_path)
 
     if opts.video_created and opts.video_name:
         logger.info("Video saved to: %s", output_dir / opts.video_name)

@@ -17,6 +17,7 @@ from pathlib import Path
 from typing import TYPE_CHECKING, NamedTuple
 
 import jax
+import jax.numpy as jnp
 
 import style_transfer_visualizer_tpu.image_io as stv_image_io
 from style_transfer_visualizer_tpu.engine.optimizers import (
@@ -338,15 +339,26 @@ def stylize_sequence(
             allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
         )
 
-    style_img = stv_image_io.load_image_to_array(
-        style_path, normalize=opt_cfg.normalize,
+    # Color preservation (Gatys et al. 2016; ops/color.py): "match"
+    # remaps the style(s) onto frame 0's color statistics — the style
+    # Grams are computed once per clip, so one reference frame sets the
+    # palette; "luminance" recolors each stylized frame with its own
+    # source frame's chrominance at save time.
+    first_host = stv_image_io.load_image_to_host_array(frames[0])
+    match_to = (
+        first_host if opt_cfg.preserve_color == "match" else None
+    )
+    style_img = stv_image_io.load_style_image_to_array(
+        style_path, normalize=opt_cfg.normalize, match_to=match_to,
     )
     blend_imgs: list[tuple[jax.Array, float]] | None = None
     if style_blend:
         blend_imgs = [
             (
-                stv_image_io.load_image_to_array(
-                    blend_path, normalize=opt_cfg.normalize,
+                stv_image_io.load_style_image_to_array(
+                    blend_path,
+                    normalize=opt_cfg.normalize,
+                    match_to=match_to,
                 ),
                 float(weight),
             )
@@ -356,8 +368,8 @@ def stylize_sequence(
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)
 
-    first_content = stv_image_io.load_image_to_array(
-        frames[0], normalize=opt_cfg.normalize,
+    first_content = stv_image_io.host_array_to_device(
+        first_host, normalize=opt_cfg.normalize,
     )
     update, update_many, init_state, run_params = _build_sequence_update(
         params, tuple(first_content.shape), config,
@@ -378,6 +390,7 @@ def stylize_sequence(
             update_many, init_state, run_params,
             style_img=style_img, blend_imgs=blend_imgs,
             key=key, model_params=params, output_dir=output_dir,
+            first_host=first_host,
         )
     finally:
         if extracted_dir is not None:
@@ -424,9 +437,16 @@ def _stylize_frames(
     key,
     model_params,
     output_dir: Path,
+    first_host=None,
 ) -> tuple[list[Path], list[float], list[float], int]:
-    """The per-frame warm-start loop; returns the run telemetry."""
+    """The per-frame warm-start loop; returns the run telemetry.
+
+    ``first_host`` — frame 0 as a (1, H, W, 3) [0,1] host array — feeds
+    the ``--preserve-color luminance`` recoloring, where each stylized
+    frame keeps its OWN source frame's chrominance.
+    """
     opt_cfg = config.optimization
+    keep_luminance = opt_cfg.preserve_color == "luminance"
     prec = resolve_precision(config.hardware.precision)
     content_layers = tuple(opt_cfg.content_layers)
     params = model_params
@@ -437,13 +457,24 @@ def _stylize_frames(
     x = None
     for i, frame_path in enumerate(frames):
         frame_start = time.perf_counter()
-        content = (
-            first_content
-            if i == 0
-            else stv_image_io.load_image_to_array(
-                frame_path, normalize=opt_cfg.normalize,
+        if i == 0:
+            content_host = first_host
+            content = first_content
+        else:
+            content_host = (
+                stv_image_io.load_image_to_host_array(frame_path)
+                if keep_luminance
+                else None
             )
-        )
+            content = (
+                stv_image_io.host_array_to_device(
+                    content_host, normalize=opt_cfg.normalize,
+                )
+                if content_host is not None
+                else stv_image_io.load_image_to_array(
+                    frame_path, normalize=opt_cfg.normalize,
+                )
+            )
         if content.shape != first_content.shape:
             msg = (
                 f"Frame {frame_path.name} has shape {content.shape}; all "
@@ -493,6 +524,14 @@ def _stylize_frames(
         prepared = stv_image_io.prepare_image_for_output(
             x, normalize=opt_cfg.normalize,
         )
+        if keep_luminance and content_host is not None:
+            from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+                luminance_transfer,
+            )
+
+            prepared = luminance_transfer(
+                prepared, jnp.asarray(content_host),
+            )
         stv_image_io.save_array_as_image(prepared, out_path)
         outputs.append(out_path)
         frame_seconds.append(time.perf_counter() - frame_start)

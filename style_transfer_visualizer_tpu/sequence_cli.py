@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=argparse.SUPPRESS,
         help="Initialization for the FIRST frame (later frames warm-start)",
     )
+    p.add_argument(
+        "--preserve-color", dest="preserve_color",
+        choices=["off", "luminance", "match"],
+        default=argparse.SUPPRESS,
+        help="Keep the clip's colors: 'luminance' recolors each "
+             "stylized frame with its own source frame's chrominance; "
+             "'match' remaps the style(s) onto frame 0's color "
+             "statistics before targets (see style-visualizer --help)",
+    )
     p.add_argument("--seed", type=int, default=argparse.SUPPRESS)
     p.add_argument(
         "--coarse-steps", dest="coarse_steps", type=int,

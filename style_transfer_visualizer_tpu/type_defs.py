@@ -37,6 +37,12 @@ GramBackendName = Literal["auto", "xla", "pallas"]
 #: conv+bias+ReLU stencil kernel (TPU-framework addition).
 ConvBackendName = Literal["auto", "xla", "pallas"]
 
+#: Color-preservation schemes (Gatys et al. 2016; TPU-framework
+#: addition): "luminance" recombines stylized luminance with content
+#: chrominance on every output; "match" remaps the style image onto the
+#: content's color statistics before targets are computed.
+ColorPreservation = Literal["off", "luminance", "match"]
+
 # --- Collection aliases --------------------------------------------------
 
 #: Loss-series mapping produced by the accumulator for plotting.
@@ -78,3 +84,6 @@ class SaveOptions:
     gif_created: bool = field(default=False)
     #: Whether to render the matplotlib loss plot.
     plot_losses: bool = True
+    #: Content image in [0,1] RGB for luminance-only color
+    #: preservation of the final PNG; None leaves colors untouched.
+    chroma_source: jax.Array | None = None

@@ -339,6 +339,53 @@ class TestMultiStyleDeviceFit:
         assert len(saved) == 3
 
 
+class TestMultiStylePreserveColor:
+    """--preserve-color through the batch (multi-style) orchestrator."""
+
+    def test_luminance_outputs_keep_content_chroma(self, tmp_path) -> None:
+        import numpy as np
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+        from style_transfer_visualizer_tpu.ops.color import rgb_to_yiq
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        # Mid-range content palette: chroma assertions stay in gamut.
+        Image.new("RGB", (64, 64), (60, 150, 80)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "preserve_color": "luminance",
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        saved = multi_style_transfer(
+            str(content), [str(s1), str(s2)], cfg,
+        )
+
+        def chroma(path):
+            arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+            return np.asarray(rgb_to_yiq(arr))[..., 1:]
+
+        assert len(saved) == 2
+        for p in saved:
+            np.testing.assert_allclose(
+                chroma(p), chroma(content), atol=0.03,
+            )
+
+
 class TestMultiStyleArtifacts:
     """Batch mode keeps the logging/checkpoint contract (sans video)."""
 
@@ -1182,6 +1229,48 @@ class TestTvWeightFlag:
             argparse.Namespace(config=None),
         )
         assert "TV Weight" not in caplog.text
+
+
+class TestPreserveColorFlag:
+    def test_flag_parses_merges_and_is_echoed(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        args = _parse([
+            "--content", "c.png", "--style", "s.png",
+            "--preserve-color", "luminance",
+        ])
+        cfg = build_config_from_cli(vars(args))
+        assert cfg.optimization.preserve_color == "luminance"
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        assert "Color Preservation: luminance" in caplog.text
+
+    def test_default_is_off_and_unlogged(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        args = _parse(["--content", "c.png", "--style", "s.png"])
+        cfg = build_config_from_cli(vars(args))
+        assert cfg.optimization.preserve_color == "off"
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        assert "Color Preservation" not in caplog.text
+
+    def test_rejects_unknown_scheme(self) -> None:
+        with pytest.raises(SystemExit):
+            _parse([
+                "--content", "c.png", "--style", "s.png",
+                "--preserve-color", "sepia",
+            ])
 
 
 def test_styles_with_only_whitespace_segments_exits() -> None:

@@ -144,3 +144,66 @@ def test_save_falls_back_to_numpy_without_native(
     with Image.open(path) as im:
         assert im.size == (4, 4)
         assert im.getpixel((0, 0)) == (128, 128, 128)
+
+
+class TestStyleLoadingAndChroma:
+    """Color-preservation hooks in the I/O layer (ops/color.py callers)."""
+
+    def test_load_style_matches_content_palette(
+        self, make_image_file,
+    ) -> None:
+        style_path = make_image_file("s.png", (64, 64), (0, 0, 200))
+        content = np.full((1, 64, 64, 3), 0.0, dtype=np.float32)
+        content[..., 1] = 0.7  # solid green palette
+        arr = image_io.load_style_image_to_array(
+            str(style_path), match_to=content,
+        )
+        # A solid style matched onto a solid palette collapses to the
+        # content's mean color.
+        np.testing.assert_allclose(
+            np.asarray(arr).mean(axis=(0, 1, 2)), [0.0, 0.7, 0.0],
+            atol=1e-2,
+        )
+
+    def test_load_style_without_match_is_plain_load(
+        self, make_image_file,
+    ) -> None:
+        style_path = make_image_file("s.png", (64, 64), (0, 0, 200))
+        plain = image_io.load_image_to_array(str(style_path))
+        loaded = image_io.load_style_image_to_array(str(style_path))
+        np.testing.assert_allclose(
+            np.asarray(loaded), np.asarray(plain), atol=0,
+        )
+
+    def test_frame_packing_with_chroma_source(self) -> None:
+        from style_transfer_visualizer_tpu.ops.color import rgb_to_yiq
+
+        rng = np.random.default_rng(0)
+        stylized = jnp.asarray(
+            0.25 + 0.5 * rng.random((1, 8, 8, 3)), dtype=jnp.float32,
+        )
+        chroma = jnp.asarray(
+            0.25 + 0.5 * rng.random((1, 8, 8, 3)), dtype=jnp.float32,
+        )
+        frame = image_io.array_to_uint8_frame(
+            stylized, normalize=False, chroma_source=chroma,
+        )
+        assert frame.shape == (8, 8, 3)
+        assert frame.dtype == np.uint8
+        out_iq = np.asarray(rgb_to_yiq(frame.astype(np.float32) / 255.0))
+        src_iq = np.asarray(rgb_to_yiq(chroma))[0]
+        np.testing.assert_allclose(
+            out_iq[..., 1:], src_iq[..., 1:], atol=0.01,
+        )
+
+    def test_frame_packing_without_chroma_is_unchanged(self) -> None:
+        x = jnp.asarray(
+            np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32).reshape(
+                1, 8, 8, 3,
+            ),
+        )
+        plain = image_io.array_to_uint8_frame(x, normalize=False)
+        same = image_io.array_to_uint8_frame(
+            x, normalize=False, chroma_source=None,
+        )
+        np.testing.assert_array_equal(plain, same)

@@ -47,6 +47,7 @@ def patched_pipeline(monkeypatch):
     def fake_prepare(content_img, style_img, config, key, blend_imgs=None):
         recorded["input_shape"] = tuple(content_img.shape)
         recorded["blend_imgs"] = blend_imgs
+        recorded["style_img"] = jnp.array(style_img)
         return _fake_bundle(content_img.shape), jnp.array(content_img)
 
     monkeypatch.setattr(
@@ -192,6 +193,110 @@ class TestStyleTransferOrchestration:
         object.__setattr__(cfg.video, "quality", 99)  # bypass validation
         with pytest.raises(ValueError, match="quality"):
             stv_main.style_transfer(make_input_paths(), cfg)
+
+
+class TestPreserveColor:
+    """--preserve-color wiring through the single-run orchestrator."""
+
+    @staticmethod
+    def _chroma(rgb) -> np.ndarray:
+        from style_transfer_visualizer_tpu.ops.color import rgb_to_yiq
+
+        return np.asarray(rgb_to_yiq(jnp.asarray(rgb)))[..., 1:]
+
+    def test_luminance_result_keeps_content_chroma(
+        self, patched_pipeline, make_input_paths, make_style_transfer_config,
+    ) -> None:
+        paths = make_input_paths()
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "preserve_color": "luminance"},
+            video={"create_video": False},
+        )
+        result = stv_main.style_transfer(paths, cfg)
+        import style_transfer_visualizer_tpu.image_io as stv_image_io
+
+        content = stv_image_io.load_image_to_host_array(paths.content_path)
+        # Solid-green content: the stylized output must carry its
+        # chrominance (up to gamut clipping at the [0,1] boundary).
+        np.testing.assert_allclose(
+            self._chroma(result), self._chroma(content), atol=0.02,
+        )
+
+    def test_luminance_recolors_saved_png_and_frames(
+        self, patched_pipeline, make_input_paths, make_style_transfer_config,
+        tmp_path,
+    ) -> None:
+        paths = make_input_paths()
+        out_dir = tmp_path / "out_lum"
+        cfg = make_style_transfer_config(
+            output={"output": str(out_dir)},
+            optimization={"steps": 2, "preserve_color": "luminance"},
+            video={"create_video": False, "create_gif": True,
+                   "save_every": 1, "gif_include_intro": False,
+                   "gif_include_outro": False,
+                   "final_frame_compare": False},
+        )
+        stv_main.style_transfer(paths, cfg)
+        import style_transfer_visualizer_tpu.image_io as stv_image_io
+
+        content = stv_image_io.load_image_to_host_array(paths.content_path)
+        png = stv_image_io.load_image_to_host_array(
+            out_dir / "stylized_content_x_style.png",
+        )
+        np.testing.assert_allclose(
+            self._chroma(png), self._chroma(content), atol=0.03,
+        )
+        gif = patched_pipeline["writers"]["gif"]
+        assert len(gif.frames) == 2
+        frame = gif.frames[-1].astype(np.float32) / 255.0
+        np.testing.assert_allclose(
+            self._chroma(frame), self._chroma(content[0]), atol=0.03,
+        )
+
+    def test_match_remaps_style_onto_content_palette(
+        self, patched_pipeline, make_input_paths, make_style_transfer_config,
+    ) -> None:
+        paths = make_input_paths()
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "preserve_color": "match", "normalize": False,
+            },
+            video={"create_video": False},
+        )
+        stv_main.style_transfer(paths, cfg)
+        import style_transfer_visualizer_tpu.image_io as stv_image_io
+
+        content = stv_image_io.load_image_to_host_array(paths.content_path)
+        # Solid-blue style matched onto solid-green content collapses to
+        # the content's mean color: the targets see the content palette.
+        style_seen = np.asarray(patched_pipeline["style_img"])
+        np.testing.assert_allclose(
+            style_seen.mean(axis=(0, 1, 2)),
+            content.mean(axis=(0, 1, 2)),
+            atol=1e-2,
+        )
+
+    def test_off_leaves_style_and_result_untouched(
+        self, patched_pipeline, make_input_paths, make_style_transfer_config,
+    ) -> None:
+        paths = make_input_paths()
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1, "normalize": False},
+            video={"create_video": False},
+        )
+        result = stv_main.style_transfer(paths, cfg)
+        import style_transfer_visualizer_tpu.image_io as stv_image_io
+
+        style = stv_image_io.load_image_to_host_array(paths.style_path)
+        np.testing.assert_allclose(
+            np.asarray(patched_pipeline["style_img"]), style, atol=1e-6,
+        )
+        # Off: result keeps the (scaled) content colors verbatim — no
+        # chroma substitution happened.
+        content = stv_image_io.load_image_to_host_array(paths.content_path)
+        np.testing.assert_allclose(
+            np.asarray(result), content * 0.99, atol=1e-5,
+        )
 
 
 class FailingCloseWriter(StubWriter):

@@ -398,3 +398,96 @@ class TestSequenceBlendCli:
                 "--styles", f"{style_file},{s2}",
                 "--style-blend", "1,1",
             ])
+
+
+class TestSequencePreserveColor:
+    """--preserve-color through the frame-sequence pipeline."""
+
+    @pytest.fixture
+    def color_frames(self, tmp_path: Path) -> Path:
+        d = tmp_path / "cframes"
+        d.mkdir()
+        # Distinct mid-range palettes so per-frame chroma assertions
+        # stay inside the [0,1] gamut (no clipping noise).
+        Image.new("RGB", (64, 64), (40, 160, 60)).save(d / "f0.png")
+        Image.new("RGB", (64, 64), (150, 70, 40)).save(d / "f1.png")
+        return d
+
+    @staticmethod
+    def _chroma(path: Path) -> np.ndarray:
+        from style_transfer_visualizer_tpu.ops.color import rgb_to_yiq
+
+        arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+        return np.asarray(rgb_to_yiq(arr))[..., 1:]
+
+    def test_luminance_keeps_each_frames_own_chroma(
+        self, color_frames, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "content",
+                "preserve_color": "luminance",
+            },
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        result = seq.stylize_sequence(
+            color_frames, style_file, cfg, tmp_path / "lum", params=params,
+        )
+        assert len(result.frame_paths) == 2
+        for out_path, src_name in zip(result.frame_paths, ["f0", "f1"]):
+            np.testing.assert_allclose(
+                self._chroma(out_path),
+                self._chroma(color_frames / f"{src_name}.png"),
+                atol=0.03,
+            )
+
+    def test_match_alters_frames_vs_off(
+        self, color_frames, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        params = vgg19.init_random_params(jax.random.key(0))
+
+        def run(mode: str, name: str):
+            cfg = make_style_transfer_config(
+                optimization={
+                    "steps": 2, "optimizer": "adam", "lr": 0.05,
+                    "style_layers": [0], "content_layers": [2],
+                    "init_method": "content", "preserve_color": mode,
+                },
+            )
+            return seq.stylize_sequence(
+                color_frames, style_file, cfg, tmp_path / name,
+                params=params,
+            )
+
+        plain = run("off", "plain")
+        matched = run("match", "matched")
+        with Image.open(plain.frame_paths[0]) as ia, \
+                Image.open(matched.frame_paths[0]) as ib:
+            assert not np.array_equal(np.asarray(ia), np.asarray(ib))
+
+    def test_cli_accepts_preserve_color(
+        self, color_frames, style_file, monkeypatch, tmp_path,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        seen: dict = {}
+
+        def fake_stylize(frames, style, cfg, out_dir, **kwargs):
+            seen["preserve_color"] = cfg.optimization.preserve_color
+            return seq.SequenceResult(
+                frame_paths=[], total_steps=0,
+                frame_seconds=(), frame_losses=(),
+            )
+
+        monkeypatch.setattr(sequence_cli, "stylize_sequence", fake_stylize)
+        rc = sequence_cli.main([
+            "--frames", str(color_frames),
+            "--style", str(style_file),
+            "--output", str(tmp_path / "o"),
+            "--preserve-color", "luminance",
+            "--device", "cpu",
+        ])
+        assert rc == 0
+        assert seen["preserve_color"] == "luminance"
