@@ -63,6 +63,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "intro/outro panels show the highest-weight style."
                 ),
             }),
+            ("--blend-sweep", {
+                "dest": "blend_sweep", "type": int, "default": None,
+                "help": (
+                    "Render an N-frame morph animation across the "
+                    "--styles list (piecewise-linear blend-weight "
+                    "traversal, each frame a converged stylization "
+                    "warm-started from the previous one). Frames save "
+                    "as sweep_NNNN.png plus a "
+                    "blend_sweep_{c}_x_{s1+s2}.gif at the --fps rate. "
+                    "Incompatible with --style-blend (the sweep "
+                    "generates its own weights)."
+                ),
+            }),
+            ("--sweep-steps", {
+                "dest": "sweep_steps", "type": int, "default": None,
+                "help": (
+                    "Per-frame step budget for blend-sweep frames after "
+                    "the first (default: --steps). Warm starts converge "
+                    "well below the cold budget, so a smaller value is "
+                    "the sweep's main throughput lever."
+                ),
+            }),
         ],
         "output": [
             ("--output", {"type": str, "help": "Output directory",
@@ -543,6 +565,16 @@ def run_from_args(args: argparse.Namespace) -> None:
     ):
         msg = "--style-blend requires --styles (the images to blend)"
         raise SystemExit(msg)
+    if getattr(args, "blend_sweep", None) is not None:
+        if getattr(args, "style_blend", None):
+            msg = (
+                "--blend-sweep is incompatible with --style-blend "
+                "(the sweep generates its own per-frame weights)"
+            )
+            raise SystemExit(msg)
+        if not getattr(args, "styles", None):
+            msg = "--blend-sweep requires --styles (>= 2 images to morph)"
+            raise SystemExit(msg)
 
     if getattr(args, "styles", None):
         style_paths = [
@@ -551,6 +583,9 @@ def run_from_args(args: argparse.Namespace) -> None:
         if not style_paths:
             msg = "--styles was given but contains no paths"
             raise SystemExit(msg)
+        if getattr(args, "blend_sweep", None) is not None:
+            _run_blend_sweep(args, cfg, style_paths)
+            return
         if getattr(args, "style_blend", None):
             style_blend = _parse_blend_weights(
                 args.style_blend, style_paths,
@@ -605,6 +640,32 @@ def _parse_blend_weights(
         msg = "--style-blend weights must not all be zero"
         raise SystemExit(msg)
     return [(p, w / total) for p, w in zip(style_paths, weights)]
+
+
+def _run_blend_sweep(
+    args: argparse.Namespace,
+    cfg: stv_config.StyleTransferConfig,
+    style_paths: list[str],
+) -> None:
+    """N-frame morph animation across the style list (blend sweep)."""
+    from style_transfer_visualizer_tpu.blend_sweep import (  # noqa: PLC0415
+        stylize_blend_sweep,
+    )
+
+    logger.info(
+        "Blend sweep: content=%s styles=%s frames=%d",
+        args.content, style_paths, args.blend_sweep,
+    )
+    result = stylize_blend_sweep(
+        args.content, list(style_paths), cfg,
+        n_frames=args.blend_sweep,
+        sweep_steps=getattr(args, "sweep_steps", None),
+    )
+    logger.info(
+        "Blend sweep finished: %d frames, %d total steps%s",
+        len(result.frame_paths), result.total_steps,
+        f", animation at {result.video_path}" if result.video_path else "",
+    )
 
 
 def _run_blended(

@@ -102,7 +102,7 @@ def discover_frames(frames_dir: str | Path) -> list[Path]:
     return frames
 
 
-def _build_sequence_update(
+def build_targets_update(
     params: Params,
     image_shape: tuple[int, ...],
     cfg: StyleTransferConfig,
@@ -110,7 +110,9 @@ def _build_sequence_update(
     """Jitted ``(x, opt_state, targets) -> (x, opt_state, aux)``.
 
     Targets flow in as arguments so every frame hits the same compiled
-    executable.
+    executable — the compilation discipline shared by the sequence
+    pipeline (per-frame content targets) and the blend sweep
+    (per-frame style-Gram mixtures, blend_sweep.py).
     """
     opt_cfg = cfg.optimization
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
@@ -243,7 +245,7 @@ def _append_png_frames(sink, frame_files: list[Path]) -> None:
         sink.close()
 
 
-def _assemble_output_video(
+def assemble_output_video(
     outputs: list[Path],
     video_path: Path,
     fps: float,
@@ -371,7 +373,7 @@ def stylize_sequence(
     first_content = stv_image_io.host_array_to_device(
         first_host, normalize=opt_cfg.normalize,
     )
-    update, update_many, init_state, run_params = _build_sequence_update(
+    update, update_many, init_state, run_params = build_targets_update(
         params, tuple(first_content.shape), config,
     )
 
@@ -411,7 +413,7 @@ def stylize_sequence(
 
     if output_video and outputs:
         fps = output_fps or source_fps or float(config.video.fps)
-        _assemble_output_video(
+        assemble_output_video(
             outputs, output_dir / output_video, fps, config,
         )
 

@@ -1,0 +1,187 @@
+"""Blend-sweep morph animation: weights, pipeline, and CLI contract.
+
+The reference supports one style per run (core_model.py:218-232);
+``--blend-sweep`` is a TPU-framework capability that renders an N-frame
+morph across the style list, one converged stylization per frame,
+warm-started frame to frame against per-frame blended Gram targets.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import style_transfer_visualizer_tpu.cli as stv_cli
+from style_transfer_visualizer_tpu.blend_sweep import (
+    stylize_blend_sweep,
+    sweep_weights,
+)
+
+
+class TestSweepWeights:
+    def test_endpoints_are_pure_styles(self) -> None:
+        rows = sweep_weights(2, 5)
+        assert rows[0] == [1.0, 0.0]
+        assert rows[-1] == [0.0, 1.0]
+
+    def test_rows_are_convex_combinations(self) -> None:
+        for n_styles, n_frames in ((2, 2), (2, 7), (3, 9), (4, 5)):
+            for row in sweep_weights(n_styles, n_frames):
+                assert len(row) == n_styles
+                assert all(w >= 0 for w in row)
+                assert sum(row) == pytest.approx(1.0)
+                assert sum(1 for w in row if w > 0) <= 2
+
+    def test_traversal_passes_through_every_style(self) -> None:
+        """With frames-1 divisible by styles-1, interior styles appear
+        as pure frames at the segment boundaries."""
+        rows = sweep_weights(3, 5)
+        assert rows[0] == [1.0, 0.0, 0.0]
+        assert rows[2] == pytest.approx([0.0, 1.0, 0.0])
+        assert rows[4] == [0.0, 0.0, 1.0]
+
+    def test_two_frames_is_a_hard_cut(self) -> None:
+        assert sweep_weights(3, 2) == [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+
+    def test_bad_counts_rejected(self) -> None:
+        with pytest.raises(ValueError, match="at least 2 styles"):
+            sweep_weights(1, 4)
+        with pytest.raises(ValueError, match="at least 2 frames"):
+            sweep_weights(2, 1)
+
+
+def _sweep_config(tmp_path, **opt_overrides):
+    from style_transfer_visualizer_tpu.config import StyleTransferConfig
+
+    return StyleTransferConfig.model_validate({
+        "optimization": {
+            "steps": 2, "optimizer": "adam", "lr": 0.1,
+            "allow_random_weights": True, **opt_overrides,
+        },
+        "video": {"final_only": True, "fps": 5},
+        "hardware": {"device": "cpu"},
+        "output": {"output": str(tmp_path / "out"), "plot_losses": False},
+    })
+
+
+class TestStylizeBlendSweep:
+    def test_frames_and_gif_produced(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_blend_sweep(
+            content_image, [style_image, other],
+            _sweep_config(tmp_path), n_frames=3, sweep_steps=1,
+        )
+        assert [p.name for p in result.frame_paths] == [
+            "sweep_0000.png", "sweep_0001.png", "sweep_0002.png",
+        ]
+        assert all(p.exists() for p in result.frame_paths)
+        assert result.video_path is not None
+        assert result.video_path.name == (
+            f"blend_sweep_{content_image.stem}_x_"
+            f"{style_image.stem}+other.gif"
+        )
+        assert result.video_path.exists()
+        # Frame 0 pays the full cold budget; later frames the sweep one.
+        assert result.total_steps == 2 + 1 + 1
+        assert len(result.frame_seconds) == 3
+        assert len(result.frame_losses) == 3
+        assert all(np.isfinite(loss) for loss in result.frame_losses)
+
+    def test_sweep_steps_defaults_to_full_budget(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_blend_sweep(
+            content_image, [style_image, other],
+            _sweep_config(tmp_path), n_frames=2,
+        )
+        assert result.total_steps == 4
+
+    def test_luminance_color_preservation_composes(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_blend_sweep(
+            content_image, [style_image, other],
+            _sweep_config(tmp_path, preserve_color="luminance"),
+            n_frames=2, sweep_steps=1,
+        )
+        assert all(p.exists() for p in result.frame_paths)
+
+    def test_match_color_preservation_composes(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_blend_sweep(
+            content_image, [style_image, other],
+            _sweep_config(tmp_path, preserve_color="match"),
+            n_frames=2, sweep_steps=1,
+        )
+        assert all(p.exists() for p in result.frame_paths)
+
+    def test_single_style_rejected(
+        self, tmp_path, content_image, style_image,
+    ) -> None:
+        with pytest.raises(ValueError, match="at least 2 --styles"):
+            stylize_blend_sweep(
+                content_image, [style_image],
+                _sweep_config(tmp_path), n_frames=3,
+            )
+
+    def test_zero_sweep_steps_rejected(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        with pytest.raises(ValueError, match="sweep_steps must be >= 1"):
+            stylize_blend_sweep(
+                content_image, [style_image, other],
+                _sweep_config(tmp_path), n_frames=3, sweep_steps=0,
+            )
+
+
+class TestBlendSweepCli:
+    def _parse(self, argv):
+        return stv_cli.build_arg_parser().parse_args(argv)
+
+    def test_requires_styles(self) -> None:
+        args = self._parse([
+            "--content", "c.png", "--style", "s.png", "--blend-sweep", "4",
+        ])
+        with pytest.raises(SystemExit, match="requires --styles"):
+            stv_cli.run_from_args(args)
+
+    def test_incompatible_with_style_blend(self) -> None:
+        args = self._parse([
+            "--content", "c.png", "--styles", "a.png,b.png",
+            "--style-blend", "1,1", "--blend-sweep", "4",
+        ])
+        with pytest.raises(SystemExit, match="incompatible"):
+            stv_cli.run_from_args(args)
+
+    def test_dispatches_to_sweep(self, monkeypatch, tmp_path) -> None:
+        calls: dict = {}
+
+        def fake_sweep(content, styles, cfg, *, n_frames, sweep_steps):
+            calls.update(
+                content=content, styles=styles,
+                n_frames=n_frames, sweep_steps=sweep_steps,
+            )
+            from style_transfer_visualizer_tpu.blend_sweep import (
+                BlendSweepResult,
+            )
+
+            return BlendSweepResult([], None, 0)
+
+        import style_transfer_visualizer_tpu.blend_sweep as sweep_mod
+
+        monkeypatch.setattr(sweep_mod, "stylize_blend_sweep", fake_sweep)
+        args = self._parse([
+            "--content", "c.png", "--styles", "a.png,b.png",
+            "--blend-sweep", "6", "--sweep-steps", "3",
+        ])
+        stv_cli.run_from_args(args)
+        assert calls == {
+            "content": "c.png", "styles": ["a.png", "b.png"],
+            "n_frames": 6, "sweep_steps": 3,
+        }
