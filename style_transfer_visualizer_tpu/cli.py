@@ -63,6 +63,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "intro/outro panels show the highest-weight style."
                 ),
             }),
+            ("--style-masks", {
+                "dest": "style_masks", "type": str, "default": None,
+                "help": (
+                    "Comma-separated grayscale mask paths, one per "
+                    "--styles entry: regional style transfer (Gatys et "
+                    "al. 2017 spatial control) — each style's Gram loss "
+                    "is restricted to its masked region, so one "
+                    "stylization paints different regions with "
+                    "different styles. Masks resize to the content's "
+                    "dims and normalize to a pixelwise partition; "
+                    "output is regional_{c}_x_{s1+s2}.png."
+                ),
+            }),
             ("--blend-sweep", {
                 "dest": "blend_sweep", "type": int, "default": None,
                 "help": (
@@ -575,6 +588,19 @@ def run_from_args(args: argparse.Namespace) -> None:
         if not getattr(args, "styles", None):
             msg = "--blend-sweep requires --styles (>= 2 images to morph)"
             raise SystemExit(msg)
+    if getattr(args, "style_masks", None):
+        if not getattr(args, "styles", None):
+            msg = "--style-masks requires --styles (one image per mask)"
+            raise SystemExit(msg)
+        if getattr(args, "style_blend", None) or (
+            getattr(args, "blend_sweep", None) is not None
+        ):
+            msg = (
+                "--style-masks is incompatible with --style-blend/"
+                "--blend-sweep (regional masks already assign styles "
+                "to regions)"
+            )
+            raise SystemExit(msg)
 
     if getattr(args, "styles", None):
         style_paths = [
@@ -583,6 +609,9 @@ def run_from_args(args: argparse.Namespace) -> None:
         if not style_paths:
             msg = "--styles was given but contains no paths"
             raise SystemExit(msg)
+        if getattr(args, "style_masks", None):
+            _run_regional(args, cfg, style_paths)
+            return
         if getattr(args, "blend_sweep", None) is not None:
             _run_blend_sweep(args, cfg, style_paths)
             return
@@ -640,6 +669,32 @@ def _parse_blend_weights(
         msg = "--style-blend weights must not all be zero"
         raise SystemExit(msg)
     return [(p, w / total) for p, w in zip(style_paths, weights)]
+
+
+def _run_regional(
+    args: argparse.Namespace,
+    cfg: stv_config.StyleTransferConfig,
+    style_paths: list[str],
+) -> None:
+    """Masked regional transfer: one style per masked region."""
+    from style_transfer_visualizer_tpu.regional import (  # noqa: PLC0415
+        stylize_regional,
+    )
+
+    mask_paths = [
+        m.strip() for m in args.style_masks.split(",") if m.strip()
+    ]
+    logger.info(
+        "Regional transfer: content=%s styles=%s masks=%s",
+        args.content, style_paths, mask_paths,
+    )
+    result = stylize_regional(
+        args.content, list(style_paths), mask_paths, cfg,
+    )
+    logger.info(
+        "Regional transfer finished in %.2fs (final loss %.4g): %s",
+        result.elapsed_seconds, result.final_loss, result.output_path,
+    )
 
 
 def _run_blend_sweep(

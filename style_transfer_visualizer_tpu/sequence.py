@@ -106,13 +106,19 @@ def build_targets_update(
     params: Params,
     image_shape: tuple[int, ...],
     cfg: StyleTransferConfig,
+    loss_fn=None,
 ):
     """Jitted ``(x, opt_state, targets) -> (x, opt_state, aux)``.
 
     Targets flow in as arguments so every frame hits the same compiled
     executable — the compilation discipline shared by the sequence
-    pipeline (per-frame content targets) and the blend sweep
-    (per-frame style-Gram mixtures, blend_sweep.py).
+    pipeline (per-frame content targets), the blend sweep (per-frame
+    style-Gram mixtures, blend_sweep.py), and regional masked transfer
+    (regional.py).
+
+    ``loss_fn(params, image, targets) -> (total, aux)`` overrides the
+    standard style+content(+TV) objective; ``targets`` may then be any
+    pytree the caller threads through (e.g. ``RegionalTargets``).
     """
     opt_cfg = cfg.optimization
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
@@ -127,13 +133,12 @@ def build_targets_update(
     for dim in image_shape:
         n *= int(dim)
 
-    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
-        total_loss,
-    )
+    if loss_fn is None:
+        from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+            total_loss,
+        )
 
-    def vag_with_targets(flat: jax.Array, p: Params, targets: Targets):
-        def loss_of(flat_x: jax.Array):
-            img = flat_x.reshape(image_shape)
+        def loss_fn(p: Params, img: jax.Array, targets: Targets):
             total, aux = total_loss(
                 p, img, targets, opt_cfg.style_w, opt_cfg.content_w,
                 style_layers, content_layers, prec,
@@ -145,6 +150,10 @@ def build_targets_update(
 
                 total = total + opt_cfg.tv_w * tv_loss(img)
             return total, aux
+
+    def vag_with_targets(flat: jax.Array, p: Params, targets):
+        def loss_of(flat_x: jax.Array):
+            return loss_fn(p, flat_x.reshape(image_shape), targets)
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
 

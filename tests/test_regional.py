@@ -1,0 +1,256 @@
+"""Regional masked style transfer: masks, masked Gram, pipeline, CLI.
+
+The reference supports one style per run and no spatial control
+(core_model.py:218-232); ``--style-masks`` adds Gatys et al. 2017
+spatial style control via mask-weighted Gram statistics.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+import style_transfer_visualizer_tpu.cli as stv_cli
+from style_transfer_visualizer_tpu.ops.gram import gram_apply
+from style_transfer_visualizer_tpu.regional import (
+    RegionalResult,
+    load_region_masks,
+    masked_gram,
+    stylize_regional,
+)
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+def _save_mask(path, array01) -> None:
+    Image.fromarray(
+        (np.asarray(array01) * 255).astype(np.uint8),
+    ).save(path)
+
+
+class TestLoadRegionMasks:
+    def test_partition_sums_to_one(self, tmp_path) -> None:
+        left = np.zeros((16, 16)); left[:, :8] = 1.0
+        _save_mask(tmp_path / "a.png", left)
+        _save_mask(tmp_path / "b.png", 1.0 - left)
+        masks = load_region_masks(
+            [tmp_path / "a.png", tmp_path / "b.png"], 16, 16,
+        )
+        assert masks.shape == (2, 16, 16)
+        np.testing.assert_allclose(
+            np.asarray(masks).sum(axis=0), np.ones((16, 16)), atol=1e-6,
+        )
+
+    def test_uncovered_pixels_shared_uniformly(self, tmp_path) -> None:
+        """Where every mask is black, styles split the pixel evenly."""
+        spot = np.zeros((8, 8)); spot[0, 0] = 1.0
+        _save_mask(tmp_path / "a.png", spot)
+        spot2 = np.zeros((8, 8)); spot2[7, 7] = 1.0
+        _save_mask(tmp_path / "b.png", spot2)
+        masks = np.asarray(
+            load_region_masks([tmp_path / "a.png", tmp_path / "b.png"], 8, 8),
+        )
+        np.testing.assert_allclose(masks[:, 3, 3], [0.5, 0.5])
+
+    def test_resizes_to_content_dims(self, tmp_path) -> None:
+        _save_mask(tmp_path / "a.png", np.ones((4, 4)))
+        _save_mask(tmp_path / "b.png", np.ones((4, 4)))
+        masks = load_region_masks(
+            [tmp_path / "a.png", tmp_path / "b.png"], 32, 48,
+        )
+        assert masks.shape == (2, 32, 48)
+
+    def test_empty_mask_rejected(self, tmp_path) -> None:
+        _save_mask(tmp_path / "a.png", np.ones((8, 8)))
+        _save_mask(tmp_path / "b.png", np.zeros((8, 8)))
+        with pytest.raises(ValueError, match="empty"):
+            load_region_masks([tmp_path / "a.png", tmp_path / "b.png"], 8, 8)
+
+
+class TestMaskedGram:
+    def test_all_ones_mask_is_standard_gram(self) -> None:
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.normal(size=(1, 12, 12, 8)).astype(np.float32))
+        got = masked_gram(f, jnp.ones((12, 12)), precision=HIGH)
+        want = gram_apply(f, precision=HIGH)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7,
+        )
+
+    def test_constant_mask_value_cancels(self) -> None:
+        """Any uniform mask is the standard Gram (region = whole image)."""
+        rng = np.random.default_rng(1)
+        f = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+        got = masked_gram(f, jnp.full((8, 8), 0.25), precision=HIGH)
+        want = gram_apply(f, precision=HIGH)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7,
+        )
+
+    def test_hard_mask_equals_gram_of_region(self) -> None:
+        """A binary half-mask reproduces the Gram of the cropped half."""
+        rng = np.random.default_rng(2)
+        f = jnp.asarray(rng.normal(size=(1, 8, 16, 4)).astype(np.float32))
+        mask = jnp.zeros((8, 16)).at[:, :8].set(1.0)
+        got = masked_gram(f, mask, precision=HIGH)
+        want = gram_apply(f[:, :, :8, :], precision=HIGH)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7,
+        )
+
+    def test_mask_resizes_to_feature_dims(self) -> None:
+        rng = np.random.default_rng(3)
+        f = jnp.asarray(rng.normal(size=(1, 6, 6, 4)).astype(np.float32))
+        got = masked_gram(f, jnp.ones((24, 24)), precision=HIGH)
+        want = gram_apply(f, precision=HIGH)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7,
+        )
+
+    def test_gradients_flow_through_masked_region_only(self) -> None:
+        """Style gradient is zero outside a hard mask's region."""
+        rng = np.random.default_rng(4)
+        f = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+        target = gram_apply(f, precision=HIGH)
+        mask = jnp.zeros((8, 8)).at[:, :4].set(1.0)
+
+        def loss(feats):
+            g = masked_gram(feats * 1.1, mask, precision=HIGH)
+            return jnp.mean(jnp.square(g - target))
+
+        grad = np.asarray(jax.grad(loss)(f))
+        assert np.abs(grad[:, :, :4, :]).max() > 0
+        np.testing.assert_array_equal(grad[:, :, 4:, :], 0.0)
+
+
+def _regional_config(tmp_path, **opt_overrides):
+    from style_transfer_visualizer_tpu.config import StyleTransferConfig
+
+    return StyleTransferConfig.model_validate({
+        "optimization": {
+            "steps": 2, "optimizer": "adam", "lr": 0.1,
+            "allow_random_weights": True, **opt_overrides,
+        },
+        "video": {"final_only": True},
+        "hardware": {"device": "cpu"},
+        "output": {"output": str(tmp_path / "out"), "plot_losses": False},
+    })
+
+
+@pytest.fixture
+def half_masks(tmp_path):
+    left = np.zeros((64, 64)); left[:, :32] = 1.0
+    _save_mask(tmp_path / "m1.png", left)
+    _save_mask(tmp_path / "m2.png", 1.0 - left)
+    return [tmp_path / "m1.png", tmp_path / "m2.png"]
+
+
+class TestStylizeRegional:
+    def test_end_to_end_produces_named_output(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks,
+            _regional_config(tmp_path),
+        )
+        assert result.output_path.name == (
+            f"regional_{content_image.stem}_x_{style_image.stem}+other.png"
+        )
+        assert result.output_path.exists()
+        assert np.isfinite(result.final_loss)
+        assert result.total_steps == 2
+
+    def test_luminance_preserve_color_composes(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks,
+            _regional_config(tmp_path, preserve_color="luminance"),
+        )
+        assert result.output_path.exists()
+
+    def test_mask_count_mismatch_rejected(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        with pytest.raises(ValueError, match="one mask per style"):
+            stylize_regional(
+                content_image, [style_image, other], half_masks[:1],
+                _regional_config(tmp_path),
+            )
+
+    def test_single_style_rejected(
+        self, tmp_path, content_image, style_image, half_masks,
+    ) -> None:
+        with pytest.raises(ValueError, match="at least 2 --styles"):
+            stylize_regional(
+                content_image, [style_image], half_masks[:1],
+                _regional_config(tmp_path),
+            )
+
+    def test_missing_mask_rejected(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        with pytest.raises(FileNotFoundError, match="mask not found"):
+            stylize_regional(
+                content_image, [style_image, other],
+                [tmp_path / "nope1.png", tmp_path / "nope2.png"],
+                _regional_config(tmp_path),
+            )
+
+
+class TestRegionalCli:
+    def _parse(self, argv):
+        return stv_cli.build_arg_parser().parse_args(argv)
+
+    def test_requires_styles(self) -> None:
+        args = self._parse([
+            "--content", "c.png", "--style", "s.png",
+            "--style-masks", "m.png",
+        ])
+        with pytest.raises(SystemExit, match="requires --styles"):
+            stv_cli.run_from_args(args)
+
+    def test_incompatible_with_blend_modes(self) -> None:
+        for extra in (
+            ["--style-blend", "1,1"],
+            ["--blend-sweep", "4"],
+        ):
+            args = self._parse([
+                "--content", "c.png", "--styles", "a.png,b.png",
+                "--style-masks", "m1.png,m2.png", *extra,
+            ])
+            with pytest.raises(SystemExit, match="incompatible"):
+                stv_cli.run_from_args(args)
+
+    def test_dispatches_to_regional(self, monkeypatch) -> None:
+        calls: dict = {}
+
+        def fake_regional(content, styles, masks, cfg):
+            calls.update(content=content, styles=styles, masks=masks)
+            from pathlib import Path
+
+            return RegionalResult(Path("x.png"), 0.0, 0.0, 0)
+
+        import style_transfer_visualizer_tpu.regional as regional_mod
+
+        monkeypatch.setattr(
+            regional_mod, "stylize_regional", fake_regional,
+        )
+        args = self._parse([
+            "--content", "c.png", "--styles", "a.png,b.png",
+            "--style-masks", "m1.png, m2.png",
+        ])
+        stv_cli.run_from_args(args)
+        assert calls == {
+            "content": "c.png", "styles": ["a.png", "b.png"],
+            "masks": ["m1.png", "m2.png"],
+        }
