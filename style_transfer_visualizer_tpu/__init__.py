@@ -20,7 +20,7 @@ Reference behavior contract: /root/reference/src/style_transfer_visualizer
 (see SURVEY.md for the component-by-component map).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from style_transfer_visualizer_tpu.gallery import (  # noqa: E402
     ComparisonRenderOptions,
