@@ -216,6 +216,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "Comma-separated VGG19 layer indices for content loss"
                 ),
             }),
+            ("--style-layer-weights", {
+                "type": str,
+                "help": (
+                    "Comma-separated per-layer style weights (one per "
+                    "--style-layers entry, e.g. '1,1,0.5,0.25,0.25'); "
+                    "each layer's Gram MSE scales by its weight before "
+                    "the style sum. Omit for the reference's equal "
+                    "weighting."
+                ),
+            }),
             ("--optimizer", {
                 "choices": ["lbfgs", "adam"], "default": suppress,
                 "help": "Pixel optimizer (default: lbfgs)",
@@ -500,6 +510,11 @@ def log_parameters(
             cfg.optimization.lbfgs_direction,
         )
     logger.info("Style Layers: %s", cfg.optimization.style_layers)
+    if cfg.optimization.style_layer_weights is not None:
+        logger.info(
+            "Style Layer Weights: %s",
+            cfg.optimization.style_layer_weights,
+        )
     logger.info("Content Layers: %s", cfg.optimization.content_layers)
     logger.info("FPS for Timelapse Video: %d", cfg.video.fps)
     logger.info("Video Quality: %d (%d-%d scale)", cfg.video.quality,

@@ -71,6 +71,11 @@ class OptimizationConfig(_ValidatedSection):
     content_layers: list[int] = Field(
         default_factory=lambda: list(d.DEFAULT_CONTENT_LAYERS),
     )
+    # TPU-framework addition: per-layer style weights (Gatys-style
+    # w_l on each style layer's Gram MSE). One weight per entry of
+    # ``style_layers``; None weighs every layer 1.0 — the reference's
+    # equal-weight sum (core_model.py:234-264).
+    style_layer_weights: list[float] | None = None
     # TPU-framework addition: selectable VGG-family backbone (the
     # reference hardcodes torchvision VGG19, core_model.py:103-117).
     model: Literal["vgg19", "vgg16"] = Field(d.DEFAULT_MODEL)
@@ -127,6 +132,36 @@ class OptimizationConfig(_ValidatedSection):
                 self.model, self.style_layers, self.content_layers,
             )
         return self
+
+    @model_validator(mode="after")
+    def _check_style_layer_weights(self) -> OptimizationConfig:
+        """One non-negative weight per style layer, not all zero.
+
+        Runs after the model-default layer remap so the length check
+        sees the final ``style_layers`` list.
+        """
+        weights = self.style_layer_weights
+        if weights is None:
+            return self
+        if len(weights) != len(self.style_layers):
+            msg = (
+                f"style_layer_weights has {len(weights)} entries for "
+                f"{len(self.style_layers)} style layers"
+            )
+            raise ValueError(msg)
+        if any(w < 0 for w in weights):
+            msg = "style_layer_weights entries must be >= 0"
+            raise ValueError(msg)
+        if weights and not any(w > 0 for w in weights):
+            msg = "style_layer_weights must include a positive weight"
+            raise ValueError(msg)
+        return self
+
+    def style_weights_tuple(self) -> tuple[float, ...] | None:
+        """``style_layer_weights`` as the engines' static tuple form."""
+        if self.style_layer_weights is None:
+            return None
+        return tuple(float(w) for w in self.style_layer_weights)
     # Rematerialize feature segments in the backward pass (trades ~1
     # extra forward of FLOPs for HBM headroom). Auto-enabled for
     # 4MP+ inputs; force with this flag.
@@ -244,6 +279,13 @@ def parse_int_list(value: str | list[int]) -> list[int]:
     return [int(part) for part in value.split(",")]
 
 
+def parse_float_list(value: str | list[float]) -> list[float]:
+    """Accept "1,0.5,0.25" or a float list; return a list of floats."""
+    if isinstance(value, list):
+        return [float(part) for part in value]
+    return [float(part) for part in value.split(",")]
+
+
 def build_config_from_cli(
     cli_args: Mapping[str, Any],
     *,
@@ -307,6 +349,8 @@ def _merge_optimization(
         opt.style_layers = parse_int_list(style_layers)
     if (content_layers := args.get("content_layers")):
         opt.content_layers = parse_int_list(content_layers)
+    if (weights := args.get("style_layer_weights")) is not None:
+        opt.style_layer_weights = parse_float_list(weights)
 
 
 def _merge_video(cfg: StyleTransferConfig, args: Mapping[str, Any]) -> None:

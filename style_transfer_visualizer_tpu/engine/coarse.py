@@ -219,6 +219,7 @@ def coarse_init(
         gram_backend=gram_backend,
         conv_backend=conv_backend,
         tile_rows=tile_rows,
+        style_weights=opt_cfg.style_weights_tuple(),
     )
     x = initialize_input(coarse_content, opt_cfg.init_method, key)
     state = bundle.opt_state

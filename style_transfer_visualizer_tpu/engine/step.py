@@ -167,6 +167,7 @@ def build_update_step(
     conv_backend: str = "xla",
     tile_rows: int = 0,
     loss_fn: Callable | None = None,
+    style_weights: tuple[float, ...] | None = None,
 ) -> StepBundle:
     """Compile the per-step update for the given problem.
 
@@ -216,12 +217,14 @@ def build_update_step(
                     params, img, targets, style_w, content_w,
                     tuple(style_layers), tuple(content_layers),
                     tile_rows, prec, conv_backend,
+                    style_weights=style_weights,
                 )
             else:
                 total, aux = total_loss(
                     params, img, targets, style_w, content_w,
                     tuple(style_layers), tuple(content_layers), prec,
                     remat, gram_backend, conv_backend,
+                    style_weights=style_weights,
                 )
             if tv_w:
                 # TV touches only the image (no VGG activations), so

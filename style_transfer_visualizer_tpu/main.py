@@ -436,6 +436,7 @@ def multi_style_transfer(
             content_w=opt_cfg.content_w,
             tv_w=opt_cfg.tv_w,
             style_layers=tuple(opt_cfg.style_layers),
+            style_weights=opt_cfg.style_weights_tuple(),
             content_layers=tuple(opt_cfg.content_layers),
             precision=config.hardware.precision,
             lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
@@ -546,6 +547,7 @@ def _multi_initial_images(
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
         style_layers=tuple(opt_cfg.style_layers),
+        style_weights=opt_cfg.style_weights_tuple(),
         content_layers=tuple(opt_cfg.content_layers),
         precision=config.hardware.precision,
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
@@ -671,6 +673,7 @@ def _dp_sp_multi_style(
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
+        style_weights=opt_cfg.style_weights_tuple(),
         content_layers=content_layers,
         precision=precision,
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
@@ -1319,6 +1322,7 @@ def _prepare_model_and_input(
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
         style_layers=tuple(opt_cfg.style_layers),
+        style_weights=opt_cfg.style_weights_tuple(),
         content_layers=tuple(opt_cfg.content_layers),
         precision=precision_name,
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
@@ -1452,6 +1456,7 @@ def _prepare_spatial_model_and_input(
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
+        style_weights=opt_cfg.style_weights_tuple(),
         content_layers=content_layers,
         precision=precision,
         table=layer_table_from_params(params),
@@ -1466,6 +1471,7 @@ def _prepare_spatial_model_and_input(
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
         style_layers=style_layers,
+        style_weights=opt_cfg.style_weights_tuple(),
         content_layers=content_layers,
         precision=config.hardware.precision,
         lbfgs_max_iter=opt_cfg.lbfgs_max_iter,

@@ -366,6 +366,32 @@ def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(a - b))
 
 
+def _resolve_style_weights(
+    style_weights: tuple[float, ...] | None,
+    style_layers: tuple[int, ...],
+) -> tuple[float, ...]:
+    """Validated per-layer style weights (all 1.0 when unset).
+
+    Weights are trace-time Python floats: a 1.0 weight leaves the layer
+    term untouched (no multiply in the graph), so the default is
+    bit-identical to the unweighted loss.
+    """
+    if style_weights is None:
+        return (1.0,) * len(style_layers)
+    if len(style_weights) != len(style_layers):
+        msg = (
+            f"style_weights has {len(style_weights)} entries for "
+            f"{len(style_layers)} style layers"
+        )
+        raise ValueError(msg)
+    return tuple(float(w) for w in style_weights)
+
+
+def _weighted(w: float, term: jax.Array) -> jax.Array:
+    """``w * term``, with the 1.0 fast path leaving the graph unchanged."""
+    return term if w == 1.0 else w * term
+
+
 def style_content_losses(
     params: Params,
     x: jax.Array,
@@ -377,21 +403,32 @@ def style_content_losses(
     remat: bool = False,
     gram_backend: str = "xla",
     conv_backend: str = "xla",
+    style_weights: tuple[float, ...] | None = None,
 ) -> tuple[list[jax.Array], list[jax.Array]]:
-    """Per-layer style (Gram MSE) and content (feature MSE) losses."""
+    """Per-layer style (Gram MSE) and content (feature MSE) losses.
+
+    ``style_weights`` scales each style layer's Gram MSE (Gatys-style
+    per-layer weighting, one weight per entry of ``style_layers``);
+    ``None`` weights every layer 1.0 — the reference's equal-weight sum
+    (core_model.py:234-264 accumulates unweighted per-layer MSEs).
+    """
+    weights = _resolve_style_weights(style_weights, style_layers)
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = extract_features(
         params, x, taps, precision=precision, remat=remat,
         conv_backend=conv_backend,
     )
     style_losses = [
-        _mse(
-            gram_apply(
-                acts[idx], backend=gram_backend, precision=precision,
+        _weighted(
+            w,
+            _mse(
+                gram_apply(
+                    acts[idx], backend=gram_backend, precision=precision,
+                ),
+                targets.style_grams[idx],
             ),
-            targets.style_grams[idx],
         )
-        for idx in style_layers
+        for idx, w in zip(style_layers, weights, strict=True)
     ]
     content_losses = [
         _mse(acts[idx], targets.content_feats[idx])
@@ -404,7 +441,7 @@ def style_content_losses(
     jax.jit,
     static_argnames=(
         "style_layers", "content_layers", "precision", "remat",
-        "gram_backend", "conv_backend",
+        "gram_backend", "conv_backend", "style_weights",
     ),
 )
 def total_loss(
@@ -419,16 +456,19 @@ def total_loss(
     remat: bool = False,
     gram_backend: str = "xla",
     conv_backend: str = "xla",
+    style_weights: tuple[float, ...] | None = None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss plus (style_score, content_score) aux.
 
     Empty layer lists contribute a zero scalar, mirroring the reference's
-    zero-fallback (optimization.py:296-307).
+    zero-fallback (optimization.py:296-307). ``style_weights`` applies
+    per-layer Gatys weights inside the style score (see
+    :func:`style_content_losses`).
     """
     style_losses, content_losses = style_content_losses(
         params, x, targets, style_layers, content_layers,
         precision=precision, remat=remat, gram_backend=gram_backend,
-        conv_backend=conv_backend,
+        conv_backend=conv_backend, style_weights=style_weights,
     )
     zero = jnp.zeros((), dtype=x.dtype)
     style_score = (

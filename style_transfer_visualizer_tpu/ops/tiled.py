@@ -202,6 +202,7 @@ def tiled_style_content_losses(
     tile_rows: int,
     precision: PrecisionLike = None,
     conv_backend: str = "xla",
+    style_weights: tuple[float, ...] | None = None,
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Per-layer losses computed band-by-band; exact vs the plain path.
 
@@ -255,14 +256,22 @@ def tiled_style_content_losses(
         body, init, jnp.arange(n_tiles),
     )
 
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        _resolve_style_weights,
+        _weighted,
+    )
+
+    weights = _resolve_style_weights(style_weights, style_layers)
     style_losses = []
-    for idx in style_layers:
+    for idx, w in zip(style_layers, weights, strict=True):
         scale = 2 ** pools_before_in(table, idx)
         c = channels[idx]
         n_norm = b * (gh // scale) * (gw // scale) * c
         gram = jnp.minimum(grams_raw[idx], GRAM_MATRIX_CLAMP_MAX) / n_norm
         style_losses.append(
-            jnp.mean(jnp.square(gram - targets.style_grams[idx])),
+            _weighted(
+                w, jnp.mean(jnp.square(gram - targets.style_grams[idx])),
+            ),
         )
     content_losses = []
     for idx in content_layers:
@@ -276,7 +285,7 @@ def tiled_style_content_losses(
     jax.jit,
     static_argnames=(
         "style_layers", "content_layers", "tile_rows", "precision",
-        "conv_backend",
+        "conv_backend", "style_weights",
     ),
 )
 def tiled_total_loss(
@@ -290,12 +299,13 @@ def tiled_total_loss(
     tile_rows: int,
     precision: PrecisionLike = None,
     conv_backend: str = "xla",
+    style_weights: tuple[float, ...] | None = None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Weighted total loss via band tiling; same contract as total_loss."""
     style_losses, content_losses = tiled_style_content_losses(
         params, x, targets, style_layers, content_layers,
         tile_rows=tile_rows, precision=precision,
-        conv_backend=conv_backend,
+        conv_backend=conv_backend, style_weights=style_weights,
     )
     zero = jnp.zeros((), dtype=x.dtype)
     style_score = (

@@ -141,6 +141,7 @@ def build_multi_style_update(
     remat: bool = False,
     gram_backend: str = "xla",
     tv_w: float = 0.0,
+    style_weights: tuple[float, ...] | None = None,
 ) -> MultiStyleBundle:
     """Compile the stacked multi-style step sharded over the mesh.
 
@@ -166,7 +167,7 @@ def build_multi_style_update(
             total, aux = total_loss(
                 p, img, style_targets, style_w, content_w,
                 tuple(style_layers), tuple(content_layers), prec, remat,
-                gram_backend,
+                gram_backend, style_weights=style_weights,
             )
             if tv_w:
                 total = total + tv_w * tv_loss(img)

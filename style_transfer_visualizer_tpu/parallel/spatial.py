@@ -233,6 +233,7 @@ def _sharded_loss_shard_fn(
     axis_name: str,
     precision: PrecisionLike,
     tv_w: float = 0.0,
+    style_weights: tuple[float, ...] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-shard loss body.
 
@@ -244,6 +245,18 @@ def _sharded_loss_shard_fn(
     paths fold TV into the objective without touching the style/content
     telemetry split.
     """
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        _resolve_style_weights,
+        _weighted,
+    )
+
+    weight_of = dict(
+        zip(
+            style_layers,
+            _resolve_style_weights(style_weights, style_layers),
+            strict=True,
+        ),
+    )
     table = layer_table_from_params(params)
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
     acts = sharded_extract_features(
@@ -264,8 +277,9 @@ def _sharded_loss_shard_fn(
                 axis_name=axis_name,
                 precision=precision,
             )
-            style_score += jnp.mean(
-                jnp.square(gram - targets.style_grams[idx]),
+            style_score += _weighted(
+                weight_of[idx],
+                jnp.mean(jnp.square(gram - targets.style_grams[idx])),
             )
         if idx in content_layers:
             # Targets are sharded the same way; each shard contributes
@@ -297,6 +311,7 @@ def build_sharded_loss(
     precision: PrecisionLike = None,
     axis_name: str = MESH_AXIS_SPACE,
     tv_w: float = 0.0,
+    style_weights: tuple[float, ...] | None = None,
 ):
     """Return loss_fn(image) computed with rows sharded over ``axis_name``.
 
@@ -331,6 +346,7 @@ def build_sharded_loss(
         axis_name=axis_name,
         precision=precision,
         tv_w=tv_w,
+        style_weights=style_weights,
     )
 
     mapped = jax.shard_map(
@@ -358,6 +374,7 @@ def make_spatial_loss(
     axis_name: str = MESH_AXIS_SPACE,
     tv_w: float = 0.0,
     table: LayerTable = LAYER_TABLE,
+    style_weights: tuple[float, ...] | None = None,
 ):
     """Spatially-sharded loss with the single-device loss's contract.
 
@@ -396,6 +413,7 @@ def make_spatial_loss(
         axis_name=axis_name,
         precision=precision,
         tv_w=tv_w,
+        style_weights=style_weights,
     )
 
     def loss_fn(params: Params, image: jax.Array, targets: Targets):
@@ -521,6 +539,7 @@ def build_dp_sp_update(
     lbfgs_history_dtype: str = "float32",
     lbfgs_direction: str = "two-loop",
     tv_w: float = 0.0,
+    style_weights: tuple[float, ...] | None = None,
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 
@@ -595,6 +614,7 @@ def build_dp_sp_update(
             axis_name=MESH_AXIS_SPACE,
             precision=precision,
             tv_w=tv_w,
+            style_weights=style_weights,
         )
         return total, (style_score, content_score)
 

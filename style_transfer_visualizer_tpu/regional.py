@@ -166,19 +166,30 @@ def regional_style_loss(
     *,
     precision=None,
     gram_backend: str = "xla",
+    style_weights: tuple[float, ...] | None = None,
 ) -> jax.Array:
-    """Sum over styles and layers of masked-Gram MSE vs each target."""
+    """Sum over styles and layers of masked-Gram MSE vs each target.
+
+    ``style_weights`` applies the same per-layer Gatys weighting as the
+    unmasked loss (models/features.py), uniformly across regions.
+    """
+    from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+        _resolve_style_weights,
+        _weighted,
+    )
+
+    weights = _resolve_style_weights(style_weights, style_layers)
     zero = jnp.zeros(())
     total = zero
     n_styles = rt.masks.shape[0]
     for s in range(n_styles):
-        for idx in style_layers:
+        for idx, w in zip(style_layers, weights, strict=True):
             g = masked_gram(
                 acts[idx], rt.masks[s],
                 precision=precision, gram_backend=gram_backend,
             )
-            total = total + jnp.mean(
-                jnp.square(g - rt.style_grams[s][idx]),
+            total = total + _weighted(
+                w, jnp.mean(jnp.square(g - rt.style_grams[s][idx])),
             )
     return total
 
@@ -197,6 +208,7 @@ def make_regional_loss(
         acts = extract_features(p, img, taps, precision=prec)
         style_score = regional_style_loss(
             acts, rt, style_layers, precision=prec,
+            style_weights=opt_cfg.style_weights_tuple(),
         )
         zero = jnp.zeros((), dtype=img.dtype)
         content_losses = [

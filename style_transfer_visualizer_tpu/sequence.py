@@ -142,6 +142,7 @@ def build_targets_update(
             total, aux = total_loss(
                 p, img, targets, opt_cfg.style_w, opt_cfg.content_w,
                 style_layers, content_layers, prec,
+                style_weights=opt_cfg.style_weights_tuple(),
             )
             if opt_cfg.tv_w:
                 from style_transfer_visualizer_tpu.ops.tv import (  # noqa: PLC0415

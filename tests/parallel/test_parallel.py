@@ -255,6 +255,39 @@ class TestSpatialSharding:
             float(sharded_loss), float(ref_loss), rtol=1e-5,
         )
 
+    def test_sharded_loss_honors_style_weights(
+        self, tiny_params, images,
+    ) -> None:
+        """Per-layer style weights agree shard-sharded vs single-device."""
+        content, styles = images
+        mesh = create_mesh(n_style=1, n_space=4)
+        weights = (2.0, 0.25)
+        assert len(weights) == len(STYLE_LAYERS)
+
+        ref_targets = compute_targets(
+            tiny_params, styles[0], content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        ref_loss, _ = total_loss(
+            tiny_params, content * 0.5, ref_targets, 10.0, 1.0,
+            STYLE_LAYERS, CONTENT_LAYERS, HIGH,
+            style_weights=weights,
+        )
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, styles[0], content,
+            STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+        )
+        loss_fn = build_sharded_loss(
+            mesh, tiny_params, sharded_targets, tuple(content.shape),
+            style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH, style_weights=weights,
+        )
+        sharded_loss = jax.jit(loss_fn)(content * 0.5)
+        np.testing.assert_allclose(
+            float(sharded_loss), float(ref_loss), rtol=1e-5,
+        )
+
     def test_sharded_gradient_matches(self, tiny_params, images) -> None:
         content, styles = images
         mesh = create_mesh(n_style=1, n_space=2)

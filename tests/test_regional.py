@@ -124,6 +124,29 @@ class TestMaskedGram:
         assert np.abs(grad[:, :, :4, :]).max() > 0
         np.testing.assert_array_equal(grad[:, :, 4:, :], 0.0)
 
+    def test_style_layer_weights_scale_regional_loss(self) -> None:
+        """Per-layer weights multiply the masked-Gram MSE terms."""
+        from style_transfer_visualizer_tpu.regional import (
+            RegionalTargets,
+            regional_style_loss,
+        )
+
+        rng = np.random.default_rng(5)
+        f = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+        target = gram_apply(f * 0.9, precision=HIGH)
+        rt = RegionalTargets(
+            style_grams=[{0: target}],
+            content_feats={},
+            masks=jnp.ones((1, 8, 8)),
+        )
+        base = regional_style_loss({0: f}, rt, (0,), precision=HIGH)
+        weighted = regional_style_loss(
+            {0: f}, rt, (0,), precision=HIGH, style_weights=(2.0,),
+        )
+        np.testing.assert_allclose(
+            float(weighted), 2.0 * float(base), rtol=1e-6,
+        )
+
 
 def _regional_config(tmp_path, **opt_overrides):
     from style_transfer_visualizer_tpu.config import StyleTransferConfig
