@@ -100,6 +100,20 @@ def build_parser() -> argparse.ArgumentParser:
              "(later frames warm from the previous result).",
     )
     p.add_argument("--no-normalize", action="store_true")
+    p.add_argument(
+        "--style-layers", dest="style_layers", type=str, default=None,
+        help="Comma-separated layer indices for the style loss",
+    )
+    p.add_argument(
+        "--content-layers", dest="content_layers", type=str, default=None,
+        help="Comma-separated layer indices for the content loss",
+    )
+    p.add_argument(
+        "--style-layer-weights", dest="style_layer_weights", type=str,
+        default=None,
+        help="Comma-separated per-layer style weights (one per "
+             "--style-layers entry); omit for equal weighting",
+    )
     p.add_argument("--device", type=str, default=argparse.SUPPRESS)
     p.add_argument(
         "--precision", choices=["highest", "mixed", "high", "default"],

@@ -242,6 +242,23 @@ class TestLogParameters:
         assert "GIF Intro Included: Yes" in caplog.text
         assert "GIF Outro Included: No" in caplog.text
 
+    def test_style_layer_weights_logged_when_set(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "style_layers": [0, 5],
+                "style_layer_weights": [1.0, 0.5],
+            },
+        })
+        args = argparse.Namespace(config=None)
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)), cfg, args,
+        )
+        assert "Style Layer Weights: [1.0, 0.5]" in caplog.text
+
 
 class TestMultiStyleCli:
     def test_styles_routes_to_multi(

@@ -491,3 +491,35 @@ class TestSequencePreserveColor:
         ])
         assert rc == 0
         assert seen["preserve_color"] == "luminance"
+
+    def test_cli_accepts_layer_flags(
+        self, color_frames, style_file, monkeypatch, tmp_path,
+    ) -> None:
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        seen: dict = {}
+
+        def fake_stylize(frames, style, cfg, out_dir, **kwargs):
+            opt = cfg.optimization
+            seen["style_layers"] = opt.style_layers
+            seen["content_layers"] = opt.content_layers
+            seen["weights"] = opt.style_layer_weights
+            return seq.SequenceResult(
+                frame_paths=[], total_steps=0,
+                frame_seconds=(), frame_losses=(),
+            )
+
+        monkeypatch.setattr(sequence_cli, "stylize_sequence", fake_stylize)
+        rc = sequence_cli.main([
+            "--frames", str(color_frames),
+            "--style", str(style_file),
+            "--output", str(tmp_path / "o"),
+            "--style-layers", "0,5",
+            "--content-layers", "2",
+            "--style-layer-weights", "1,0.5",
+            "--device", "cpu",
+        ])
+        assert rc == 0
+        assert seen["style_layers"] == [0, 5]
+        assert seen["content_layers"] == [2]
+        assert seen["weights"] == [1.0, 0.5]
