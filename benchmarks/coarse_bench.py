@@ -13,9 +13,14 @@ Prints one JSON line per run with the final full-res loss and wall
 time, plus a summary line: the full-res-step equivalent the warm
 start saves at matched loss.
 
+With ``--pyramid-levels L > 2`` a fourth run measures the multi-scale
+ladder (engine/coarse.py plan_pyramid): the same coarse budget split
+across L-1 levels, cost-matched against the cold run by the ladder's
+own measured wall time.
+
 Usage:
     python benchmarks/coarse_bench.py --size 512 --steps 300 \
-        --coarse-steps 150 --precision mixed
+        --coarse-steps 150 --precision mixed [--pyramid-levels 3]
 """
 from __future__ import annotations
 
@@ -65,6 +70,10 @@ def main() -> None:
     ap.add_argument("--coarse-steps", type=int, default=150)
     ap.add_argument("--precision", default="mixed")
     ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument(
+        "--pyramid-levels", type=int, default=2,
+        help="Add a multi-scale-ladder run at this pyramid depth (>2).",
+    )
     ap.add_argument(
         "--cpu", action="store_true",
         help="Pin the CPU platform (the axon plugin ignores "
@@ -167,6 +176,67 @@ def main() -> None:
         "warm_loss": round(warm_loss, 4),
         "warm_beats_cold_at_equal_cost": warm_loss < cold_loss,
     }), flush=True)
+
+    if args.pyramid_levels > 2:  # noqa: PLR2004
+        from style_transfer_visualizer_tpu.engine.coarse import (
+            plan_pyramid,
+        )
+
+        schedule = plan_pyramid(
+            size, size, args.coarse_steps, args.pyramid_levels,
+        )
+        level_bundles = []
+        for ch, cw, lsteps in schedule:
+            c_l = jax.image.resize(content, (1, ch, cw, 3), "linear")
+            s_l = jax.image.resize(style, (1, ch, cw, 3), "linear")
+            t_l = compute_targets(params, s_l, c_l, SL, CL)
+            b_l = build_update_step(params, t_l, tuple(c_l.shape), **common)
+            level_bundles.append((ch, cw, lsteps, c_l, b_l))
+            # Warm the executable so the timed ladder is compile-free.
+            x_w = initialize_input(c_l, "random", jax.random.key(2))
+            _run_steps(b_l, x_w, _fresh(b_l.opt_state), 1)
+
+        def run_ladder():
+            x_lvl = None
+            for ch, cw, lsteps, c_l, b_l in level_bundles:
+                x = (
+                    initialize_input(c_l, "random", jax.random.key(2))
+                    if x_lvl is None
+                    else jax.image.resize(x_lvl, (1, ch, cw, 3), "linear")
+                )
+                x_lvl, _, _ = _run_steps(
+                    b_l, x, _fresh(b_l.opt_state), lsteps,
+                )
+            return jax.image.resize(x_lvl, (1, size, size, 3), "linear")
+
+        t0 = time.perf_counter()
+        x_warm0 = run_ladder()
+        jax.block_until_ready(x_warm0)
+        ladder_s = time.perf_counter() - t0
+        ladder_equiv = max(1, round(ladder_s / full_per_step))
+        ladder_budget = max(1, args.steps - ladder_equiv)
+        t0 = time.perf_counter()
+        x, st, aux = _run_steps(
+            bundle, x_warm0, _fresh(bundle.opt_state), ladder_budget,
+        )
+        pyramid_s = ladder_s + (time.perf_counter() - t0)
+        pyramid_loss = float(aux.loss[-1])
+        report(
+            f"pyramid-L{args.pyramid_levels} "
+            f"(ladder {args.coarse_steps} + full {ladder_budget})",
+            pyramid_loss, pyramid_s,
+        )
+        print(json.dumps({
+            "summary": "pyramid vs single-level warm (equal cost)",
+            "levels": args.pyramid_levels,
+            "schedule": [list(s[:3]) for s in level_bundles],
+            "ladder_seconds": round(ladder_s, 2),
+            "ladder_equiv_full_steps": ladder_equiv,
+            "pyramid_loss": round(pyramid_loss, 4),
+            "warm_loss": round(warm_loss, 4),
+            "cold_loss": round(cold_loss, 4),
+            "pyramid_beats_warm": pyramid_loss < warm_loss,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -296,6 +296,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "cheaper). 0 disables (default)."
                 ),
             }),
+            ("--pyramid-levels", {
+                "dest": "pyramid_levels", "type": int, "default": suppress,
+                "help": (
+                    "Resolutions in the coarse-to-fine warm start: 2 "
+                    "(default) runs one half-res phase; N ladders up "
+                    "from 1/2^(N-1), each level warm-starting the "
+                    "next. The --coarse-steps budget splits across "
+                    "the levels. No effect unless --coarse-steps > 0."
+                ),
+            }),
             ("--allow-random-weights", {
                 "action": "store_true",
                 "help": (
@@ -522,8 +532,9 @@ def log_parameters(
     logger.info("Initialization Method: %s", cfg.optimization.init_method)
     if cfg.optimization.coarse_steps:
         logger.info(
-            "Coarse Warm Start: %d half-res steps",
+            "Coarse Warm Start: %d steps across %d pyramid level(s)",
             cfg.optimization.coarse_steps,
+            cfg.optimization.pyramid_levels - 1,
         )
     logger.info("Normalization: %s",
                 "Enabled" if cfg.optimization.normalize else "Disabled")

@@ -172,6 +172,12 @@ class OptimizationConfig(_ValidatedSection):
     # so front-loading global structure there cuts the full-res steps
     # needed for equal quality.
     coarse_steps: int = Field(0, ge=0)
+    # Number of resolutions in the coarse-to-fine warm start: 2 (the
+    # default) runs one half-res phase; N ladders up from 1/2^(N-1),
+    # each level warm-starting the next (engine/coarse.py). Only
+    # meaningful when coarse_steps > 0, which carries the total coarse
+    # budget split across the levels.
+    pyramid_levels: int = Field(2, ge=2, le=6)
     # Evaluate the loss as a lax.scan over row bands of this height
     # (exact; shrinks the compiled graph and activation memory for
     # 4K-class inputs). -1 = auto (tile above ~4MP), 0 = always
@@ -335,7 +341,7 @@ def _merge_optimization(
         "seed",
         "optimizer", "model", "lbfgs_max_iter", "lbfgs_max_eval",
         "lbfgs_history_size", "lbfgs_history_dtype", "lbfgs_direction",
-        "tile_rows", "coarse_steps", "preserve_color",
+        "tile_rows", "coarse_steps", "pyramid_levels", "preserve_color",
     ):
         if key in args:
             setattr(opt, key, args[key])

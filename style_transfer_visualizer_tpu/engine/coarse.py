@@ -1,22 +1,27 @@
-"""Coarse-to-fine warm start: seed full-res optimization from half res.
+"""Coarse-to-fine warm start: seed full-res optimization from a pyramid.
 
 Gatys-style optimization spends most of its early steps establishing
 global color/structure that a quarter-pixel-count problem finds just as
 well at a fraction of the cost (the 512px step is conv-bound, so the
-half-res step is ~4x cheaper). ``coarse_init`` optimizes a downsampled
-copy of the problem for ``coarse_steps`` and bilinearly upsamples the
-result as the full-resolution starting image. TPU-friendly by
-construction: the coarse phase is one extra static-shape executable
-(compiled once), not a dynamic schedule.
+half-res step is ~4x cheaper). ``coarse_init`` optimizes downsampled
+copies of the problem for ``coarse_steps`` total steps and bilinearly
+upsamples the result as the full-resolution starting image. With the
+default ``pyramid_levels=2`` that is one half-resolution phase; deeper
+pyramids (``--pyramid-levels N``) ladder up from 1/2^(N-1) resolution,
+each level warm-starting the next — the classic multi-scale schedule
+(Gatys et al. 2017, arXiv:1611.07865 §5 use the same coarse-to-fine
+trick for high-resolution transfer). TPU-friendly by construction:
+every level is one extra static-shape executable (compiled once), not
+a dynamic schedule.
 
-The coarse problem follows the same memory policy as the main phase at
-its own (halved) shape: auto-remat past ``AUTO_REMAT_PIXEL_THRESHOLD``,
+Each coarse problem follows the same memory policy as the main phase at
+its own (downscaled) shape: auto-remat past ``AUTO_REMAT_PIXEL_THRESHOLD``,
 banded evaluation past ``AUTO_TILE_PIXEL_THRESHOLD`` — so a warm start
 on a tiled 17MP run does not build a whole-image 9MP graph the chip
 cannot hold.
 
 The reference has no counterpart (its init methods are content/random/
-white, core_model.py:66-100); this composes with them — the coarse
+white, core_model.py:66-100); this composes with them — the coarsest
 problem itself starts from the configured ``init_method``.
 """
 from __future__ import annotations
@@ -51,27 +56,64 @@ def coarse_dims(height: int, width: int) -> tuple[int, int] | None:
     return ch, cw
 
 
-def plan_warm_start(
+def pyramid_dims(
+    height: int,
+    width: int,
+    levels: int,
+) -> list[tuple[int, int]]:
+    """Coarse-level shapes, coarsest first: 1/2^k for k = levels-1 .. 1.
+
+    Each level rounds down to pool alignment; levels that fall below
+    ``_MIN_COARSE_DIM`` are dropped (a deep pyramid on a small image
+    simply starts shallower). Consecutive levels can never collapse to
+    the same shape: floor(d / (16 * 2^k)) is strictly decreasing in k
+    while it stays >= 2, so no dedupe is needed. ``levels=2``
+    reproduces :func:`coarse_dims`. The full-resolution level is the
+    caller's main phase and is never included.
+    """
+    dims: list[tuple[int, int]] = []
+    for k in range(levels - 1, 0, -1):
+        factor = 2 ** k
+        ch = height // factor // _POOL_ALIGN * _POOL_ALIGN
+        cw = width // factor // _POOL_ALIGN * _POOL_ALIGN
+        if ch < _MIN_COARSE_DIM or cw < _MIN_COARSE_DIM:
+            continue
+        dims.append((ch, cw))
+    return dims
+
+
+def plan_pyramid(
     height: int,
     width: int,
     coarse_steps: int,
-) -> tuple[int, int] | None:
-    """Coarse dims when the warm start should run, else None.
+    levels: int = 2,
+) -> list[tuple[int, int, int]]:
+    """Warm-start schedule ``[(ch, cw, steps), ...]``, coarsest first.
 
-    Shared gate for the single-run and batch paths: off when
-    ``coarse_steps`` is 0, logged-skip when the input is too small to
-    halve meaningfully. (Resume short-circuits are caller policy — the
-    checkpoint image supersedes any init.)
+    Shared gate for the single-run and batch paths: empty when
+    ``coarse_steps`` is 0 or the input is too small to downsample
+    meaningfully (logged skip). The step budget splits evenly across
+    the surviving levels with the remainder on the coarsest (cheapest)
+    level; levels whose share rounds to zero are dropped. (Resume
+    short-circuits are caller policy — the checkpoint image supersedes
+    any init.)
     """
     if coarse_steps <= 0:
-        return None
-    dims = coarse_dims(height, width)
-    if dims is None:
+        return []
+    dims = pyramid_dims(height, width, levels)
+    if not dims:
         logger.info(
             "Coarse warm start skipped: %dx%d is too small to halve.",
             width, height,
         )
-    return dims
+        return []
+    base, rem = divmod(coarse_steps, len(dims))
+    schedule = []
+    for i, (ch, cw) in enumerate(dims):
+        steps = base + (rem if i == 0 else 0)
+        if steps > 0:
+            schedule.append((ch, cw, steps))
+    return schedule
 
 
 def resize_image(img: jax.Array, height: int, width: int) -> jax.Array:
@@ -97,21 +139,63 @@ def coarse_init(
     """Warm-started full-res init image, or None when coarse is off/moot.
 
     Runs ``optimization.coarse_steps`` steps of the configured
-    optimizer on the half-resolution problem and upsamples the result.
-    Returns None when ``coarse_steps`` is 0 or the image is too small
-    to downsample meaningfully — the caller falls back to the plain
-    ``init_method`` start. On blended runs (``blend_imgs``) the coarse
-    phase blends the same styles at its own resolution, so the warm
-    start optimizes the very objective the full-res phase continues.
+    optimizer across the ``optimization.pyramid_levels`` coarse
+    resolutions (coarsest first, each level warm-starting the next)
+    and upsamples the final level's result. Returns None when
+    ``coarse_steps`` is 0 or the image is too small to downsample
+    meaningfully — the caller falls back to the plain ``init_method``
+    start. On blended runs (``blend_imgs``) every coarse level blends
+    the same styles at its own resolution, so the warm start optimizes
+    the very objective the full-res phase continues.
     """
     opt_cfg = config.optimization
-    steps = opt_cfg.coarse_steps
     _, height, width, _ = content_img.shape
-    dims = plan_warm_start(int(height), int(width), steps)
-    if dims is None:
+    schedule = plan_pyramid(
+        int(height), int(width), opt_cfg.coarse_steps,
+        opt_cfg.pyramid_levels,
+    )
+    if not schedule:
         return None
-    ch, cw = dims
 
+    x: jax.Array | None = None
+    for ch, cw, steps in schedule:
+        start = resize_image(x, ch, cw) if x is not None else None
+        logger.info(
+            "Coarse warm start: %d steps at %dx%d before %dx%d.",
+            steps, cw, ch, width, height,
+        )
+        x = _optimize_level(
+            params, content_img, style_img, config, key, ch, cw, steps,
+            gram_backend=gram_backend,
+            conv_backend=conv_backend,
+            blend_imgs=blend_imgs,
+            start=start,
+        )
+    return resize_image(x, int(height), int(width))
+
+
+def _optimize_level(
+    params,
+    content_img: jax.Array,
+    style_img: jax.Array,
+    config,
+    key: jax.Array,
+    ch: int,
+    cw: int,
+    steps: int,
+    *,
+    gram_backend: str,
+    conv_backend: str,
+    blend_imgs: list[tuple[jax.Array, float]] | None,
+    start: jax.Array | None,
+) -> jax.Array:
+    """Optimize one coarse level at (ch, cw); returns the level's image.
+
+    ``start`` is the previous (coarser) level's result already resized
+    to this level's shape; None means this is the coarsest level, which
+    begins from the configured ``init_method``.
+    """
+    opt_cfg = config.optimization
     from style_transfer_visualizer_tpu.engine.runner import (  # noqa: PLC0415
         DEFAULT_CHUNK,
     )
@@ -221,17 +305,17 @@ def coarse_init(
         tile_rows=tile_rows,
         style_weights=opt_cfg.style_weights_tuple(),
     )
-    x = initialize_input(coarse_content, opt_cfg.init_method, key)
-    state = bundle.opt_state
-    logger.info(
-        "Coarse warm start: %d steps at %dx%d before %dx%d.",
-        steps, cw, ch, width, height,
+    x = (
+        initialize_input(coarse_content, opt_cfg.init_method, key)
+        if start is None
+        else start
     )
+    state = bundle.opt_state
     x, _, aux = drive_chunked(
         bundle.chunked_update_fn, x, state, steps, DEFAULT_CHUNK,
     )
     logger.info(
-        "Coarse phase done (final loss %.4g); upsampling to full res.",
-        float(aux.loss[-1]),
+        "Coarse level %dx%d done (final loss %.4g).",
+        cw, ch, float(aux.loss[-1]),
     )
-    return resize_image(x, int(height), int(width))
+    return x

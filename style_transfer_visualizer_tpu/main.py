@@ -496,7 +496,7 @@ def _multi_initial_images(
     buffers matter exactly when the batch is near the HBM ceiling.
     """
     from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
-        plan_warm_start,
+        plan_pyramid,
         resize_image,
     )
     from style_transfer_visualizer_tpu.engine.runner import (  # noqa: PLC0415
@@ -513,63 +513,72 @@ def _multi_initial_images(
 
     opt_cfg = config.optimization
     _, height, width, _ = content_img.shape
-    dims = None
+    schedule: list[tuple[int, int, int]] = []
     if opt_cfg.coarse_steps > 0 and config.output.resume_from:
         logger.info("Coarse warm start skipped: resuming a checkpoint.")
     else:
-        dims = plan_warm_start(
+        schedule = plan_pyramid(
             int(height), int(width), opt_cfg.coarse_steps,
+            opt_cfg.pyramid_levels,
         )
-    if dims is None:
+    if not schedule:
         return initialize_multi_inputs(
             content_img, opt_cfg.init_method, key, n_styles,
         )
-    ch, cw = dims
 
-    coarse_content = resize_image(content_img, ch, cw)
-    coarse_targets = multi_style_targets(
-        params, coarse_content,
-        [resize_image(s, ch, cw) for s in style_imgs],
-        tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
-        precision=_precision(config.hardware.precision),
-        gram_backend=gram_backend,
-    )
-    # Same per-device activation-memory rule as the main batch phase,
-    # keyed on the coarse pixel count (a 32-style coarse phase at 512px
-    # sits past the measured whole-activation ceiling too).
-    remat = opt_cfg.remat or _auto_remat_batched(ch * cw, styles_per_device)
-    coarse_bundle = build_multi_style_update(
-        mesh, params, coarse_targets, tuple(coarse_content.shape),
-        n_styles,
-        optimizer=opt_cfg.optimizer,
-        lr=opt_cfg.lr,
-        style_w=opt_cfg.style_w,
-        content_w=opt_cfg.content_w,
-        tv_w=opt_cfg.tv_w,
-        style_layers=tuple(opt_cfg.style_layers),
-        style_weights=opt_cfg.style_weights_tuple(),
-        content_layers=tuple(opt_cfg.content_layers),
-        precision=config.hardware.precision,
-        lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
-        lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
-        lbfgs_history_size=opt_cfg.lbfgs_history_size,
-        lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
-        lbfgs_direction=opt_cfg.lbfgs_direction,
-        remat=remat,
-        gram_backend=gram_backend,
-    )
-    x = initialize_multi_inputs(
-        coarse_content, opt_cfg.init_method, key, n_styles,
-    )
-    state = coarse_bundle.opt_state
-    logger.info(
-        "Coarse warm start: %d vmapped steps at %dx%d for %d styles.",
-        opt_cfg.coarse_steps, cw, ch, n_styles,
-    )
-    x, _, _aux = drive_chunked(
-        coarse_bundle.chunked_update_fn, x, state,
-        opt_cfg.coarse_steps, DEFAULT_CHUNK,
-    )
+    x = None
+    for ch, cw, steps in schedule:
+        coarse_content = resize_image(content_img, ch, cw)
+        coarse_targets = multi_style_targets(
+            params, coarse_content,
+            [resize_image(s, ch, cw) for s in style_imgs],
+            tuple(opt_cfg.style_layers), tuple(opt_cfg.content_layers),
+            precision=_precision(config.hardware.precision),
+            gram_backend=gram_backend,
+        )
+        # Same per-device activation-memory rule as the main batch
+        # phase, keyed on this level's pixel count (a 32-style coarse
+        # phase at 512px sits past the whole-activation ceiling too).
+        remat = opt_cfg.remat or _auto_remat_batched(
+            ch * cw, styles_per_device,
+        )
+        coarse_bundle = build_multi_style_update(
+            mesh, params, coarse_targets, tuple(coarse_content.shape),
+            n_styles,
+            optimizer=opt_cfg.optimizer,
+            lr=opt_cfg.lr,
+            style_w=opt_cfg.style_w,
+            content_w=opt_cfg.content_w,
+            tv_w=opt_cfg.tv_w,
+            style_layers=tuple(opt_cfg.style_layers),
+            style_weights=opt_cfg.style_weights_tuple(),
+            content_layers=tuple(opt_cfg.content_layers),
+            precision=config.hardware.precision,
+            lbfgs_max_iter=opt_cfg.lbfgs_max_iter,
+            lbfgs_max_eval=opt_cfg.lbfgs_max_eval,
+            lbfgs_history_size=opt_cfg.lbfgs_history_size,
+            lbfgs_history_dtype=opt_cfg.lbfgs_history_dtype,
+            lbfgs_direction=opt_cfg.lbfgs_direction,
+            remat=remat,
+            gram_backend=gram_backend,
+        )
+        if x is None:
+            x = initialize_multi_inputs(
+                coarse_content, opt_cfg.init_method, key, n_styles,
+            )
+        else:
+            x = jax.image.resize(
+                x, (n_styles, 1, ch, cw, 3), method="linear",
+            )
+        state = coarse_bundle.opt_state
+        logger.info(
+            "Coarse warm start: %d vmapped steps at %dx%d for %d styles.",
+            steps, cw, ch, n_styles,
+        )
+        x, _, _aux = drive_chunked(
+            coarse_bundle.chunked_update_fn, x, state,
+            steps, DEFAULT_CHUNK,
+        )
     return jax.image.resize(
         x, (n_styles, 1, int(height), int(width), 3), method="linear",
     )

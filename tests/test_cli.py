@@ -1646,4 +1646,6 @@ def test_coarse_steps_logged(
         cfg,
         argparse.Namespace(config=None),
     )
-    assert "Coarse Warm Start: 40 half-res steps" in caplog.text
+    assert "Coarse Warm Start: 40 steps across 1 pyramid level(s)" in (
+        caplog.text
+    )

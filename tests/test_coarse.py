@@ -9,6 +9,8 @@ import pytest
 from style_transfer_visualizer_tpu.engine.coarse import (
     coarse_dims,
     coarse_init,
+    plan_pyramid,
+    pyramid_dims,
 )
 from style_transfer_visualizer_tpu.models import vgg19
 from style_transfer_visualizer_tpu.models.features import (
@@ -331,6 +333,113 @@ class TestMainWiring:
         assert cfg.optimization.coarse_steps == 40
 
 
+class TestPyramidDims:
+    def test_two_levels_matches_coarse_dims(self) -> None:
+        assert pyramid_dims(512, 512, 2) == [coarse_dims(512, 512)]
+        assert pyramid_dims(1088, 1920, 2) == [coarse_dims(1088, 1920)]
+
+    def test_deep_pyramid_is_coarsest_first(self) -> None:
+        assert pyramid_dims(512, 512, 4) == [
+            (64, 64), (128, 128), (256, 256),
+        ]
+
+    def test_too_deep_levels_dropped(self) -> None:
+        # 128px: 1/8 res would be 16px (< 32 minimum) — starts at 1/4.
+        assert pyramid_dims(128, 128, 4) == [(32, 32), (64, 64)]
+
+    def test_all_levels_too_small(self) -> None:
+        assert pyramid_dims(48, 48, 3) == []
+
+
+class TestPlanPyramid:
+    def test_budget_splits_evenly(self) -> None:
+        assert plan_pyramid(512, 512, 10, levels=3) == [
+            (128, 128, 5), (256, 256, 5),
+        ]
+
+    def test_remainder_goes_to_coarsest(self) -> None:
+        assert plan_pyramid(512, 512, 11, levels=3) == [
+            (128, 128, 6), (256, 256, 5),
+        ]
+
+    def test_tiny_budget_runs_coarsest_only(self) -> None:
+        assert plan_pyramid(512, 512, 1, levels=3) == [(128, 128, 1)]
+
+    def test_zero_steps_empty(self) -> None:
+        assert plan_pyramid(512, 512, 0, levels=3) == []
+
+    def test_too_small_logs_and_skips(self, caplog) -> None:
+        import logging
+
+        with caplog.at_level(logging.INFO):
+            assert plan_pyramid(48, 512, 10, levels=2) == []
+        assert "too small to halve" in caplog.text
+
+
+class TestPyramidInit:
+    def test_three_level_warm_start(
+        self, make_style_transfer_config, caplog,
+    ) -> None:
+        import logging
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        key = jax.random.key(3)
+        content = jax.random.uniform(key, (1, 128, 128, 3), jnp.float32)
+        style = jax.random.uniform(
+            jax.random.fold_in(key, 1), (1, 128, 128, 3), jnp.float32,
+        )
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "random", "coarse_steps": 4,
+                "pyramid_levels": 3,
+            },
+        )
+        with caplog.at_level(logging.INFO):
+            warm = coarse_init(params, content, style, cfg, key)
+        assert warm is not None
+        assert warm.shape == content.shape
+        assert np.all(np.isfinite(np.asarray(warm)))
+        # Both levels ran, coarsest first, each warm-starting the next.
+        assert "2 steps at 32x32" in caplog.text
+        assert "2 steps at 64x64" in caplog.text
+        assert caplog.text.index("32x32") < caplog.text.index("64x64")
+
+    def test_default_levels_is_single_half_res(self, tiny_setup) -> None:
+        params, content, style, cfg = tiny_setup
+        assert cfg.optimization.pyramid_levels == 2
+        warm = coarse_init(params, content, style, cfg, jax.random.key(2))
+        assert warm is not None
+        assert warm.shape == content.shape
+
+    def test_cli_merge(self) -> None:
+        from style_transfer_visualizer_tpu.config import (
+            build_config_from_cli,
+        )
+
+        cfg = build_config_from_cli(
+            {"coarse_steps": 8, "pyramid_levels": 4},
+        )
+        assert cfg.optimization.pyramid_levels == 4
+
+    def test_levels_bounds_validated(self) -> None:
+        import pydantic
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+
+        with pytest.raises(pydantic.ValidationError):
+            StyleTransferConfig.model_validate(
+                {"optimization": {"pyramid_levels": 1}},
+            )
+        with pytest.raises(pydantic.ValidationError):
+            StyleTransferConfig.model_validate(
+                {"optimization": {"pyramid_levels": 7}},
+            )
+
+
 class TestBatchCoarse:
     def test_multi_style_warm_start_end_to_end(self, tmp_path) -> None:
         """--coarse-steps in batch mode runs the vmapped half-res phase."""
@@ -439,8 +548,8 @@ class TestBatchCoarse:
         from style_transfer_visualizer_tpu.main import multi_style_transfer
 
         monkeypatch.setattr(
-            "style_transfer_visualizer_tpu.engine.coarse.coarse_dims",
-            lambda h, w: None,
+            "style_transfer_visualizer_tpu.engine.coarse.pyramid_dims",
+            lambda h, w, levels: [],
         )
         content = tmp_path / "c.png"
         s1 = tmp_path / "s1.png"
