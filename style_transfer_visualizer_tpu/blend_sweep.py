@@ -223,9 +223,20 @@ def _sweep_on_device(
     frame_seconds: list[float] = []
     frame_losses: list[float] = []
     total_steps = 0
+    lap_t = None
+    if opt_cfg.lap_w:
+        from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+            lap_response,
+        )
+
+        # The content is fixed across the sweep; one response serves
+        # every mixture frame.
+        lap_t = lap_response(content_img, opt_cfg.lap_pool)
     for i, weights in enumerate(weights_rows):
         frame_start = time.perf_counter()
         targets = blend_targets(per_style, weights)
+        if opt_cfg.lap_w:
+            targets = (targets, lap_t)
         budget = opt_cfg.steps if i == 0 else per_frame_steps
         state = init_state()
         x, state, auxes = drive_chunked(

@@ -182,6 +182,27 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "coarse warm start)."
                 ),
             }),
+            ("--lap-w", {
+                "type": float, "default": suppress,
+                "help": (
+                    "Laplacian detail-preservation weight (Lapstyle, "
+                    "Li et al. 2017): penalizes edge-structure drift "
+                    "from the content photo via pooled-Laplacian "
+                    "response matching (0, the default, reproduces the "
+                    "reference's style+content-only loss). Applies to "
+                    "whole-image, banded, batch, warm-start, sequence, "
+                    "and blend-sweep paths; not applied under "
+                    "--spatial-shards."
+                ),
+            }),
+            ("--lap-pool", {
+                "type": int, "default": suppress,
+                "help": (
+                    "Mean-pool size before the Laplacian stencil "
+                    "(default 4): larger values match coarser edge "
+                    "structure and cost less."
+                ),
+            }),
             ("--preserve-color", {
                 "dest": "preserve_color",
                 "choices": ["off", "luminance", "match"],
@@ -505,6 +526,11 @@ def log_parameters(
     logger.info("Content Weight: %g", cfg.optimization.content_w)
     if cfg.optimization.tv_w:
         logger.info("TV Weight: %g", cfg.optimization.tv_w)
+    if cfg.optimization.lap_w:
+        logger.info(
+            "Laplacian Weight: %g (pool %d)",
+            cfg.optimization.lap_w, cfg.optimization.lap_pool,
+        )
     if cfg.optimization.preserve_color != "off":
         logger.info(
             "Color Preservation: %s", cfg.optimization.preserve_color,

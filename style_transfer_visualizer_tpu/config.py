@@ -53,6 +53,14 @@ class OptimizationConfig(_ValidatedSection):
     # (ops/tv.py), weighted into the objective. 0 (the default) matches
     # the reference's style+content-only loss.
     tv_w: float = Field(d.DEFAULT_TV_WEIGHT, ge=0)
+    # TPU-framework addition: Laplacian detail-preservation term
+    # (Lapstyle, Li et al. 2017 arXiv:1707.01253; ops/lap.py) matching
+    # the pooled-Laplacian response of the content image. 0 (the
+    # default) matches the reference's style+content-only loss;
+    # lap_pool sets the detail scale (mean-pool size before the
+    # stencil).
+    lap_w: float = Field(d.DEFAULT_LAP_WEIGHT, ge=0)
+    lap_pool: int = Field(d.DEFAULT_LAP_POOL, ge=1)
     # TPU-framework addition: color preservation (Gatys et al. 2016,
     # arXiv:1606.05897). "luminance" keeps the content's chrominance in
     # every output; "match" remaps the style image onto the content's
@@ -337,8 +345,8 @@ def _merge_optimization(
 ) -> None:
     opt = cfg.optimization
     for key in (
-        "steps", "style_w", "content_w", "tv_w", "lr", "init_method",
-        "seed",
+        "steps", "style_w", "content_w", "tv_w", "lap_w", "lap_pool",
+        "lr", "init_method", "seed",
         "optimizer", "model", "lbfgs_max_iter", "lbfgs_max_eval",
         "lbfgs_history_size", "lbfgs_history_dtype", "lbfgs_direction",
         "tile_rows", "coarse_steps", "pyramid_levels", "preserve_color",

@@ -41,6 +41,11 @@ DEFAULT_STYLE_WEIGHT = 1e5
 DEFAULT_CONTENT_WEIGHT = 1.0
 # Total-variation weight (TPU-framework addition; 0 = reference loss).
 DEFAULT_TV_WEIGHT = 0.0
+# Laplacian detail-preservation weight and its pooling size (Lapstyle,
+# Li et al. 2017 arXiv:1707.01253; TPU-framework addition; 0 =
+# reference loss).
+DEFAULT_LAP_WEIGHT = 0.0
+DEFAULT_LAP_POOL = 4
 # Color preservation (TPU-framework addition; "off" = reference
 # behavior, the output inherits the style's palette).
 DEFAULT_PRESERVE_COLOR = "off"

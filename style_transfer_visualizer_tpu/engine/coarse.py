@@ -284,6 +284,27 @@ def _optimize_level(
     targets = targets_maybe_blended(
         one_targets, coarse_style, content_layers, coarse_blend,
     )
+    lap_target = None
+    lap_w = opt_cfg.lap_w
+    if lap_w and min(ch, cw) // opt_cfg.lap_pool < 3:  # noqa: PLR2004
+        # The pooled stencil needs a 3x3 response; a level this small
+        # carries no matchable edge structure anyway.
+        logger.info(
+            "Coarse level %dx%d is too small for lap_pool=%d; the "
+            "Laplacian term starts at the next level.",
+            cw, ch, opt_cfg.lap_pool,
+        )
+        lap_w = 0.0
+    if lap_w:
+        from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+            lap_response,
+        )
+
+        # Each level matches the Laplacian of ITS OWN resized content:
+        # the term is resolution-independent (mean-reduced), so the
+        # coarse phases steer toward the same edge structure the
+        # full-res phase will pin down.
+        lap_target = lap_response(coarse_content, opt_cfg.lap_pool)
     bundle = build_update_step(
         params, targets, tuple(coarse_content.shape),
         optimizer=opt_cfg.optimizer,
@@ -291,6 +312,9 @@ def _optimize_level(
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
+        lap_w=lap_w,
+        lap_pool=opt_cfg.lap_pool,
+        lap_target=lap_target,
         style_layers=style_layers,
         content_layers=content_layers,
         precision=config.hardware.precision,

@@ -33,6 +33,7 @@ from style_transfer_visualizer_tpu.ops.precision import (
     MIXED,
     PrecisionPolicy,
 )
+from style_transfer_visualizer_tpu.ops.lap import lap_loss
 from style_transfer_visualizer_tpu.ops.tv import tv_loss
 
 _PRECISIONS: dict[str, jax.lax.Precision | PrecisionPolicy] = {
@@ -153,6 +154,9 @@ def build_update_step(
     style_w: float,
     content_w: float,
     tv_w: float = 0.0,
+    lap_w: float = 0.0,
+    lap_pool: int = 4,
+    lap_target: jax.Array | None = None,
     style_layers: tuple[int, ...],
     content_layers: tuple[int, ...],
     precision: str = "highest",
@@ -187,8 +191,21 @@ def build_update_step(
     shared unchanged. A custom ``loss_fn`` owns its own TV term (the
     sharded loss computes it seam-exactly per shard), so ``tv_w`` here
     applies only to the whole-image and banded paths.
+
+    ``lap_w > 0`` adds the Laplacian detail-preservation term
+    (``ops.lap``) against ``lap_target`` — the precomputed
+    ``lap_response(content, lap_pool)`` — which rides as a runtime
+    argument alongside the targets. Like TV it touches only the
+    (pooled) image, so it composes with banded evaluation; custom
+    ``loss_fn`` paths own their own regularizers and ignore it.
     """
     prec = resolve_precision(precision)
+    use_lap = bool(lap_w) and loss_fn is None
+    if use_lap and lap_target is None:
+        msg = "lap_w > 0 requires a precomputed lap_target response"
+        raise ValueError(msg)
+    if not use_lap:
+        lap_target = None
     if conv_backend != "pallas" and loss_fn is None:
         # Ship pre-flipped kernels so the conv backward runs as a plain
         # forward conv (ops/frozen_conv.py; ~4% off the step on TPU).
@@ -203,7 +220,9 @@ def build_update_step(
     # closure constants: baked-in constants bloat the serialized HLO
     # (hundreds of MB of content targets at 4K), which slows — or on
     # remote-compile backends outright rejects — compilation.
-    def vag(flat: jax.Array, params: Params, targets: Targets):
+    def vag(flat: jax.Array, params: Params, tpack):
+        targets, lap_t = tpack
+
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
             if loss_fn is not None:
@@ -231,6 +250,8 @@ def build_update_step(
                 # even at banded 4K sizes the whole-image term is a
                 # negligible add outside the band scan.
                 total = total + tv_w * tv_loss(img)
+            if use_lap:
+                total = total + lap_w * lap_loss(img, lap_t, lap_pool)
             return total, aux
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
@@ -241,10 +262,10 @@ def build_update_step(
             history_dtype=jax.numpy.dtype(lbfgs_history_dtype),
         )
 
-        def update(image, state: LbfgsState, params, targets):
+        def update(image, state: LbfgsState, params, tpack):
             flat = image.reshape(n)
             new_flat, new_state, aux = lbfgs_step(
-                lambda f: vag(f, params, targets), flat, state, lr,
+                lambda f: vag(f, params, tpack), flat, state, lr,
                 max_iter=lbfgs_max_iter,
                 max_eval=lbfgs_max_eval,
                 history_size=lbfgs_history_size,
@@ -258,9 +279,9 @@ def build_update_step(
         # between the conv-backward output and the optimizer update.
         opt_state = adam_init(tuple(image_shape))
 
-        def update(image, state: AdamState, params, targets):
+        def update(image, state: AdamState, params, tpack):
             return adam_step(
-                lambda im: vag(im, params, targets), image, state, lr,
+                lambda im: vag(im, params, tpack), image, state, lr,
             )
 
     else:
@@ -283,14 +304,14 @@ def build_update_step(
     )
 
     def update_fn(image: jax.Array, state: OptState):
-        return jitted(image, state, params, targets)
+        return jitted(image, state, params, (targets, lap_target))
 
     # Chunks always donate: the k-step scan reuses the carried buffers
     # anyway, and the per-dispatch donation overhead amortizes over k.
     jitted_multi = make_chunked_update(update, n_extra_args=2)
 
     def chunked_update_fn(image: jax.Array, state: OptState, k: int):
-        return jitted_multi(image, state, params, targets, k)
+        return jitted_multi(image, state, params, (targets, lap_target), k)
 
     return StepBundle(
         update_fn=update_fn,

@@ -428,6 +428,15 @@ def multi_style_transfer(
         remat = opt_cfg.remat or _auto_remat_batched(
             int(height) * int(width), styles_per_device,
         )
+        lap_target = None
+        if opt_cfg.lap_w:
+            from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+                lap_response,
+            )
+
+            # One content image serves every style; the response
+            # replicates across the style axis inside the builder.
+            lap_target = lap_response(content_img, opt_cfg.lap_pool)
         bundle = build_multi_style_update(
             mesh, params, targets, tuple(content_img.shape), n_styles,
             optimizer=opt_cfg.optimizer,
@@ -435,6 +444,9 @@ def multi_style_transfer(
             style_w=opt_cfg.style_w,
             content_w=opt_cfg.content_w,
             tv_w=opt_cfg.tv_w,
+            lap_w=opt_cfg.lap_w,
+            lap_pool=opt_cfg.lap_pool,
+            lap_target=lap_target,
             style_layers=tuple(opt_cfg.style_layers),
             style_weights=opt_cfg.style_weights_tuple(),
             content_layers=tuple(opt_cfg.content_layers),
@@ -542,6 +554,21 @@ def _multi_initial_images(
         remat = opt_cfg.remat or _auto_remat_batched(
             ch * cw, styles_per_device,
         )
+        lap_w = opt_cfg.lap_w
+        lap_target = None
+        if lap_w and min(ch, cw) // opt_cfg.lap_pool < 3:  # noqa: PLR2004
+            logger.info(
+                "Coarse level %dx%d is too small for lap_pool=%d; the "
+                "Laplacian term starts at the next level.",
+                cw, ch, opt_cfg.lap_pool,
+            )
+            lap_w = 0.0
+        if lap_w:
+            from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+                lap_response,
+            )
+
+            lap_target = lap_response(coarse_content, opt_cfg.lap_pool)
         coarse_bundle = build_multi_style_update(
             mesh, params, coarse_targets, tuple(coarse_content.shape),
             n_styles,
@@ -550,6 +577,9 @@ def _multi_initial_images(
             style_w=opt_cfg.style_w,
             content_w=opt_cfg.content_w,
             tv_w=opt_cfg.tv_w,
+            lap_w=lap_w,
+            lap_pool=opt_cfg.lap_pool,
+            lap_target=lap_target,
             style_layers=tuple(opt_cfg.style_layers),
             style_weights=opt_cfg.style_weights_tuple(),
             content_layers=tuple(opt_cfg.content_layers),
@@ -699,6 +729,12 @@ def _dp_sp_multi_style(
         logger.info(
             "Coarse warm start is not applied under --spatial-shards "
             "in batch mode; starting from init_method directly.",
+        )
+    if opt_cfg.lap_w:
+        logger.info(
+            "Laplacian term (--lap-w) is not applied under "
+            "--spatial-shards; running with the style+content(+TV) "
+            "objective.",
         )
     images = initialize_multi_inputs(
         content_img, opt_cfg.init_method, key, n_styles,
@@ -1312,6 +1348,13 @@ def _prepare_model_and_input(
     targets = targets_maybe_blended(
         one_targets, style_img, tuple(opt_cfg.content_layers), blend_imgs,
     )
+    lap_target = None
+    if opt_cfg.lap_w:
+        from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+            lap_response,
+        )
+
+        lap_target = lap_response(content_img, opt_cfg.lap_pool)
     remat = not tile_rows and (
         opt_cfg.remat
         or int(height) * int(width) >= AUTO_REMAT_PIXEL_THRESHOLD
@@ -1330,6 +1373,9 @@ def _prepare_model_and_input(
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
+        lap_w=opt_cfg.lap_w,
+        lap_pool=opt_cfg.lap_pool,
+        lap_target=lap_target,
         style_layers=tuple(opt_cfg.style_layers),
         style_weights=opt_cfg.style_weights_tuple(),
         content_layers=tuple(opt_cfg.content_layers),
@@ -1458,6 +1504,15 @@ def _prepare_spatial_model_and_input(
     row_sharding, target_shardings = spatial_shardings(mesh, targets)
     targets = jax.device_put(targets, target_shardings)
 
+    if opt_cfg.lap_w:
+        # The pooled-Laplacian stencil crosses row-shard seams; a
+        # halo'd sharded variant is possible but unbuilt. Loud skip,
+        # mirroring the coarse-warm-start policy under sharding.
+        logger.info(
+            "Laplacian term (--lap-w) is not applied under "
+            "--spatial-shards; running with the style+content(+TV) "
+            "objective.",
+        )
     loss_fn = make_spatial_loss(
         mesh,
         tuple(content_img.shape),

@@ -27,6 +27,7 @@ from style_transfer_visualizer_tpu.engine.optimizers import (
 )
 from style_transfer_visualizer_tpu.engine.step import resolve_precision
 from style_transfer_visualizer_tpu.ops.precision import PrecisionLike
+from style_transfer_visualizer_tpu.ops.lap import lap_loss
 from style_transfer_visualizer_tpu.ops.tv import tv_loss
 from style_transfer_visualizer_tpu.models.features import (
     Targets,
@@ -141,6 +142,9 @@ def build_multi_style_update(
     remat: bool = False,
     gram_backend: str = "xla",
     tv_w: float = 0.0,
+    lap_w: float = 0.0,
+    lap_pool: int = 4,
+    lap_target: jax.Array | None = None,
     style_weights: tuple[float, ...] | None = None,
 ) -> MultiStyleBundle:
     """Compile the stacked multi-style step sharded over the mesh.
@@ -150,6 +154,11 @@ def build_multi_style_update(
     buffers are donated.
     """
     prec = resolve_precision(precision)
+    if lap_w and lap_target is None:
+        msg = "lap_w > 0 requires a precomputed lap_target response"
+        raise ValueError(msg)
+    if not lap_w:
+        lap_target = None
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
         add_flipped_kernels,
     )
@@ -161,7 +170,11 @@ def build_multi_style_update(
     for dim in image_shape:
         n *= int(dim)
 
-    def single_vag(flat: jax.Array, p: Params, style_targets: Targets):
+    def single_vag(flat: jax.Array, p: Params, tpack):
+        # The Laplacian target is the CONTENT's response — identical
+        # for every style, so it rides unstacked (vmap axis None).
+        style_targets, lap_t = tpack
+
         def loss_of(flat_x: jax.Array):
             img = flat_x.reshape(image_shape)
             total, aux = total_loss(
@@ -171,6 +184,8 @@ def build_multi_style_update(
             )
             if tv_w:
                 total = total + tv_w * tv_loss(img)
+            if lap_w:
+                total = total + lap_w * lap_loss(img, lap_t, lap_pool)
             return total, aux
 
         return jax.value_and_grad(loss_of, has_aux=True)(flat)
@@ -181,9 +196,9 @@ def build_multi_style_update(
         )
 
     if optimizer == "lbfgs":
-        def single_update(flat, state, p, style_targets):
+        def single_update(flat, state, p, tpack):
             return lbfgs_step(
-                lambda f: single_vag(f, p, style_targets),
+                lambda f: single_vag(f, p, tpack),
                 flat, state, lr,
                 max_iter=lbfgs_max_iter,
                 max_eval=lbfgs_max_eval,
@@ -201,9 +216,9 @@ def build_multi_style_update(
     elif optimizer == "adam":
         # Image-shaped moments (see engine.optimizers.adam_init): the
         # per-style update runs entirely in the NHWC device layout.
-        def single_update(img, state, p, style_targets):
+        def single_update(img, state, p, tpack):
             return adam_step(
-                lambda im: single_vag(im, p, style_targets), img, state, lr,
+                lambda im: single_vag(im, p, tpack), img, state, lr,
             )
 
         def init_state():
@@ -224,7 +239,7 @@ def build_multi_style_update(
     )
     opt_state = jax.jit(init_state, out_shardings=state_shardings)()
 
-    def update(images: jax.Array, state, p: Params, step_targets: Targets):
+    def update(images: jax.Array, state, p: Params, step_targets):
         # L-BFGS needs flat vectors (dot products over history pairs);
         # Adam stays in image shape. The reshapes are no-ops when the
         # shape already matches.
@@ -234,7 +249,7 @@ def build_multi_style_update(
             else images
         )
         new_xs, new_state, aux = jax.vmap(
-            single_update, in_axes=(0, 0, None, 0),
+            single_update, in_axes=(0, 0, None, (0, None)),
         )(xs, state, p, step_targets)
         return (
             new_xs.reshape(n_styles, *image_shape),
@@ -264,15 +279,19 @@ def build_multi_style_update(
         donate_argnums=(0, 1),
         in_shardings=(
             images_sharding, state_shardings, replicated,
-            target_shardings,
+            # The lap target (when present) replicates like the weights.
+            (target_shardings, replicated),
         ),
         out_shardings=(images_sharding, state_shardings, aux_shardings),
     )
     targets = jax.device_put(targets, target_shardings)
     params = jax.device_put(params, replicated)
+    if lap_target is not None:
+        lap_target = jax.device_put(lap_target, replicated)
+    tpack = (targets, lap_target)
 
     def update_fn(images: jax.Array, state):
-        return jitted(images, state, params, targets)
+        return jitted(images, state, params, tpack)
 
     from style_transfer_visualizer_tpu.engine.step import (  # noqa: PLC0415
         make_chunked_update,
@@ -281,7 +300,7 @@ def build_multi_style_update(
     jitted_multi = make_chunked_update(update, n_extra_args=2)
 
     def chunked_update_fn(images: jax.Array, state, k: int):
-        return jitted_multi(images, state, params, targets, k)
+        return jitted_multi(images, state, params, tpack, k)
 
     return MultiStyleBundle(
         update_fn=update_fn, opt_state=opt_state, targets=targets,

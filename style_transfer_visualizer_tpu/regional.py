@@ -204,7 +204,13 @@ def make_regional_loss(
     content_layers = tuple(opt_cfg.content_layers)
     taps = tuple(sorted(set(style_layers) | set(content_layers)))
 
-    def loss_fn(p: Params, img: jax.Array, rt: RegionalTargets):
+    def loss_fn(p: Params, img: jax.Array, rt):
+        lap_t = None
+        if opt_cfg.lap_w:
+            # Threaded as (RegionalTargets, lap_target): the Laplacian
+            # matches the whole content photo's edges — it is
+            # region-agnostic, like the content term.
+            rt, lap_t = rt
         acts = extract_features(p, img, taps, precision=prec)
         style_score = regional_style_loss(
             acts, rt, style_layers, precision=prec,
@@ -228,6 +234,14 @@ def make_regional_loss(
             )
 
             total = total + opt_cfg.tv_w * tv_loss(img)
+        if opt_cfg.lap_w:
+            from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+                lap_loss,
+            )
+
+            total = total + opt_cfg.lap_w * lap_loss(
+                img, lap_t, opt_cfg.lap_pool,
+            )
         return total, (style_score, content_score)
 
     return loss_fn
@@ -340,6 +354,14 @@ def _regional_on_device(
         content_feats=per_style[0].content_feats,
         masks=masks,
     )
+    if opt_cfg.lap_w:
+        from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+            lap_response,
+        )
+
+        rtargets = (
+            rtargets, lap_response(content_img, opt_cfg.lap_pool),
+        )
 
     _, update_many, init_state, run_params = build_targets_update(
         params, tuple(content_img.shape), config,

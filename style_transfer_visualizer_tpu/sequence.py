@@ -119,6 +119,12 @@ def build_targets_update(
     ``loss_fn(params, image, targets) -> (total, aux)`` overrides the
     standard style+content(+TV) objective; ``targets`` may then be any
     pytree the caller threads through (e.g. ``RegionalTargets``).
+
+    When ``optimization.lap_w > 0`` (and no custom ``loss_fn``), the
+    ``targets`` runtime argument must be the pair ``(Targets,
+    lap_target)`` — the Laplacian response rides per call like the
+    content targets, so a sequence matches each frame against its OWN
+    source (ops/lap.py).
     """
     opt_cfg = cfg.optimization
     from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
@@ -138,7 +144,10 @@ def build_targets_update(
             total_loss,
         )
 
-        def loss_fn(p: Params, img: jax.Array, targets: Targets):
+        def loss_fn(p: Params, img: jax.Array, targets):
+            lap_t = None
+            if opt_cfg.lap_w:
+                targets, lap_t = targets
             total, aux = total_loss(
                 p, img, targets, opt_cfg.style_w, opt_cfg.content_w,
                 style_layers, content_layers, prec,
@@ -150,6 +159,14 @@ def build_targets_update(
                 )
 
                 total = total + opt_cfg.tv_w * tv_loss(img)
+            if opt_cfg.lap_w:
+                from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+                    lap_loss,
+                )
+
+                total = total + opt_cfg.lap_w * lap_loss(
+                    img, lap_t, opt_cfg.lap_pool,
+                )
             return total, aux
 
     def vag_with_targets(flat: jax.Array, p: Params, targets):
@@ -503,6 +520,15 @@ def _stylize_frames(
                 ),
             )
         )
+        if opt_cfg.lap_w:
+            from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+                lap_response,
+            )
+
+            # Each frame pins edges to its OWN source frame.
+            targets = (
+                targets, lap_response(content, opt_cfg.lap_pool),
+            )
         if x is None:
             # Frame 0 is the clip's only cold start; later frames warm
             # from the previous result, which dominates any coarse

@@ -53,6 +53,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="Total-variation weight: smoothness regularizer on each "
              "stylized frame (0, the default, is style+content only)",
     )
+    p.add_argument(
+        "--lap-w", dest="lap_w", type=float, default=argparse.SUPPRESS,
+        help="Laplacian detail-preservation weight (Lapstyle): pins "
+             "each frame's edge structure to its OWN source frame "
+             "(0, the default, is style+content only)",
+    )
+    p.add_argument(
+        "--lap-pool", dest="lap_pool", type=int,
+        default=argparse.SUPPRESS,
+        help="Mean-pool size before the Laplacian stencil (default 4)",
+    )
     p.add_argument("--lr", type=float, default=argparse.SUPPRESS)
     p.add_argument(
         "--optimizer", choices=["lbfgs", "adam"],

@@ -1,0 +1,367 @@
+"""Laplacian detail-preservation term: op math + objective integration.
+
+The reference has no Laplacian term (its loss is style + content only,
+reference optimization.py:309-313); ``--lap-w`` is a TPU-framework
+addition (Lapstyle, Li et al. 2017 arXiv:1707.01253), so these tests
+pin the pooled-Laplacian response against a numpy reference and prove
+the execution paths fold the term into the objective identically.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_visualizer_tpu.config import (
+    StyleTransferConfig,
+    build_config_from_cli,
+)
+from style_transfer_visualizer_tpu.engine.step import build_update_step
+from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.models.features import compute_targets
+from style_transfer_visualizer_tpu.ops.lap import lap_loss, lap_response
+
+HIGH = jax.lax.Precision.HIGHEST
+STYLE_LAYERS = (0, 5)
+CONTENT_LAYERS = (2,)
+
+
+def _numpy_lap_response(arr: np.ndarray, pool: int) -> np.ndarray:
+    """Reference pooled-Laplacian response, straight from the paper."""
+    b, h, w, c = arr.shape
+    if pool > 1:
+        hp, wp = h // pool, w // pool
+        arr = arr[:, : hp * pool, : wp * pool, :]
+        arr = arr.reshape(b, hp, pool, wp, pool, c).mean(axis=(2, 4))
+    out = (
+        arr[:, :-2, 1:-1, :]
+        + arr[:, 2:, 1:-1, :]
+        + arr[:, 1:-1, :-2, :]
+        + arr[:, 1:-1, 2:, :]
+        - 4.0 * arr[:, 1:-1, 1:-1, :]
+    )
+    return out
+
+
+class TestLapResponse:
+    def test_matches_numpy_reference(self) -> None:
+        x = jax.random.normal(jax.random.key(0), (1, 17, 23, 3))
+        got = np.asarray(lap_response(x, 2))
+        want = _numpy_lap_response(np.asarray(x), 2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_pool_one_is_plain_stencil(self) -> None:
+        x = jax.random.normal(jax.random.key(1), (1, 9, 9, 3))
+        got = np.asarray(lap_response(x, 1))
+        want = _numpy_lap_response(np.asarray(x), 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_linear_ramp_has_zero_laplacian(self) -> None:
+        """The stencil is a second difference: affine images vanish."""
+        h = jnp.arange(16.0)[None, :, None, None]
+        w = jnp.arange(16.0)[None, None, :, None]
+        ramp = jnp.broadcast_to(2.0 * h - 3.0 * w + 1.0, (1, 16, 16, 3))
+        np.testing.assert_allclose(
+            np.asarray(lap_response(ramp, 1)), 0.0, atol=1e-5,
+        )
+
+    def test_output_is_f32_for_bf16_input(self) -> None:
+        x = jax.random.normal(jax.random.key(2), (1, 12, 12, 3))
+        out = lap_response(x.astype(jnp.bfloat16), 2)
+        assert out.dtype == jnp.float32
+
+    def test_too_small_pooled_image_raises(self) -> None:
+        x = jnp.zeros((1, 8, 8, 3))
+        with pytest.raises(ValueError, match="lap_pool=4 leaves"):
+            lap_response(x, 4)
+
+
+class TestLapLoss:
+    def test_zero_at_the_content_image(self) -> None:
+        x = jax.random.normal(jax.random.key(3), (1, 16, 16, 3))
+        target = lap_response(x, 2)
+        assert float(lap_loss(x, target, 2)) == 0.0
+
+    def test_gradient_pulls_toward_content_edges(self) -> None:
+        content = jax.random.normal(jax.random.key(4), (1, 16, 16, 3))
+        target = lap_response(content, 2)
+        x = jax.random.normal(jax.random.key(5), (1, 16, 16, 3))
+        g = jax.grad(lambda im: lap_loss(im, target, 2))(x)
+        assert float(lap_loss(x - 0.5 * g, target, 2)) < float(
+            lap_loss(x, target, 2),
+        )
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return vgg19.init_random_params(jax.random.key(0))
+
+
+@pytest.fixture(scope="module")
+def problem(tiny_params):
+    rng = np.random.default_rng(7)
+    content = jnp.asarray(
+        rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
+    )
+    style = jnp.asarray(
+        rng.uniform(size=(1, 32, 32, 3)).astype(np.float32),
+    )
+    targets = compute_targets(
+        tiny_params, style, content, STYLE_LAYERS, CONTENT_LAYERS,
+        precision=HIGH,
+    )
+    return content, targets
+
+
+class TestStepBuilderLap:
+    def test_total_includes_lap_term_exactly(
+        self, tiny_params, problem,
+    ) -> None:
+        """First-eval loss with lap_w differs by lap_w * lap(x0)."""
+        content, targets = problem
+        # Optimize from a non-content start so the term is non-zero.
+        start = content * 0.25 + 0.1
+        target = lap_response(content, 2)
+        common = dict(
+            optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest",
+        )
+        base = build_update_step(
+            tiny_params, targets, tuple(content.shape), **common,
+        )
+        reg = build_update_step(
+            tiny_params, targets, tuple(content.shape),
+            lap_w=5.0, lap_pool=2, lap_target=target, **common,
+        )
+        _, _, aux0 = base.update_fn(start, base.opt_state)
+        _, _, aux1 = reg.update_fn(start, reg.opt_state)
+        np.testing.assert_allclose(
+            float(aux1.loss) - float(aux0.loss),
+            5.0 * float(lap_loss(start, target, 2)),
+            rtol=1e-5,
+        )
+        # The style/content telemetry split stays Laplacian-free.
+        np.testing.assert_allclose(
+            float(aux1.style_score), float(aux0.style_score), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(aux1.content_score),
+            float(aux0.content_score),
+            rtol=1e-6,
+        )
+
+    def test_lap_w_without_target_raises(
+        self, tiny_params, problem,
+    ) -> None:
+        content, targets = problem
+        with pytest.raises(ValueError, match="lap_target"):
+            build_update_step(
+                tiny_params, targets, tuple(content.shape),
+                optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
+                lap_w=1.0,
+                style_layers=STYLE_LAYERS,
+                content_layers=CONTENT_LAYERS,
+            )
+
+    def test_banded_path_matches_whole_image(
+        self, tiny_params, problem,
+    ) -> None:
+        """tile_rows > 0 with lap tracks the whole-image trajectory."""
+        content, targets = problem
+        target = lap_response(content, 2)
+        common = dict(
+            optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
+            lap_w=3.0, lap_pool=2, lap_target=target,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest",
+        )
+        whole = build_update_step(
+            tiny_params, targets, tuple(content.shape), **common,
+        )
+        banded = build_update_step(
+            tiny_params, targets, tuple(content.shape), tile_rows=16,
+            **common,
+        )
+        xw, sw = content, whole.opt_state
+        xb, sb = content, banded.opt_state
+        for _ in range(2):
+            xw, sw, aw = whole.update_fn(xw, sw)
+            xb, sb, ab = banded.update_fn(xb, sb)
+        np.testing.assert_allclose(
+            np.asarray(xb), np.asarray(xw), rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(ab.loss), float(aw.loss), rtol=1e-5,
+        )
+
+    def test_lap_pulls_edges_toward_content(
+        self, tiny_params, problem,
+    ) -> None:
+        """After steps the regularized image has lower lap mismatch."""
+        content, targets = problem
+        target = lap_response(content, 2)
+        start = jax.random.normal(jax.random.key(6), content.shape) * 0.3
+        common = dict(
+            optimizer="adam", lr=0.1, style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest",
+        )
+        runs = {}
+        for lap_w in (0.0, 200.0):
+            bundle = build_update_step(
+                tiny_params, targets, tuple(content.shape),
+                lap_w=lap_w, lap_pool=2,
+                lap_target=target if lap_w else None, **common,
+            )
+            x, st = start, bundle.opt_state
+            for _ in range(5):
+                x, st, _ = bundle.update_fn(x, st)
+            runs[lap_w] = float(lap_loss(x, target, 2))
+        assert runs[200.0] < runs[0.0]
+
+
+class TestMultiStyleLap:
+    def test_batched_totals_include_lap(
+        self, tiny_params, problem,
+    ) -> None:
+        from style_transfer_visualizer_tpu.parallel.mesh import (
+            single_device_mesh,
+        )
+        from style_transfer_visualizer_tpu.parallel.multistyle import (
+            build_multi_style_update,
+        )
+
+        content, targets = problem
+        target = lap_response(content, 2)
+        stacked = jax.tree.map(
+            lambda t: jnp.stack([t, t]), targets,
+        )
+        mesh = single_device_mesh()
+        common = dict(
+            optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision="highest",
+        )
+        base = build_multi_style_update(
+            mesh, tiny_params, stacked, tuple(content.shape), 2,
+            **common,
+        )
+        reg = build_multi_style_update(
+            mesh, tiny_params, stacked, tuple(content.shape), 2,
+            lap_w=4.0, lap_pool=2, lap_target=target, **common,
+        )
+
+        def fresh_images() -> jax.Array:
+            return jnp.stack([content * 0.5, content * 0.25 + 0.2])
+
+        _, _, aux0 = base.update_fn(fresh_images(), base.opt_state)
+        _, _, aux1 = reg.update_fn(fresh_images(), reg.opt_state)
+        images = fresh_images()
+        for s in range(2):
+            np.testing.assert_allclose(
+                float(aux1.loss[s]) - float(aux0.loss[s]),
+                4.0 * float(lap_loss(images[s], target, 2)),
+                rtol=1e-5,
+            )
+
+
+class TestSequenceLap:
+    def test_targets_update_unpacks_lap_pair(self, tiny_params) -> None:
+        """The sequence update expects (Targets, lap_t) when lap_w > 0."""
+        from style_transfer_visualizer_tpu.sequence import (
+            build_targets_update,
+        )
+
+        rng = np.random.default_rng(11)
+        content = jnp.asarray(
+            rng.uniform(size=(1, 24, 24, 3)).astype(np.float32),
+        )
+        style = jnp.asarray(
+            rng.uniform(size=(1, 24, 24, 3)).astype(np.float32),
+        )
+        targets = compute_targets(
+            tiny_params, style, content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        target = lap_response(content, 2)
+        start = content * 0.5
+
+        def one_eval(cfg: StyleTransferConfig, step_targets) -> float:
+            update, _, init_state, run_params = build_targets_update(
+                tiny_params, tuple(content.shape), cfg,
+            )
+            _, _, aux = update(
+                start, init_state(), run_params, step_targets,
+            )
+            return float(aux.loss)
+
+        cfg = StyleTransferConfig()
+        cfg.optimization.optimizer = "adam"
+        cfg.optimization.style_w = 10.0
+        cfg.optimization.content_w = 1.0
+        cfg.optimization.style_layers = list(STYLE_LAYERS)
+        cfg.optimization.content_layers = list(CONTENT_LAYERS)
+        cfg.hardware.precision = "highest"
+        base_loss = one_eval(cfg, targets)
+
+        cfg_lap = cfg.model_copy(deep=True)
+        cfg_lap.optimization.lap_w = 7.0
+        cfg_lap.optimization.lap_pool = 2
+        lap_loss_total = one_eval(cfg_lap, (targets, target))
+        np.testing.assert_allclose(
+            lap_loss_total - base_loss,
+            7.0 * float(lap_loss(start, target, 2)),
+            rtol=1e-5,
+        )
+
+
+class TestConfigPlumbing:
+    def test_defaults_are_off(self) -> None:
+        cfg = StyleTransferConfig()
+        assert cfg.optimization.lap_w == 0.0
+        assert cfg.optimization.lap_pool == 4
+
+    def test_negative_weight_rejected(self) -> None:
+        with pytest.raises(ValueError, match="lap_w"):
+            StyleTransferConfig.model_validate(
+                {"optimization": {"lap_w": -1.0}},
+            )
+
+    def test_zero_pool_rejected(self) -> None:
+        with pytest.raises(ValueError, match="lap_pool"):
+            StyleTransferConfig.model_validate(
+                {"optimization": {"lap_pool": 0}},
+            )
+
+    def test_cli_merge(self) -> None:
+        cfg = build_config_from_cli({"lap_w": 2.5, "lap_pool": 8})
+        assert cfg.optimization.lap_w == 2.5
+        assert cfg.optimization.lap_pool == 8
+
+    def test_cli_flags_parse(self) -> None:
+        from style_transfer_visualizer_tpu.cli import build_arg_parser
+
+        args = build_arg_parser().parse_args(
+            [
+                "--content", "c.png", "--style", "s.png",
+                "--lap-w", "1.5", "--lap-pool", "2",
+            ],
+        )
+        assert args.lap_w == 1.5
+        assert args.lap_pool == 2
+
+    def test_sequence_cli_flags_parse(self) -> None:
+        from style_transfer_visualizer_tpu.sequence_cli import (
+            build_parser,
+        )
+
+        args = build_parser().parse_args(
+            [
+                "--frames", "dir", "--style", "s.png",
+                "--lap-w", "0.5", "--lap-pool", "3",
+            ],
+        )
+        assert args.lap_w == 0.5
+        assert args.lap_pool == 3
