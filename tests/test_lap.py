@@ -168,7 +168,19 @@ class TestStepBuilderLap:
     def test_banded_path_matches_whole_image(
         self, tiny_params, problem,
     ) -> None:
-        """tile_rows > 0 with lap tracks the whole-image trajectory."""
+        """tile_rows > 0 with lap is eval-exact vs the whole image.
+
+        The exactness contract is asserted where it is well-posed: a
+        single loss + gradient evaluation at a non-stationary point
+        (measured parity: loss 5e-7 rel, grad 8e-8 rel — f32 rounding,
+        uniform across rows, no seam localization). Multi-step Adam
+        *trajectories* cannot carry a tight elementwise tolerance: the
+        round-4 chaos control (BASELINE.md "banded-lap adjudication")
+        shows a 6e-8 input perturbation — the banded/whole
+        reduction-order noise floor — amplifying to 2.6e-2 after ONE
+        Adam step from this test's near-stationary start, so the
+        trajectory check below uses the certified 1e-3 tolerance.
+        """
         content, targets = problem
         target = lap_response(content, 2)
         common = dict(
@@ -184,16 +196,76 @@ class TestStepBuilderLap:
             tiny_params, targets, tuple(content.shape), tile_rows=16,
             **common,
         )
+        # Eval-level exactness at a non-stationary point: the loss and
+        # the gradient-driven first update must match to f32 rounding.
+        x0 = content * 0.25 + 0.1
+        xw1, _, aw0 = whole.update_fn(x0, whole.opt_state)
+        xb1, _, ab0 = banded.update_fn(x0, banded.opt_state)
+        np.testing.assert_allclose(
+            float(ab0.loss), float(aw0.loss), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(ab0.style_score), float(aw0.style_score), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(ab0.content_score), float(aw0.content_score), rtol=1e-5,
+        )
+        # Trajectory smoke at the chaos-certified tolerance.
         xw, sw = content, whole.opt_state
         xb, sb = content, banded.opt_state
         for _ in range(2):
             xw, sw, aw = whole.update_fn(xw, sw)
             xb, sb, ab = banded.update_fn(xb, sb)
         np.testing.assert_allclose(
-            np.asarray(xb), np.asarray(xw), rtol=1e-4, atol=1e-6,
+            np.asarray(xb), np.asarray(xw), rtol=0, atol=1e-3,
         )
         np.testing.assert_allclose(
             float(ab.loss), float(aw.loss), rtol=1e-5,
+        )
+
+    def test_banded_gradient_matches_whole_image(
+        self, tiny_params, problem,
+    ) -> None:
+        """Banded-loss gradients with lap equal whole-image gradients.
+
+        This is the direct seam-exactness assertion the trajectory test
+        cannot carry: value_and_grad of the composed objective at a
+        non-stationary point, elementwise, with a tolerance at the f32
+        rounding scale of the gradient (measured 1.9e-9 abs against a
+        2.5e-2 grad scale).
+        """
+        from style_transfer_visualizer_tpu.models.features import (
+            total_loss,
+        )
+        from style_transfer_visualizer_tpu.ops.tiled import (
+            tiled_total_loss,
+        )
+
+        content, targets = problem
+        target = lap_response(content, 2)
+        x0 = content * 0.25 + 0.1
+
+        def whole_loss(x: jax.Array) -> jax.Array:
+            t, _ = total_loss(
+                tiny_params, x, targets, 10.0, 1.0,
+                STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+            )
+            return t + 3.0 * lap_loss(x, target, 2)
+
+        def banded_loss(x: jax.Array) -> jax.Array:
+            t, _ = tiled_total_loss(
+                tiny_params, x, targets, 10.0, 1.0,
+                STYLE_LAYERS, CONTENT_LAYERS, 16, precision=HIGH,
+            )
+            return t + 3.0 * lap_loss(x, target, 2)
+
+        lw, gw = jax.value_and_grad(whole_loss)(x0)
+        lb, gb = jax.value_and_grad(banded_loss)(x0)
+        np.testing.assert_allclose(float(lb), float(lw), rtol=1e-5)
+        gw_np, gb_np = np.asarray(gw), np.asarray(gb)
+        scale = float(np.abs(gw_np).max())
+        np.testing.assert_allclose(
+            gb_np, gw_np, rtol=0, atol=1e-5 * scale,
         )
 
     def test_lap_pulls_edges_toward_content(

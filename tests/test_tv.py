@@ -107,7 +107,14 @@ class TestStepBuilderTv:
     def test_banded_path_matches_whole_image(
         self, tiny_params, problem,
     ) -> None:
-        """tile_rows > 0 with TV tracks the whole-image trajectory."""
+        """tile_rows > 0 with TV is eval-exact vs the whole image.
+
+        Eval-level parity is asserted tight (loss + telemetry at a
+        non-stationary point); the multi-step Adam trajectory uses the
+        chaos-certified 1e-3 tolerance — see the banded-lap
+        adjudication in BASELINE.md for why elementwise trajectory
+        comparisons cannot carry an rtol at the rounding scale.
+        """
         content, targets = problem
         common = dict(
             optimizer="adam", lr=0.05, style_w=10.0, content_w=1.0,
@@ -121,13 +128,25 @@ class TestStepBuilderTv:
             tiny_params, targets, tuple(content.shape), tile_rows=16,
             **common,
         )
+        x0 = content * 0.25 + 0.1
+        _, _, aw0 = whole.update_fn(x0, whole.opt_state)
+        _, _, ab0 = banded.update_fn(x0, banded.opt_state)
+        np.testing.assert_allclose(
+            float(ab0.loss), float(aw0.loss), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(ab0.style_score), float(aw0.style_score), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(ab0.content_score), float(aw0.content_score), rtol=1e-5,
+        )
         xw, sw = content, whole.opt_state
         xb, sb = content, banded.opt_state
         for _ in range(2):
             xw, sw, aw = whole.update_fn(xw, sw)
             xb, sb, ab = banded.update_fn(xb, sb)
         np.testing.assert_allclose(
-            np.asarray(xb), np.asarray(xw), rtol=1e-4, atol=1e-6,
+            np.asarray(xb), np.asarray(xw), rtol=0, atol=1e-3,
         )
         np.testing.assert_allclose(
             float(ab.loss), float(aw.loss), rtol=1e-5,
