@@ -198,6 +198,11 @@ class OptimizationRunner:
         """Configured step count."""
         return self.config.optimization.steps
 
+    @property
+    def latest_logged(self) -> LoggedLoss | None:
+        """Most recent host-synced loss row (None before first cadence)."""
+        return self._latest_logged
+
     def run(self) -> tuple[jax.Array, LossHistory, float]:
         """Execute the loop; return (image, loss history, elapsed seconds)."""
         if self._progress_bar is None:

@@ -8,6 +8,7 @@ return the clipped result image ((1, H, W, 3) NHWC in [0, 1]).
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -153,16 +154,75 @@ def _run_on_device(
         content_img, style_img, config, key, blend_imgs=blend_imgs,
     )
 
-    output_path = stv_runtime.setup_output_directory(config.output.output)
     content_path = Path(paths.content_path)
     style_path = Path(paths.style_path)
-    content_name = content_path.stem
-    style_name = style_path.stem
+    style_name = None
     if style_blend:
         # Blended outputs name every contributing style, in user order.
         style_name = "+".join(
             Path(blend_path).stem for blend_path, _ in style_blend
         )
+    result = run_with_artifacts(
+        bundle.update_fn,
+        bundle.chunked_update_fn,
+        bundle.opt_state,
+        input_img,
+        config,
+        content_path=content_path,
+        style_path=style_path,
+        style_name=style_name,
+        chroma_source=chroma_source,
+    )
+    return result.image
+
+
+@dataclass(slots=True)
+class ArtifactRunResult:
+    """What the shared artifact-contract loop hands back to its caller."""
+
+    #: Prepared final image in [0, 1] (chroma-restored when requested).
+    image: jax.Array
+    #: Path of the saved final PNG.
+    final_path: Path
+    #: Exported loss history (empty when CSV logging owned the series).
+    loss_history: dict[str, list[float]]
+    #: Optimization wall-clock seconds.
+    elapsed: float
+    #: Last host-synced total loss (NaN when no row ever synced).
+    final_total_loss: float
+
+
+def run_with_artifacts(
+    update_fn,
+    chunked_update_fn,
+    opt_state,
+    input_img: jax.Array,
+    config: StyleTransferConfig,
+    *,
+    content_path: Path,
+    style_path: Path,
+    style_name: str | None = None,
+    chroma_source: jax.Array | None = None,
+    final_name: str | None = None,
+) -> ArtifactRunResult:
+    """Drive a prepared update loop with the full artifact contract.
+
+    Everything downstream of model preparation in the reference's
+    orchestration (main.py:85-165) lives here — timelapse MP4/GIF sinks
+    with intro/outro gallery segments, loss CSV or in-memory history
+    feeding the loss plot, checkpoint/resume, artifact-survival on sink
+    failure, and the final PNG — so every execution mode (single,
+    blended, regional) shares one contract. ``style_name`` overrides the
+    style stem in artifact names (multi-style modes join their stems);
+    ``final_name`` overrides the final PNG's canonical
+    ``stylized_{content}_x_{style}.png`` name. ``content_path`` and
+    ``style_path`` also feed the intro/outro gallery panels.
+    """
+    opt_cfg = config.optimization
+    output_path = stv_runtime.setup_output_directory(config.output.output)
+    content_name = content_path.stem
+    if style_name is None:
+        style_name = style_path.stem
     video_name = f"timelapse_{content_name}_x_{style_name}.mp4"
     gif_name = f"timelapse_{content_name}_x_{style_name}.gif"
 
@@ -194,7 +254,6 @@ def _run_on_device(
         if intro_info is not None:
             intro_last_frame, intro_crossfade_frames = intro_info
 
-    opt_state = bundle.opt_state
     start_step = 0
     if config.output.resume_from:
         from style_transfer_visualizer_tpu.runtime.checkpoint import (  # noqa: PLC0415
@@ -214,7 +273,7 @@ def _run_on_device(
         )
 
     runner = OptimizationRunner(
-        bundle.update_fn,
+        update_fn,
         opt_state,
         input_img,
         config,
@@ -224,7 +283,7 @@ def _run_on_device(
         intro_crossfade_frames=intro_crossfade_frames,
         start_step=start_step,
         checkpoint_path=checkpoint_path,
-        chunked_update_fn=bundle.chunked_update_fn,
+        chunked_update_fn=chunked_update_fn,
         chroma_source=chroma_source,
     )
     # The optimized image must survive late media failures: every sink
@@ -280,6 +339,7 @@ def _run_on_device(
         gif_created=gif_collector is not None and "gif" not in close_errors,
         plot_losses=config.output.plot_losses,
         chroma_source=chroma_source,
+        final_name=final_name,
     )
     stv_runtime.save_outputs(
         input_img, loss_metrics, output_path, elapsed, save_opts,
@@ -291,11 +351,30 @@ def _run_on_device(
         maybe_restore_color,
     )
 
-    return maybe_restore_color(
-        stv_image_io.prepare_image_for_output(
-            input_img, normalize=opt_cfg.normalize,
+    if loss_metrics.get("total_loss"):
+        final_total = float(loss_metrics["total_loss"][-1])
+    elif runner.latest_logged is not None:
+        final_total = runner.latest_logged.total_loss
+    else:
+        final_total = float("nan")
+    final_path = (
+        output_path / final_name
+        if final_name is not None
+        else stv_runtime.stylized_image_path_from_names(
+            output_path, content_name, style_name,
+        )
+    )
+    return ArtifactRunResult(
+        image=maybe_restore_color(
+            stv_image_io.prepare_image_for_output(
+                input_img, normalize=opt_cfg.normalize,
+            ),
+            chroma_source,
         ),
-        chroma_source,
+        final_path=final_path,
+        loss_history=loss_metrics,
+        elapsed=elapsed,
+        final_total_loss=final_total,
     )
 
 

@@ -32,20 +32,14 @@ import numpy as np
 
 import style_transfer_visualizer_tpu.image_io as stv_image_io
 import style_transfer_visualizer_tpu.runtime as stv_runtime
-from style_transfer_visualizer_tpu.engine.step import (
-    drive_chunked,
-    resolve_precision,
-)
+from style_transfer_visualizer_tpu.engine.step import resolve_precision
 from style_transfer_visualizer_tpu.models.features import (
     compute_targets,
     extract_features,
     initialize_input,
 )
 from style_transfer_visualizer_tpu.ops.gram import gram_apply
-from style_transfer_visualizer_tpu.sequence import (
-    _SEQUENCE_MAX_CHUNK,
-    build_targets_update,
-)
+from style_transfer_visualizer_tpu.sequence import build_targets_update
 from style_transfer_visualizer_tpu.utils.logging import logger
 
 if TYPE_CHECKING:
@@ -261,6 +255,12 @@ def stylize_regional(
     as ``regional_{content}_x_{s0+s1+...}.png``; ``--preserve-color``
     composes (``match`` remaps every style onto the content's palette,
     ``luminance`` recolors the result).
+
+    Regional runs carry the full single-run artifact contract
+    (reference main.py:85-165) by driving ``main.run_with_artifacts``:
+    timelapse MP4/GIF (intro/outro gallery panels show the first
+    style), loss CSV or in-memory history + plot, and
+    checkpoint/resume.
     """
     from style_transfer_visualizer_tpu.utils.cache import (  # noqa: PLC0415
         enable_persistent_compilation_cache,
@@ -284,6 +284,14 @@ def stylize_regional(
         if not Path(mask_path).exists():
             msg = f"Region mask not found: {mask_path}"
             raise FileNotFoundError(msg)
+    stv_runtime.validate_parameters(config.video.quality)
+
+    # Final-only mode disables all timelapse outputs (same cascade as
+    # main.style_transfer).
+    if config.video.final_only:
+        config.video.create_video = False
+        config.video.create_gif = False
+        config.video.save_every = config.optimization.steps + 1
 
     enable_persistent_compilation_cache()
     device = stv_runtime.setup_device(config.hardware.device)
@@ -311,7 +319,6 @@ def _regional_on_device(
 
     start = time.perf_counter()
     opt_cfg = config.optimization
-    output_dir = stv_runtime.setup_output_directory(config.output.output)
 
     content_host = stv_image_io.load_image_to_host_array(content_path)
     content_img = stv_image_io.host_array_to_device(
@@ -321,7 +328,7 @@ def _regional_on_device(
         content_host if opt_cfg.preserve_color == "match" else None
     )
     chroma_source = (
-        jnp.asarray(content_host)
+        stv_image_io.host_array_to_device(content_host)
         if opt_cfg.preserve_color == "luminance"
         else None
     )
@@ -363,44 +370,64 @@ def _regional_on_device(
             rtargets, lap_response(content_img, opt_cfg.lap_pool),
         )
 
-    _, update_many, init_state, run_params = build_targets_update(
+    update, update_many, init_state, run_params = build_targets_update(
         params, tuple(content_img.shape), config,
         loss_fn=make_regional_loss(config),
     )
 
-    x = initialize_input(content_img, opt_cfg.init_method, key)
-    state = init_state()
-    x, state, auxes = drive_chunked(
-        lambda img, st, k: update_many(img, st, run_params, rtargets, k),
-        x, state, opt_cfg.steps,
-        min(opt_cfg.steps, _SEQUENCE_MAX_CHUNK),
-    )
-    aux = jax.tree.map(lambda a: a[-1], auxes)
-
-    prepared = stv_image_io.prepare_image_for_output(
-        x, normalize=opt_cfg.normalize,
-    )
-    if chroma_source is not None:
-        from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
-            luminance_transfer,
+    # Auto video-mode heuristic, as in main._run_on_device: long or
+    # high-resolution timelapses promote realtime -> postprocess.
+    if config.video.create_video:
+        from style_transfer_visualizer_tpu.media.modes import (  # noqa: PLC0415
+            select_video_mode,
         )
 
-        prepared = luminance_transfer(prepared, chroma_source)
-    joined = "+".join(p.stem.replace(" ", "_") for p in style_paths)
-    out_path = (
-        output_dir
-        / f"regional_{content_path.stem.replace(' ', '_')}_x_{joined}.png"
+        effective_mode, reason, frame_estimate = select_video_mode(
+            config.video,
+            frame_size=(int(width), int(height)),
+            total_steps=opt_cfg.steps,
+        )
+        if effective_mode != config.video.mode:
+            config.video.mode = effective_mode
+        if reason is not None:
+            logger.info(
+                "Auto-selected postprocess video mode (%s). "
+                "Estimated frames: %d.",
+                reason,
+                frame_estimate,
+            )
+
+    from style_transfer_visualizer_tpu.main import (  # noqa: PLC0415
+        run_with_artifacts,
     )
-    stv_image_io.save_array_as_image(prepared, out_path)
+
+    x = initialize_input(content_img, opt_cfg.init_method, key)
+    joined = "+".join(p.stem.replace(" ", "_") for p in style_paths)
+    content_name = content_path.stem.replace(" ", "_")
+    # RegionalTargets/run_params ride as runtime arguments of the jitted
+    # update (not closure constants — the compile-time discipline from
+    # BASELINE.md backend notes; jit caching keys on shapes only).
+    result = run_with_artifacts(
+        lambda img, st: update(img, st, run_params, rtargets),
+        lambda img, st, k: update_many(img, st, run_params, rtargets, k),
+        init_state(),
+        x,
+        config,
+        content_path=content_path,
+        style_path=style_paths[0],
+        style_name=joined,
+        chroma_source=chroma_source,
+        final_name=f"regional_{content_name}_x_{joined}.png",
+    )
     elapsed = time.perf_counter() - start
-    final_loss = float(aux.loss)
     logger.info(
         "Regional stylization (%d styles, loss %.4g, %.2fs): %s",
-        len(style_paths), final_loss, elapsed, out_path,
+        len(style_paths), result.final_total_loss, elapsed,
+        result.final_path,
     )
     return RegionalResult(
-        output_path=out_path,
-        final_loss=final_loss,
+        output_path=result.final_path,
+        final_loss=result.final_total_loss,
         elapsed_seconds=elapsed,
         total_steps=opt_cfg.steps,
     )

@@ -94,9 +94,12 @@ def save_outputs(
     """Persist the final image, optional loss plot, and summary logs."""
     output_dir = _ensure_writable_dir(output_dir)
 
-    final_path = stylized_image_path_from_names(
-        output_dir, opts.content_name, opts.style_name,
-    )
+    if opts.final_name is not None:
+        final_path = output_dir / opts.final_name
+    else:
+        final_path = stylized_image_path_from_names(
+            output_dir, opts.content_name, opts.style_name,
+        )
     final_img = stv_image_io.prepare_image_for_output(
         input_img, normalize=opts.normalize,
     )

@@ -87,3 +87,7 @@ class SaveOptions:
     #: Content image in [0,1] RGB for luminance-only color
     #: preservation of the final PNG; None leaves colors untouched.
     chroma_source: jax.Array | None = None
+    #: Final PNG filename override (within the output directory); None
+    #: uses the canonical ``stylized_{content}_x_{style}.png``. Regional
+    #: runs name their output ``regional_{content}_x_{s0+s1}.png``.
+    final_name: str | None = None

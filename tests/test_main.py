@@ -390,6 +390,7 @@ class FakeRunner:
     """Capture OptimizationRunner wiring without running real steps."""
 
     captured: dict = {}
+    latest_logged = None
 
     def __init__(self, update_fn, opt_state, input_img, config, **kwargs):
         FakeRunner.captured = dict(kwargs)

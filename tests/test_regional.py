@@ -230,6 +230,142 @@ class TestStylizeRegional:
             )
 
 
+class _MemoryWriter:
+    """In-memory MP4-sink stand-in (no ffmpeg on the test host)."""
+
+    def __init__(self) -> None:
+        self.frames: list[np.ndarray] = []
+        self.closed = False
+        self._size: tuple[int, int] | None = None
+
+    def append_data(self, frame: np.ndarray) -> None:
+        self.frames.append(np.array(frame))
+        self._size = (frame.shape[1], frame.shape[0])
+
+    def close(self) -> None:
+        self.closed = True
+
+
+class TestRegionalArtifactContract:
+    """Regional runs carry the full single-run artifact contract.
+
+    The reference's single-run contract (main.py:85-165): timelapse
+    sinks with intro/outro, loss telemetry, final PNG. The TPU build
+    extends it with checkpoint/resume; regional mode shares all of it
+    via main.run_with_artifacts.
+    """
+
+    def _artifact_config(self, tmp_path, **sections):
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+
+        payload = {
+            "optimization": {
+                "steps": 4, "optimizer": "adam", "lr": 0.1,
+                "allow_random_weights": True,
+                **sections.pop("optimization", {}),
+            },
+            "video": {
+                "save_every": 2, "intro_enabled": False,
+                "final_frame_compare": False,
+                **sections.pop("video", {}),
+            },
+            "hardware": {"device": "cpu"},
+            "output": {
+                "output": str(tmp_path / "out"),
+                "log_every": 2,
+                **sections.pop("output", {}),
+            },
+        }
+        return StyleTransferConfig.model_validate(payload)
+
+    def test_timelapse_csv_gif_and_checkpoint(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks, monkeypatch,
+    ) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+
+        writer = _MemoryWriter()
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer",
+            lambda cfg, out, name: writer if cfg.create_video else None,
+        )
+        other = make_image_file("other.png", color=(180, 30, 30))
+        csv_path = tmp_path / "out" / "loss.csv"
+        cfg = self._artifact_config(
+            tmp_path,
+            video={"create_gif": True},
+            output={
+                "log_loss": str(csv_path),
+                "checkpoint_every": 2,
+            },
+        )
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks, cfg,
+        )
+        assert result.output_path.exists()
+        # Timelapse frames at steps 2 and 4 reached the MP4 sink.
+        assert len(writer.frames) == 2
+        assert writer.closed
+        # A real GIF was encoded next to the canonical MP4 name.
+        joined = f"{style_image.stem}+other"
+        gif = tmp_path / "out" / (
+            f"timelapse_{content_image.stem}_x_{joined}.gif"
+        )
+        assert gif.exists()
+        # CSV rows at the log_every cadence.
+        lines = csv_path.read_text().strip().splitlines()
+        assert lines[0] == "step,style_loss,content_loss,total_loss"
+        assert len(lines) == 3  # steps 2 and 4
+        # Checkpoint landed at the cadence.
+        assert (tmp_path / "out" / "checkpoint.npz").exists()
+        assert np.isfinite(result.final_loss)
+
+    def test_loss_plot_when_not_csv_logging(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        cfg = self._artifact_config(
+            tmp_path,
+            video={"final_only": True},
+            output={"plot_losses": True},
+        )
+        stylize_regional(
+            content_image, [style_image, other], half_masks, cfg,
+        )
+        assert (tmp_path / "out" / "loss_plot.png").exists()
+
+    def test_checkpoint_resume_roundtrip(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        other = make_image_file("other.png", color=(180, 30, 30))
+        ckpt = tmp_path / "out" / "checkpoint.npz"
+        first = self._artifact_config(
+            tmp_path,
+            optimization={"steps": 2},
+            video={"final_only": True},
+            output={"checkpoint_every": 2, "plot_losses": False},
+        )
+        stylize_regional(
+            content_image, [style_image, other], half_masks, first,
+        )
+        assert ckpt.exists()
+        second = self._artifact_config(
+            tmp_path,
+            optimization={"steps": 4},
+            video={"final_only": True},
+            output={"resume_from": str(ckpt), "plot_losses": False},
+        )
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks, second,
+        )
+        assert result.output_path.exists()
+        assert np.isfinite(result.final_loss)
+
+
 class TestRegionalCli:
     def _parse(self, argv):
         return stv_cli.build_arg_parser().parse_args(argv)
