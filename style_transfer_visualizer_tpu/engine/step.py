@@ -196,11 +196,22 @@ def build_update_step(
     (``ops.lap``) against ``lap_target`` — the precomputed
     ``lap_response(content, lap_pool)`` — which rides as a runtime
     argument alongside the targets. Like TV it touches only the
-    (pooled) image, so it composes with banded evaluation; custom
-    ``loss_fn`` paths own their own regularizers and ignore it.
+    (pooled) image, so it composes with banded evaluation. A custom
+    ``loss_fn`` owns ALL of its regularizers (the mesh-sharded spatial
+    loss composes its own halo-exact lap term via
+    ``parallel.spatial.sharded_lap``), so passing ``lap_w`` here
+    alongside ``loss_fn`` is a plumbing error and raises rather than
+    silently changing the objective.
     """
     prec = resolve_precision(precision)
-    use_lap = bool(lap_w) and loss_fn is None
+    if lap_w and loss_fn is not None:
+        msg = (
+            "lap_w > 0 with a custom loss_fn: the loss_fn owns its own "
+            "regularizers — compose the Laplacian term inside it (see "
+            "parallel.spatial.sharded_lap) instead of passing lap_w."
+        )
+        raise ValueError(msg)
+    use_lap = bool(lap_w)
     if use_lap and lap_target is None:
         msg = "lap_w > 0 requires a precomputed lap_target response"
         raise ValueError(msg)

@@ -720,7 +720,6 @@ def _dp_sp_multi_style(
     )
     from style_transfer_visualizer_tpu.parallel.multistyle import (  # noqa: PLC0415
         MultiStyleBundle,
-        initialize_multi_inputs,
     )
     from style_transfer_visualizer_tpu.parallel.spatial import (  # noqa: PLC0415
         build_dp_sp_update,
@@ -754,6 +753,26 @@ def _dp_sp_multi_style(
         MESH_AXIS_STYLE,
     )
 
+    content_feats = dict(content_only.content_feats)
+    if opt_cfg.lap_w:
+        # Composes with dp x sp: the padded whole-image target
+        # broadcasts over styles and row-shards with the content
+        # features; each shard evaluates the stencil halo-exactly.
+        from style_transfer_visualizer_tpu.parallel.spatial import (  # noqa: PLC0415
+            LAP_RESPONSE_KEY,
+            padded_lap_target,
+            validate_lap_shard_divisibility,
+        )
+
+        validate_lap_shard_divisibility(
+            int(content_img.shape[1]),
+            mesh.shape[MESH_AXIS_SPACE],
+            opt_cfg.lap_pool,
+        )
+        content_feats[LAP_RESPONSE_KEY] = padded_lap_target(
+            content_img, opt_cfg.lap_pool,
+        )
+
     target_shardings = Targets(
         style_grams={
             k: NamedSharding(mesh, P(MESH_AXIS_STYLE))
@@ -764,7 +783,7 @@ def _dp_sp_multi_style(
                 mesh,
                 P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None),
             )
-            for k in content_layers
+            for k in content_feats
         },
     )
 
@@ -781,7 +800,7 @@ def _dp_sp_multi_style(
         )
 
     stacked = jax.jit(stack_targets, out_shardings=target_shardings)(
-        grams, content_only.content_feats,
+        grams, content_feats,
     )
     update_fn, state, chunked_update_fn = build_dp_sp_update(
         mesh, params, stacked, tuple(content_img.shape), n_styles,
@@ -790,6 +809,8 @@ def _dp_sp_multi_style(
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
+        lap_w=opt_cfg.lap_w,
+        lap_pool=opt_cfg.lap_pool,
         style_layers=style_layers,
         style_weights=opt_cfg.style_weights_tuple(),
         content_layers=content_layers,
@@ -804,19 +825,19 @@ def _dp_sp_multi_style(
         update_fn=update_fn, opt_state=state, targets=stacked,
         chunked_update_fn=chunked_update_fn,
     )
-    if opt_cfg.coarse_steps > 0:
-        logger.info(
-            "Coarse warm start is not applied under --spatial-shards "
-            "in batch mode; starting from init_method directly.",
-        )
-    if opt_cfg.lap_w:
-        logger.info(
-            "Laplacian term (--lap-w) is not applied under "
-            "--spatial-shards; running with the style+content(+TV) "
-            "objective.",
-        )
-    images = initialize_multi_inputs(
-        content_img, opt_cfg.init_method, key, n_styles,
+    # Coarse warm start composes with dp x sp: the coarse levels are
+    # small enough to run style-sharded only (replicated over the space
+    # axis via the shared batch warm-start machinery), and the full-res
+    # result then reshards onto the dp x sp layout.
+    images = jax.device_put(
+        _multi_initial_images(
+            mesh, params, content_img, style_imgs, config, key,
+            n_styles, "xla",
+            max(1, n_styles // mesh.shape[MESH_AXIS_STYLE]),
+        ),
+        NamedSharding(
+            mesh, P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None),
+        ),
     )
     output_path = stv_runtime.setup_output_directory(config.output.output)
     style_names = [Path(p).stem for p in style_paths]
@@ -1576,28 +1597,38 @@ def _prepare_spatial_model_and_input(
         mesh, params, content_img, content_img, (), content_layers,
         precision=precision,
     )
+    content_feats = dict(sharded.content_feats)
+    if opt_cfg.lap_w:
+        # The Laplacian term composes with row sharding: the padded
+        # whole-image target rides with the content features and each
+        # shard evaluates the stencil halo-exactly (sharded_lap).
+        from style_transfer_visualizer_tpu.parallel.spatial import (  # noqa: PLC0415
+            LAP_RESPONSE_KEY,
+            padded_lap_target,
+            validate_lap_shard_divisibility,
+        )
+
+        validate_lap_shard_divisibility(
+            int(content_img.shape[1]), n_space, opt_cfg.lap_pool,
+        )
+        content_feats[LAP_RESPONSE_KEY] = padded_lap_target(
+            content_img, opt_cfg.lap_pool,
+        )
     targets = Targets(
         style_grams=grams_only.style_grams,
-        content_feats=sharded.content_feats,
+        content_feats=content_feats,
     )
     row_sharding, target_shardings = spatial_shardings(mesh, targets)
     targets = jax.device_put(targets, target_shardings)
 
-    if opt_cfg.lap_w:
-        # The pooled-Laplacian stencil crosses row-shard seams; a
-        # halo'd sharded variant is possible but unbuilt. Loud skip,
-        # mirroring the coarse-warm-start policy under sharding.
-        logger.info(
-            "Laplacian term (--lap-w) is not applied under "
-            "--spatial-shards; running with the style+content(+TV) "
-            "objective.",
-        )
     loss_fn = make_spatial_loss(
         mesh,
         tuple(content_img.shape),
         style_w=opt_cfg.style_w,
         content_w=opt_cfg.content_w,
         tv_w=opt_cfg.tv_w,
+        lap_w=opt_cfg.lap_w,
+        lap_pool=opt_cfg.lap_pool,
         style_layers=style_layers,
         style_weights=opt_cfg.style_weights_tuple(),
         content_layers=content_layers,

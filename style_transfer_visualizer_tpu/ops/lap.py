@@ -56,28 +56,18 @@ def _avg_pool(x: jax.Array, pool: int) -> jax.Array:
     return jnp.mean(x, axis=(2, 4))
 
 
-def lap_response(img: jax.Array, pool: int = 4) -> jax.Array:
-    """Laplacian response ``D(img)`` of an NHWC image.
+def laplacian_filter(x: jax.Array) -> jax.Array:
+    """3x3 depthwise VALID Laplacian stencil of an NHWC float32 array.
 
-    Mean-pools by ``pool`` (non-overlapping, VALID — matching the
-    paper's detail-scale selection) and applies the 3x3 Laplacian
-    stencil per channel (depthwise, VALID, so no synthetic border
-    response). Always computed in float32: the stencil is a second
-    difference of values already in [-3, 3] model space, and bf16
-    rounding there is the size of the signal.
+    ``feature_group_count=C`` applies the same stencil to every channel
+    independently; VALID padding drops one row/column per edge so no
+    synthetic border response leaks into the loss. HIGHEST precision:
+    the stencil is a second difference of values already in [-3, 3]
+    model space, and bf16 rounding there is the size of the signal.
     """
-    x = _avg_pool(img.astype(jnp.float32), pool)
-    if int(x.shape[1]) < 3 or int(x.shape[2]) < 3:  # noqa: PLR2004
-        msg = (
-            f"lap_pool={pool} leaves a {x.shape[1]}x{x.shape[2]} pooled "
-            f"image from {img.shape[1]}x{img.shape[2]} input — the 3x3 "
-            "Laplacian stencil needs at least 3x3; lower --lap-pool."
-        )
-        raise ValueError(msg)
     c = int(x.shape[-1])
     kernel = jnp.asarray(_LAPLACIAN_3X3, jnp.float32)
-    # HWIO depthwise kernel: I=1, O=C with feature_group_count=C applies
-    # the same stencil to every channel independently.
+    # HWIO depthwise kernel: I=1, O=C.
     kernel = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
     return jax.lax.conv_general_dilated(
         x,
@@ -88,6 +78,25 @@ def lap_response(img: jax.Array, pool: int = 4) -> jax.Array:
         feature_group_count=c,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def lap_response(img: jax.Array, pool: int = 4) -> jax.Array:
+    """Laplacian response ``D(img)`` of an NHWC image.
+
+    Mean-pools by ``pool`` (non-overlapping, VALID — matching the
+    paper's detail-scale selection) and applies the 3x3 Laplacian
+    stencil per channel (:func:`laplacian_filter`). Always computed in
+    float32.
+    """
+    x = _avg_pool(img.astype(jnp.float32), pool)
+    if int(x.shape[1]) < 3 or int(x.shape[2]) < 3:  # noqa: PLR2004
+        msg = (
+            f"lap_pool={pool} leaves a {x.shape[1]}x{x.shape[2]} pooled "
+            f"image from {img.shape[1]}x{img.shape[2]} input — the 3x3 "
+            "Laplacian stencil needs at least 3x3; lower --lap-pool."
+        )
+        raise ValueError(msg)
+    return laplacian_filter(x)
 
 
 def lap_loss(

@@ -183,6 +183,116 @@ def sharded_gram(
     return raw / (global_pixels * c)
 
 
+#: Sentinel ``content_feats`` key under which the padded Laplacian
+#: target (:func:`padded_lap_target`) rides through the sharded-loss
+#: targets pytree. The response shards exactly like a content feature
+#: map (row-sharded, stop-gradient, computed once from the content
+#: image), so reusing the dict keeps every sharding helper
+#: (``spatial_shardings``, ``compute_sharded_targets`` stacking) and
+#: the shard_map in_specs working unchanged; -1 can never collide with
+#: a real VGG layer index.
+LAP_RESPONSE_KEY = -1
+
+
+def validate_lap_shard_divisibility(
+    global_h: int,
+    n_space: int,
+    pool: int,
+) -> None:
+    """Require per-shard heights to pool evenly for the sharded lap term.
+
+    The non-overlapping ``pool x pool`` mean pool must land on the same
+    windows per shard as it does whole-image, so each shard's height
+    (``global_h / n_space``) must be a multiple of ``pool``. Violations
+    raise loudly at build time — never silently drop the term the user
+    asked for (the round-3 verdict's compose-or-reject rule).
+    """
+    shard_h = global_h // n_space
+    if shard_h % pool != 0:
+        msg = (
+            f"--lap-w under --spatial-shards requires the per-shard "
+            f"height ({global_h}/{n_space} = {shard_h}) to be divisible "
+            f"by lap_pool={pool} so pooling windows align with the "
+            "whole-image term; resize the input or adjust --lap-pool."
+        )
+        raise ValueError(msg)
+    pooled_h = global_h // pool
+    if pooled_h < 3 or pooled_h // n_space < 1:  # noqa: PLR2004
+        msg = (
+            f"lap_pool={pool} over {n_space} row shards leaves "
+            f"{pooled_h} pooled rows ({pooled_h // n_space} per shard) "
+            "— the 3x3 Laplacian stencil needs at least 3 global rows "
+            "and 1 per shard; lower --lap-pool or --spatial-shards."
+        )
+        raise ValueError(msg)
+
+
+def padded_lap_target(content_img: jax.Array, pool: int) -> jax.Array:
+    """Whole-image Laplacian target padded for row sharding.
+
+    ``ops.lap.lap_response`` is VALID in H, so its rows live at pooled
+    center rows ``1 .. hp-2``. One zero row of padding on each side
+    re-indexes the array by pooled *center* row (``hp`` rows total),
+    which is exactly how :func:`sharded_lap` produces its per-shard
+    responses — the padded target then row-shards like any content
+    feature map and the zero rows land only at masked-out positions.
+    """
+    from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+        lap_response,
+    )
+
+    resp = lap_response(content_img, pool)
+    return jax.lax.stop_gradient(
+        jnp.pad(resp, ((0, 0), (1, 1), (0, 0), (0, 0))),
+    )
+
+
+def sharded_lap(
+    x: jax.Array,
+    target_pad: jax.Array,
+    global_shape: tuple[int, ...],
+    *,
+    pool: int = 4,
+    axis_name: str = MESH_AXIS_SPACE,
+) -> jax.Array:
+    """Global ``ops.lap.lap_loss`` from a row-sharded image block.
+
+    Each shard mean-pools its own rows (exact: shard heights divide
+    ``pool`` — ``validate_lap_shard_divisibility``), fetches one pooled
+    halo row from each mesh neighbor (``ppermute``; global edges get
+    zeros), and runs the 3x3 stencil VALID over the haloed block — one
+    response row per local pooled row, centered at that row. The rows
+    whose stencil would fall off the global image (pooled rows 0 and
+    hp-1, only ever on the edge shards) are masked out of the squared
+    error, the masked sums psum over the mesh, and the mean divides by
+    the whole-image response count — so the result equals the
+    single-device ``lap_loss`` on the gathered image.
+
+    ``target_pad`` is this shard's row block of
+    :func:`padded_lap_target` (one pooled-center row per local pooled
+    row; zeros at the masked edge positions).
+    """
+    from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+        _avg_pool,
+        laplacian_filter,
+    )
+
+    b, gh, gw, c = (int(d) for d in global_shape)
+    hp, wp = gh // pool, gw // pool
+    xp = _avg_pool(x.astype(jnp.float32), pool)
+    local_hp = int(xp.shape[1])
+    resp = laplacian_filter(_exchange_halos(xp, axis_name))
+    diff = resp - target_pad.astype(jnp.float32)
+    # Mask the two global edge rows (their stencil uses the zero halo).
+    global_row = jax.lax.axis_index(axis_name) * local_hp + jnp.arange(
+        local_hp,
+    )
+    valid = (global_row >= 1) & (global_row <= hp - 2)
+    masked = jnp.square(diff) * valid[None, :, None, None]
+    total = jax.lax.psum(jnp.sum(masked), axis_name)
+    return total / (b * (hp - 2) * (wp - 2) * c)
+
+
 def sharded_tv(
     x: jax.Array,
     global_shape: tuple[int, ...],
@@ -234,6 +344,8 @@ def _sharded_loss_shard_fn(
     precision: PrecisionLike,
     tv_w: float = 0.0,
     style_weights: tuple[float, ...] | None = None,
+    lap_w: float = 0.0,
+    lap_pool: int = 4,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-shard loss body.
 
@@ -243,7 +355,9 @@ def _sharded_loss_shard_fn(
     ``tv_w`` adds the seam-exact sharded total-variation term
     (``sharded_tv``) to the total only, mirroring how the unsharded
     paths fold TV into the objective without touching the style/content
-    telemetry split.
+    telemetry split; a nonzero ``lap_w`` likewise adds the halo-exact
+    sharded Laplacian term (``sharded_lap``) against the padded target
+    riding at ``targets.content_feats[LAP_RESPONSE_KEY]``.
     """
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
         _resolve_style_weights,
@@ -295,6 +409,14 @@ def _sharded_loss_shard_fn(
         total = total + tv_w * sharded_tv(
             x, global_shape, axis_name=axis_name,
         )
+    if lap_w:
+        total = total + lap_w * sharded_lap(
+            x,
+            targets.content_feats[LAP_RESPONSE_KEY],
+            global_shape,
+            pool=lap_pool,
+            axis_name=axis_name,
+        )
     return total, style_score, content_score
 
 
@@ -312,12 +434,16 @@ def build_sharded_loss(
     axis_name: str = MESH_AXIS_SPACE,
     tv_w: float = 0.0,
     style_weights: tuple[float, ...] | None = None,
+    lap_w: float = 0.0,
+    lap_pool: int = 4,
 ):
     """Return loss_fn(image) computed with rows sharded over ``axis_name``.
 
     ``image`` must be sharded ``P(None, axis_name, None, None)`` on the
     mesh; ``targets.content_feats`` shard the same way, ``style_grams``
     and ``params`` are replicated. The returned scalar is replicated.
+    With ``lap_w > 0`` the targets must carry the padded Laplacian
+    response under ``LAP_RESPONSE_KEY`` (see :func:`make_spatial_loss`).
     """
     validate_shard_divisibility(
         int(global_shape[1]),
@@ -325,6 +451,10 @@ def build_sharded_loss(
         tuple(set(style_layers) | set(content_layers)),
         layer_table_from_params(params),
     )
+    if lap_w:
+        validate_lap_shard_divisibility(
+            int(global_shape[1]), mesh.shape[axis_name], lap_pool,
+        )
     row_spec = P(None, axis_name, None, None)
     # Style Grams replicate; content activations row-shard like the image.
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
@@ -347,6 +477,8 @@ def build_sharded_loss(
         precision=precision,
         tv_w=tv_w,
         style_weights=style_weights,
+        lap_w=lap_w,
+        lap_pool=lap_pool,
     )
 
     mapped = jax.shard_map(
@@ -375,6 +507,8 @@ def make_spatial_loss(
     tv_w: float = 0.0,
     table: LayerTable = LAYER_TABLE,
     style_weights: tuple[float, ...] | None = None,
+    lap_w: float = 0.0,
+    lap_pool: int = 4,
 ):
     """Spatially-sharded loss with the single-device loss's contract.
 
@@ -384,6 +518,10 @@ def make_spatial_loss(
     Params and targets are runtime arguments (not closure constants) so
     the serialized HLO stays small on remote-compile backends; the
     divisibility check uses ``table`` (the params arrive later).
+
+    With ``lap_w > 0`` the caller must ride the padded Laplacian target
+    (:func:`padded_lap_target`) in ``targets.content_feats`` under
+    ``LAP_RESPONSE_KEY``; it row-shards like every content feature.
     """
     validate_shard_divisibility(
         int(global_shape[1]),
@@ -391,6 +529,10 @@ def make_spatial_loss(
         tuple(set(style_layers) | set(content_layers)),
         table,
     )
+    if lap_w:
+        validate_lap_shard_divisibility(
+            int(global_shape[1]), mesh.shape[axis_name], lap_pool,
+        )
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
         Targets,
     )
@@ -414,6 +556,8 @@ def make_spatial_loss(
         precision=precision,
         tv_w=tv_w,
         style_weights=style_weights,
+        lap_w=lap_w,
+        lap_pool=lap_pool,
     )
 
     def loss_fn(params: Params, image: jax.Array, targets: Targets):
@@ -540,6 +684,8 @@ def build_dp_sp_update(
     lbfgs_direction: str = "two-loop",
     tv_w: float = 0.0,
     style_weights: tuple[float, ...] | None = None,
+    lap_w: float = 0.0,
+    lap_pool: int = 4,
 ):
     """Full training step sharded over BOTH mesh axes (dp x sp).
 
@@ -588,15 +734,24 @@ def build_dp_sp_update(
         tuple(set(style_layers) | set(content_layers)),
         layer_table_from_params(params),
     )
+    if lap_w:
+        validate_lap_shard_divisibility(
+            int(image_shape[1]), n_space, lap_pool,
+        )
     n_global = 1
     for dim in image_shape:
         n_global *= int(dim)
     image_specs = P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None)
+    # The padded Laplacian target rides with the content features (it
+    # row-shards identically; broadcast over styles by the caller).
+    feat_keys = list(content_layers) + (
+        [LAP_RESPONSE_KEY] if lap_w else []
+    )
     target_specs = Targets(
         style_grams={k: P(MESH_AXIS_STYLE) for k in style_layers},
         content_feats={
             k: P(MESH_AXIS_STYLE, None, MESH_AXIS_SPACE, None, None)
-            for k in content_layers
+            for k in feat_keys
         },
     )
 
@@ -615,6 +770,8 @@ def build_dp_sp_update(
             precision=precision,
             tv_w=tv_w,
             style_weights=style_weights,
+            lap_w=lap_w,
+            lap_pool=lap_pool,
         )
         return total, (style_score, content_score)
 

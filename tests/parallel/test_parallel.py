@@ -386,6 +386,122 @@ class TestSpatialSharding:
             float(jax.jit(loss_fn)(x)), want, rtol=1e-5,
         )
 
+    @pytest.mark.parametrize(
+        ("n_space", "pool"), [(4, 2), (2, 4)],
+        ids=["4shards-pool2", "2shards-pool4"],
+    )
+    def test_sharded_lap_matches_whole_image(self, n_space, pool) -> None:
+        """sharded_lap over row shards == ops.lap.lap_loss, value + grad.
+
+        The halo'd stencil rows and the edge-row masking are where the
+        sharded form can silently diverge; the gradient check catches a
+        mis-centered halo or an unmasked border response.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        from style_transfer_visualizer_tpu.ops.lap import (
+            lap_loss,
+            lap_response,
+        )
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            padded_lap_target,
+            sharded_lap,
+        )
+
+        mesh = create_mesh(n_style=1, n_space=n_space)
+        img = jax.random.normal(jax.random.key(4), (1, 16, 12, 3))
+        content = jax.random.normal(jax.random.key(5), (1, 16, 12, 3))
+        shape = tuple(img.shape)
+        target_pad = padded_lap_target(content, pool)
+        row_spec = P(None, MESH_AXIS_SPACE, None, None)
+
+        def global_lap(x):
+            return jax.shard_map(
+                lambda xb, tb: sharded_lap(xb, tb, shape, pool=pool),
+                mesh=mesh,
+                in_specs=(row_spec, row_spec),
+                out_specs=P(),
+            )(x, target_pad)
+
+        def whole_lap(x):
+            return lap_loss(x, lap_response(content, pool), pool)
+
+        np.testing.assert_allclose(
+            float(jax.jit(global_lap)(img)), float(whole_lap(img)),
+            rtol=1e-5,
+        )
+        g_sharded = jax.jit(jax.grad(global_lap))(img)
+        g_whole = jax.grad(whole_lap)(img)
+        np.testing.assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_whole),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    def test_sharded_loss_with_lap_matches_single_device(
+        self, tiny_params, images,
+    ) -> None:
+        """Lap composed into the sharded loss == whole-image objective."""
+        from style_transfer_visualizer_tpu.models.features import Targets
+        from style_transfer_visualizer_tpu.ops.lap import (
+            lap_loss,
+            lap_response,
+        )
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            LAP_RESPONSE_KEY,
+            padded_lap_target,
+        )
+
+        content, styles = images
+        mesh = create_mesh(n_style=1, n_space=2)
+        pool = 4
+        sharded_targets = compute_sharded_targets(
+            mesh, tiny_params, styles[0], content,
+            STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+        )
+        feats = dict(sharded_targets.content_feats)
+        feats[LAP_RESPONSE_KEY] = padded_lap_target(content, pool)
+        loss_fn = build_sharded_loss(
+            mesh, tiny_params,
+            Targets(
+                style_grams=sharded_targets.style_grams,
+                content_feats=feats,
+            ),
+            tuple(content.shape),
+            style_w=10.0, content_w=1.0,
+            style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=HIGH, lap_w=3.0, lap_pool=pool,
+        )
+        ref_targets = compute_targets(
+            tiny_params, styles[0], content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        x = content * 0.5
+        ref, _ = total_loss(
+            tiny_params, x, ref_targets, 10.0, 1.0,
+            STYLE_LAYERS, CONTENT_LAYERS, HIGH,
+        )
+        want = float(ref) + 3.0 * float(
+            lap_loss(x, lap_response(content, pool), pool),
+        )
+        np.testing.assert_allclose(
+            float(jax.jit(loss_fn)(x)), want, rtol=1e-5,
+        )
+
+    def test_lap_pool_misaligned_with_shards_rejected(self) -> None:
+        """Compose-or-reject: a pool that splits shard rows must raise."""
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            validate_lap_shard_divisibility,
+        )
+
+        # 32 rows over 4 shards -> 8/shard; pool 3 straddles the seam.
+        with pytest.raises(ValueError, match="lap_pool=3"):
+            validate_lap_shard_divisibility(32, 4, 3)
+        # Pool so coarse the stencil loses its 3 global rows.
+        with pytest.raises(ValueError, match="at least 3 global rows"):
+            validate_lap_shard_divisibility(8, 2, 4)
+        # Aligned case passes.
+        validate_lap_shard_divisibility(32, 4, 4)
+
     def test_deep_taps_through_pools(self, tiny_params) -> None:
         """Sharding survives all five pools (default layer set, 64px)."""
         rng = np.random.default_rng(3)
@@ -421,11 +537,18 @@ class TestSpatialSharding:
 
 
 def _dp_sp_setup(tiny_params, n_styles=2, size=32, seed=5, **kwargs):
-    """2x2 mesh dp x sp bundle over fresh random content/styles."""
+    """2x2 mesh dp x sp bundle over fresh random content/styles.
+
+    A ``lap_w`` in kwargs also stacks the padded Laplacian target into
+    the content-feature dict (broadcast across styles), matching how
+    ``main._dp_sp_multi_style`` wires the term.
+    """
     from style_transfer_visualizer_tpu.models.features import Targets
     from style_transfer_visualizer_tpu.parallel.spatial import (
+        LAP_RESPONSE_KEY,
         build_dp_sp_update,
         compute_sharded_targets,
+        padded_lap_target,
     )
 
     rng = np.random.default_rng(seed)
@@ -446,15 +569,19 @@ def _dp_sp_setup(tiny_params, n_styles=2, size=32, seed=5, **kwargs):
         )
         for s in styles
     ]
+    content_feats = {
+        k: jnp.stack([t.content_feats[k] for t in per_style_targets])
+        for k in CONTENT_LAYERS
+    }
+    if kwargs.get("lap_w"):
+        pad = padded_lap_target(content, kwargs.get("lap_pool", 4))
+        content_feats[LAP_RESPONSE_KEY] = jnp.stack([pad] * n_styles)
     stacked = Targets(
         style_grams={
             k: jnp.stack([t.style_grams[k] for t in per_style_targets])
             for k in STYLE_LAYERS
         },
-        content_feats={
-            k: jnp.stack([t.content_feats[k] for t in per_style_targets])
-            for k in CONTENT_LAYERS
-        },
+        content_feats=content_feats,
     )
     built = build_dp_sp_update(
         mesh, tiny_params, stacked, tuple(content.shape), n_styles,
@@ -570,6 +697,61 @@ class TestDpSpCombined:
         single_kwargs["style_layers"] = STYLE_LAYERS
         single_kwargs["content_layers"] = CONTENT_LAYERS
         single_kwargs["precision"] = "highest"
+        for s in range(2):
+            targets = compute_targets(
+                tiny_params, styles[s], content,
+                STYLE_LAYERS, CONTENT_LAYERS, precision=HIGH,
+            )
+            single = build_update_step(
+                tiny_params, targets, tuple(content.shape),
+                **single_kwargs,
+            )
+            x, st = jnp.array(content), single.opt_state
+            for step in range(3):
+                x, st, aux_s = single.update_fn(x, st)
+                np.testing.assert_allclose(
+                    traj[step][0][s], np.asarray(x),
+                    rtol=2e-3, atol=1e-5,
+                )
+                np.testing.assert_allclose(
+                    traj[step][1][s], float(aux_s.loss), rtol=1e-3,
+                )
+
+    def test_dp_sp_lap_trajectory_matches_single_device(
+        self, tiny_params,
+    ) -> None:
+        """Lap shards halo-exactly: dp x sp trajectory == single device.
+
+        The single-device step pools and stencils the whole image; each
+        dp x sp shard pools its own rows and fetches one pooled halo row
+        per neighbor — three Adam steps agreeing per pixel proves the
+        decomposition is exact through the gradient (round-3 verdict #3:
+        compose the term, don't drop it).
+        """
+        from style_transfer_visualizer_tpu.ops.lap import lap_response
+
+        kwargs = dict(
+            optimizer="adam", lr=0.1, style_w=10.0, content_w=1.0,
+            lap_w=3.0, lap_pool=4,
+        )
+        (update_fn, state, _), content, styles = _dp_sp_setup(
+            tiny_params, **kwargs,
+        )
+        images = jnp.stack([content, content])
+        traj = []
+        for _ in range(3):
+            images, state, aux = update_fn(images, state)
+            traj.append((np.asarray(images), np.asarray(aux.loss)))
+
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+
+        single_kwargs = dict(kwargs)
+        single_kwargs["style_layers"] = STYLE_LAYERS
+        single_kwargs["content_layers"] = CONTENT_LAYERS
+        single_kwargs["precision"] = "highest"
+        single_kwargs["lap_target"] = lap_response(content, 4)
         for s in range(2):
             targets = compute_targets(
                 tiny_params, styles[s], content,
@@ -740,6 +922,52 @@ class TestSpatialStepBundle:
         result = style_transfer(make_input_paths(), cfg)
         assert result.shape == (1, 64, 64, 3)
         assert bool(jnp.all(jnp.isfinite(result)))
+
+    def test_style_transfer_spatial_lap_end_to_end(
+        self, make_style_transfer_config, make_input_paths,
+    ) -> None:
+        """--lap-w composes with --spatial-shards (no silent drop)."""
+        from style_transfer_visualizer_tpu.main import style_transfer
+
+        cfg = make_style_transfer_config(
+            optimization={
+                "allow_random_weights": True,
+                "optimizer": "adam",
+                "steps": 2,
+                "lap_w": 5.0,
+                "lap_pool": 2,
+            },
+            video={"final_only": True},
+            hardware={"spatial_shards": 2},
+        )
+        result = style_transfer(make_input_paths(), cfg)
+        assert result.shape == (1, 64, 64, 3)
+        assert bool(jnp.all(jnp.isfinite(result)))
+
+    def test_lap_with_custom_loss_fn_rejected(self, tiny_params) -> None:
+        """build_update_step refuses lap_w alongside a custom loss_fn.
+
+        A custom objective owns its regularizers; silently dropping the
+        requested term (the old behavior) changed the objective without
+        telling the user.
+        """
+        from style_transfer_visualizer_tpu.engine.step import (
+            build_update_step,
+        )
+
+        content = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        targets = compute_targets(
+            tiny_params, content, content, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        with pytest.raises(ValueError, match="custom loss_fn"):
+            build_update_step(
+                tiny_params, targets, tuple(content.shape),
+                optimizer="adam", lr=0.1, style_w=1.0, content_w=1.0,
+                style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+                lap_w=1.0,
+                loss_fn=lambda p, x, t: (jnp.zeros(()), (0.0, 0.0)),
+            )
 
     def test_spatial_shards_exceeding_devices_raises(
         self, make_style_transfer_config, make_input_paths,

@@ -504,9 +504,15 @@ class TestBatchCoarse:
             multi_style_transfer(str(content), [str(s1)], cfg)
         assert "vmapped steps at 32x32" in caplog.text
 
-    def test_dp_sp_batch_skips_warm_start_with_log(
+    def test_dp_sp_batch_runs_warm_start(
         self, tmp_path, caplog,
     ) -> None:
+        """Coarse warm start composes with dp x sp batch mode.
+
+        The coarse levels run style-sharded only (small problems need
+        no row sharding) and the warm full-res stack reshards onto the
+        dp x sp layout — no silent degradation (round-3 verdict #3).
+        """
         import logging
 
         from PIL import Image
@@ -532,8 +538,10 @@ class TestBatchCoarse:
             "video": {"create_video": False},
         })
         with caplog.at_level(logging.INFO):
-            multi_style_transfer(str(content), [str(s1)], cfg)
-        assert "not applied under --spatial-shards" in caplog.text
+            saved = multi_style_transfer(str(content), [str(s1)], cfg)
+        assert "vmapped steps at 32x32" in caplog.text
+        assert "not applied" not in caplog.text
+        assert all(p.exists() for p in saved)
 
     def test_batch_too_small_skips_with_log(
         self, tmp_path, caplog, monkeypatch,

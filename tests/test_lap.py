@@ -339,6 +339,46 @@ class TestMultiStyleLap:
             )
 
 
+class TestDpSpBatchLap:
+    def test_batch_spatial_lap_end_to_end(self, tmp_path) -> None:
+        """--styles + --spatial-shards + --lap-w composes (verdict #3).
+
+        The dp x sp batch path used to drop the Laplacian term with an
+        info log; now the padded target broadcasts over styles and
+        row-shards with the content features. A finite 2-step run over
+        a 2x2 mesh proves the wiring end to end.
+        """
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "lap_w": 5.0, "lap_pool": 2,
+            },
+            "hardware": {"device": "cpu", "spatial_shards": 2},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        saved = multi_style_transfer(
+            str(content), [str(s1), str(s2)], cfg,
+        )
+        assert len(saved) == 2
+        assert all(p.exists() for p in saved)
+
+
 class TestSequenceLap:
     def test_targets_update_unpacks_lap_pair(self, tiny_params) -> None:
         """The sequence update expects (Targets, lap_t) when lap_w > 0."""
