@@ -104,13 +104,22 @@ def main() -> None:
     steps_per_sec = chunk / best
 
     # Secondary metric: the reference's DEFAULT workload — L-BFGS at
-    # lr=1, max_iter=max_eval=1, torch-default history 100.
+    # lr=1, max_iter=max_eval=1, history 100 — run at THIS pipeline's
+    # defaults (bfloat16 ring + compact direction, the round-4
+    # re-decision), pulled from config_defaults so the bench always
+    # measures the configuration a default CLI run would execute.
+    from style_transfer_visualizer_tpu import config_defaults as d
+
     lbfgs = build_update_step(
         params, targets, tuple(content.shape),
         optimizer="lbfgs", lr=1.0, style_w=1e5, content_w=1.0,
         style_layers=style_layers, content_layers=content_layers,
         precision="mixed",
-        lbfgs_max_iter=1, lbfgs_max_eval=1, lbfgs_history_size=100,
+        lbfgs_max_iter=d.DEFAULT_LBFGS_MAX_ITER,
+        lbfgs_max_eval=d.DEFAULT_LBFGS_MAX_EVAL,
+        lbfgs_history_size=d.DEFAULT_LBFGS_HISTORY_SIZE,
+        lbfgs_history_dtype=d.DEFAULT_LBFGS_HISTORY_DTYPE,
+        lbfgs_direction=d.DEFAULT_LBFGS_DIRECTION,
     )
     x = initialize_input(content, "random", jax.random.key(2))
     state = lbfgs.opt_state

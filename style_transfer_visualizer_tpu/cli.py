@@ -277,19 +277,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 "choices": ["float32", "bfloat16"], "default": suppress,
                 "help": (
                     "Storage dtype of the L-BFGS curvature ring. "
-                    "float32 (default) bit-matches torch; bfloat16 "
-                    "halves the ring's HBM traffic for long histories."
+                    "bfloat16 (default) halves the ring's HBM traffic "
+                    "for long histories (+11%% steps/s at m=100); "
+                    "float32 bit-matches torch.optim.LBFGS."
                 ),
             }),
             ("--lbfgs-direction", {
                 "dest": "lbfgs_direction",
                 "choices": ["two-loop", "compact"], "default": suppress,
                 "help": (
-                    "L-BFGS direction computation. two-loop (default) "
-                    "bit-matches torch.optim.LBFGS; compact computes "
-                    "the same direction via batched history "
-                    "contractions (fewer HBM passes at m=100, "
-                    "different rounding)."
+                    "L-BFGS direction computation. compact (default) "
+                    "computes the two-loop's direction via batched "
+                    "history contractions (fewer HBM passes, +11%% "
+                    "steps/s at m=100); two-loop bit-matches "
+                    "torch.optim.LBFGS's sequential recursion."
                 ),
             }),
             ("--remat", {

@@ -90,16 +90,18 @@ class OptimizationConfig(_ValidatedSection):
     # TPU-framework additions:
     optimizer: OptimizerName = Field(d.DEFAULT_OPTIMIZER)
     lbfgs_history_size: int = Field(d.DEFAULT_LBFGS_HISTORY_SIZE, ge=1)
-    # Curvature-ring storage dtype; "bfloat16" halves the ring's HBM
-    # traffic (the measured ~10% m=100 cost at 512px) — opt-in because
-    # f32 bit-matches torch.optim.LBFGS.
+    # Curvature-ring storage dtype; "bfloat16" (default) halves the
+    # ring's HBM traffic (+11% at m=100/512px); "float32" bit-matches
+    # torch.optim.LBFGS for anyone chasing bit-fidelity (which no two
+    # L-BFGS implementations hold over a trajectory anyway —
+    # BASELINE.md chaos control).
     lbfgs_history_dtype: Literal["float32", "bfloat16"] = Field(
         d.DEFAULT_LBFGS_HISTORY_DTYPE,
     )
-    # Direction computation: "two-loop" bit-matches torch; "compact"
-    # computes the identical direction (Byrd-Nocedal-Schnabel compact
-    # representation) as batched ring contractions — fewer HBM passes
-    # over a long history ring, different rounding.
+    # Direction computation: "compact" (default) computes the two-loop
+    # direction (Byrd-Nocedal-Schnabel compact representation) as
+    # batched ring contractions — fewer HBM passes over a long history
+    # ring; "two-loop" bit-matches torch's sequential recursion.
     lbfgs_direction: Literal["two-loop", "compact"] = Field(
         d.DEFAULT_LBFGS_DIRECTION,
     )

@@ -71,14 +71,20 @@ DEFAULT_MODEL: str = "vgg19"
 # TPU-framework additions:
 DEFAULT_OPTIMIZER: OptimizerName = "lbfgs"
 DEFAULT_LBFGS_HISTORY_SIZE = 100   # matches torch.optim.LBFGS default
-# Storage dtype of the curvature ring. "float32" bit-matches torch;
-# "bfloat16" halves the ring's HBM traffic (~10% of a 512px step at
-# m=100, BASELINE.md) at ~3 decimal digits per stored element.
-DEFAULT_LBFGS_HISTORY_DTYPE = "float32"
-# Direction computation: "two-loop" bit-matches torch.optim.LBFGS;
-# "compact" (Byrd-Nocedal-Schnabel) is the same direction in exact
-# arithmetic via batched ring contractions (less HBM traffic at m=100).
-DEFAULT_LBFGS_DIRECTION = "two-loop"
+# Storage dtype of the curvature ring. "bfloat16" halves the ring's
+# HBM traffic (+11% steps/s at m=100/512px, BASELINE.md ring table);
+# "float32" bit-matches torch.optim.LBFGS. bf16 is the default because
+# BASELINE.md's chaos-control measurement shows NO two L-BFGS
+# implementations hold trajectory parity anyway (one-ulp perturbations
+# diverge), so torch bit-layout buys nothing the "float32" opt-in
+# doesn't still provide (round-4 re-decision, BASELINE.md).
+DEFAULT_LBFGS_HISTORY_DTYPE = "bfloat16"
+# Direction computation: "compact" (Byrd-Nocedal-Schnabel) computes the
+# two-loop's direction in exact arithmetic via batched ring
+# contractions — +11% steps/s at m=100 by replacing 2m sequential
+# q-vector read-modify-writes with three ring passes; "two-loop"
+# bit-matches torch.optim.LBFGS (same re-decision as the ring dtype).
+DEFAULT_LBFGS_DIRECTION = "compact"
 
 # --- Video ------------------------------------------------------------
 DEFAULT_CREATE_VIDEO = True

@@ -1200,7 +1200,7 @@ class TestLbfgsHistoryFlags:
             argparse.Namespace(config=None),
         )
         assert (
-            "L-BFGS History: 100 pairs (float32), two-loop direction"
+            "L-BFGS History: 100 pairs (bfloat16), compact direction"
             in caplog.text
         )
 

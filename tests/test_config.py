@@ -258,9 +258,10 @@ def test_hardware_and_kernel_flags_merge() -> None:
 
 
 class TestLbfgsHistoryDtype:
-    def test_default_is_float32(self) -> None:
+    def test_default_is_bfloat16(self) -> None:
+        """Measured-fastest ring is the default (round-4 re-decision)."""
         cfg = OptimizationConfig.model_validate({})
-        assert cfg.lbfgs_history_dtype == "float32"
+        assert cfg.lbfgs_history_dtype == "bfloat16"
 
     def test_invalid_dtype_rejected(self) -> None:
         with pytest.raises(ValidationError):
@@ -269,8 +270,9 @@ class TestLbfgsHistoryDtype:
             )
 
     def test_cli_merge(self) -> None:
-        cfg = build_config_from_cli({"lbfgs_history_dtype": "bfloat16"})
-        assert cfg.optimization.lbfgs_history_dtype == "bfloat16"
+        """float32 remains the torch-bit-layout opt-in."""
+        cfg = build_config_from_cli({"lbfgs_history_dtype": "float32"})
+        assert cfg.optimization.lbfgs_history_dtype == "float32"
 
     def test_history_size_cli_merge(self) -> None:
         cfg = build_config_from_cli({"lbfgs_history_size": 20})
@@ -278,9 +280,10 @@ class TestLbfgsHistoryDtype:
 
 
 class TestLbfgsDirection:
-    def test_default_is_two_loop(self) -> None:
+    def test_default_is_compact(self) -> None:
+        """Measured-fastest direction is the default (round-4)."""
         cfg = OptimizationConfig.model_validate({})
-        assert cfg.lbfgs_direction == "two-loop"
+        assert cfg.lbfgs_direction == "compact"
 
     def test_invalid_direction_rejected(self) -> None:
         with pytest.raises(ValidationError):
@@ -289,8 +292,9 @@ class TestLbfgsDirection:
             )
 
     def test_cli_merge(self) -> None:
-        cfg = build_config_from_cli({"lbfgs_direction": "compact"})
-        assert cfg.optimization.lbfgs_direction == "compact"
+        """two-loop remains the torch-recursion opt-in."""
+        cfg = build_config_from_cli({"lbfgs_direction": "two-loop"})
+        assert cfg.optimization.lbfgs_direction == "two-loop"
 
 
 class TestModelSelection:
