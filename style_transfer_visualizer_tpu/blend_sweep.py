@@ -208,11 +208,17 @@ def _sweep_on_device(
     )
 
     x: jax.Array | None = None
-    if opt_cfg.coarse_steps > 0:
-        from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
-            coarse_init,
-        )
+    from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+        coarse_init,
+        resolve_coarse_steps,
+    )
 
+    opt_cfg.coarse_steps = resolve_coarse_steps(
+        opt_cfg.coarse_steps,
+        int(content_img.shape[1]), int(content_img.shape[2]),
+        opt_cfg.steps,
+    )
+    if opt_cfg.coarse_steps > 0:
         # Frame 0 is pure style 0, so the coarse phase warm-starts the
         # very objective the sweep's first frame optimizes.
         x = coarse_init(params, content_img, style_imgs[0], config, key)

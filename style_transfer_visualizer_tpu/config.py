@@ -178,10 +178,13 @@ class OptimizationConfig(_ValidatedSection):
     remat: bool = False
     # Coarse-to-fine warm start: optimize this many steps at half
     # resolution and upsample the result as the starting image
-    # (engine/coarse.py). 0 disables. The half-res step is ~4x cheaper,
-    # so front-loading global structure there cuts the full-res steps
-    # needed for equal quality.
-    coarse_steps: int = Field(0, ge=0)
+    # (engine/coarse.py). The half-res step is ~4x cheaper, so
+    # front-loading global structure there cuts the full-res steps
+    # needed for equal quality (8.6x measured, BASELINE.md). -1 = auto
+    # (the default): on for >=1MP content with a steps//5 budget, off
+    # below (small runs stay trajectory-comparable with the
+    # reference). 0 disables, >0 forces that total coarse budget.
+    coarse_steps: int = Field(-1, ge=-1)
     # Number of resolutions in the coarse-to-fine warm start: 2 (the
     # default) runs one half-res phase; N ladders up from 1/2^(N-1),
     # each level warm-starting the next (engine/coarse.py). Only

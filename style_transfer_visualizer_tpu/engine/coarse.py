@@ -47,6 +47,46 @@ _POOL_ALIGN = 16
 _MIN_COARSE_DIM = 32
 
 
+# Auto mode (--coarse-steps -1, the default) enables the warm start
+# for content at or above this pixel count. Below it the default run
+# stays trajectory-comparable with the reference implementation (the
+# classic 512px workload the parity gates are certified on); above it
+# wall-clock dominates and the measured 8.6x convergence-per-second
+# win (BASELINE.md coarse table) takes priority.
+AUTO_COARSE_MIN_PIXELS = 1_000_000
+# Auto budget: coarse_steps = steps // 5. At the 0.27 measured
+# half/full step-cost ratio this adds ~5% wall-clock while
+# front-loading the global structure of the trajectory.
+AUTO_COARSE_STEPS_DIVISOR = 5
+
+
+def resolve_coarse_steps(
+    requested: int,
+    height: int,
+    width: int,
+    steps: int,
+) -> int:
+    """Resolve the ``--coarse-steps -1`` auto mode against the input.
+
+    Explicit values (>= 0) pass through; auto enables the warm start
+    only for >= 1MP content (``AUTO_COARSE_MIN_PIXELS``) with a budget
+    of ``steps // 5``. Orchestrators call this once, as soon as the
+    content size is known, and write the result back into the config so
+    every downstream ``coarse_steps > 0`` gate keeps its meaning.
+    """
+    if requested >= 0:
+        return requested
+    if height * width < AUTO_COARSE_MIN_PIXELS:
+        return 0
+    resolved = max(1, steps // AUTO_COARSE_STEPS_DIVISOR)
+    logger.info(
+        "Coarse warm start auto-enabled for %dx%d content: %d "
+        "half-resolution steps (disable with --coarse-steps 0).",
+        width, height, resolved,
+    )
+    return resolved
+
+
 def coarse_dims(height: int, width: int) -> tuple[int, int] | None:
     """Half resolution rounded down to pool alignment; None if too small."""
     ch = height // 2 // _POOL_ALIGN * _POOL_ALIGN

@@ -133,6 +133,8 @@ def _run_on_device(
             for blend_path, weight in style_blend
         ]
 
+    _resolve_auto_coarse(config, content_img)
+
     if config.video.create_video:
         height, width = content_img.shape[1:3]
         effective_mode, reason, frame_estimate = select_video_mode(
@@ -446,6 +448,7 @@ def multi_style_transfer(
             get_architecture(opt_cfg.model),
             allow_random=opt_cfg.allow_random_weights, seed=opt_cfg.seed,
         )
+        _resolve_auto_coarse(config, content_img)
         n_styles = len(style_imgs)
         n_space = config.hardware.spatial_shards
         n_devices = len(jax.devices(device.platform))
@@ -1496,6 +1499,30 @@ def _prepare_model_and_input(
         blend_imgs=blend_imgs,
     )
     return bundle, input_img
+
+
+def _resolve_auto_coarse(
+    config: StyleTransferConfig,
+    content_img: jax.Array,
+) -> None:
+    """Resolve ``--coarse-steps -1`` (auto) against the content size.
+
+    Runs once per orchestration entry, as soon as the content shape is
+    known; writes the resolved value back so every downstream
+    ``coarse_steps > 0`` gate (single, batch, blend-sweep, sequence)
+    keeps its meaning. Mirrors the auto video-mode mutation pattern.
+    """
+    from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+        resolve_coarse_steps,
+    )
+
+    opt_cfg = config.optimization
+    opt_cfg.coarse_steps = resolve_coarse_steps(
+        opt_cfg.coarse_steps,
+        int(content_img.shape[1]),
+        int(content_img.shape[2]),
+        opt_cfg.steps,
+    )
 
 
 def _initial_image(

@@ -533,11 +533,17 @@ def _stylize_frames(
             # Frame 0 is the clip's only cold start; later frames warm
             # from the previous result, which dominates any coarse
             # phase. --coarse-steps therefore applies to frame 0 only.
-            if opt_cfg.coarse_steps > 0:
-                from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
-                    coarse_init,
-                )
+            from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+                coarse_init,
+                resolve_coarse_steps,
+            )
 
+            opt_cfg.coarse_steps = resolve_coarse_steps(
+                opt_cfg.coarse_steps,
+                int(content.shape[1]), int(content.shape[2]),
+                opt_cfg.steps,
+            )
+            if opt_cfg.coarse_steps > 0:
                 x = coarse_init(
                     params, content, style_img, config, key,
                     blend_imgs=blend_imgs,

@@ -19,6 +19,84 @@ from style_transfer_visualizer_tpu.models.features import (
 )
 
 
+class TestAutoCoarseResolution:
+    """--coarse-steps -1 (the default) resolves against content size."""
+
+    def test_explicit_values_pass_through(self) -> None:
+        from style_transfer_visualizer_tpu.engine.coarse import (
+            resolve_coarse_steps,
+        )
+
+        assert resolve_coarse_steps(0, 4000, 4000, 1500) == 0
+        assert resolve_coarse_steps(40, 4000, 4000, 1500) == 40
+
+    def test_small_content_stays_off(self) -> None:
+        """Below 1MP the default run keeps the reference trajectory."""
+        from style_transfer_visualizer_tpu.engine.coarse import (
+            resolve_coarse_steps,
+        )
+
+        assert resolve_coarse_steps(-1, 512, 512, 1500) == 0
+        assert resolve_coarse_steps(-1, 999, 1000, 1500) == 0
+
+    def test_large_content_auto_enables(self) -> None:
+        from style_transfer_visualizer_tpu.engine.coarse import (
+            resolve_coarse_steps,
+        )
+
+        assert resolve_coarse_steps(-1, 1000, 1000, 1500) == 300
+        assert resolve_coarse_steps(-1, 1088, 1920, 200) == 40
+        # Tiny step budgets still get at least one coarse step.
+        assert resolve_coarse_steps(-1, 1088, 1920, 3) == 1
+
+    def test_config_default_is_auto(self) -> None:
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+
+        cfg = StyleTransferConfig.model_validate({})
+        assert cfg.optimization.coarse_steps == -1
+
+    def test_orchestrator_writes_resolution_back(
+        self, make_style_transfer_config,
+    ) -> None:
+        import style_transfer_visualizer_tpu.main as stv_main
+
+        cfg = make_style_transfer_config()
+        assert cfg.optimization.coarse_steps == -1
+        big = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+        stv_main._resolve_auto_coarse(cfg, big)
+        assert (
+            cfg.optimization.coarse_steps
+            == cfg.optimization.steps // 5
+            or cfg.optimization.coarse_steps == 1
+        )
+        small_cfg = make_style_transfer_config()
+        stv_main._resolve_auto_coarse(
+            small_cfg, jnp.zeros((1, 64, 64, 3), jnp.float32),
+        )
+        assert small_cfg.optimization.coarse_steps == 0
+
+    def test_cli_echo_reports_auto(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        import argparse
+
+        import style_transfer_visualizer_tpu.cli as stv_cli
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate({})
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)),
+            cfg,
+            argparse.Namespace(config=None),
+        )
+        assert "Coarse Warm Start: auto" in caplog.text
+
+
 class TestCoarseDims:
     def test_halves_and_aligns(self) -> None:
         assert coarse_dims(512, 512) == (256, 256)
