@@ -75,11 +75,16 @@ def main() -> None:
     targets = compute_targets(
         params, style, content, style_layers, content_layers,
     )
+    # Precision and chunk resolve from the production defaults, never
+    # hardcoded (tests/test_bench_configs.py pins the equivalence).
+    from style_transfer_visualizer_tpu import config_defaults as d
+    from style_transfer_visualizer_tpu.engine.runner import DEFAULT_CHUNK
+
     bundle = build_update_step(
         params, targets, tuple(content.shape),
         optimizer="adam", lr=0.05, style_w=1e5, content_w=1.0,
         style_layers=style_layers, content_layers=content_layers,
-        precision="mixed",  # the pipeline default (parity-grade)
+        precision=d.DEFAULT_PRECISION,  # parity-grade "mixed"
     )
 
     x = initialize_input(content, "random", jax.random.key(2))
@@ -87,7 +92,7 @@ def main() -> None:
     # The production runner fuses steps into one dispatch when no
     # cadence constrains alignment (runner._resolve_chunk_size); this
     # measures exactly that path.
-    chunk = min(25, TIMED_STEPS)
+    chunk = min(DEFAULT_CHUNK, TIMED_STEPS)
     x, state, aux = bundle.chunked_update_fn(x, state, chunk)  # compile
     jax.block_until_ready(x)
 
@@ -108,13 +113,11 @@ def main() -> None:
     # defaults (bfloat16 ring + compact direction, the round-4
     # re-decision), pulled from config_defaults so the bench always
     # measures the configuration a default CLI run would execute.
-    from style_transfer_visualizer_tpu import config_defaults as d
-
     lbfgs = build_update_step(
         params, targets, tuple(content.shape),
         optimizer="lbfgs", lr=1.0, style_w=1e5, content_w=1.0,
         style_layers=style_layers, content_layers=content_layers,
-        precision="mixed",
+        precision=d.DEFAULT_PRECISION,
         lbfgs_max_iter=d.DEFAULT_LBFGS_MAX_ITER,
         lbfgs_max_eval=d.DEFAULT_LBFGS_MAX_EVAL,
         lbfgs_history_size=d.DEFAULT_LBFGS_HISTORY_SIZE,

@@ -18,22 +18,46 @@ from style_transfer_visualizer_tpu.utils.cache import (
 
 enable_persistent_compilation_cache()
 
+def production_config(h: int, w: int) -> dict:
+    """Resolve (remat, chunk k) exactly as a default CLI run would.
+
+    The round-3 1440p staleness (a hardcoded remat=True drifting from
+    the production rule, under-reporting 44% for two rounds) is why
+    nothing here is hardcoded: remat comes from
+    ``main.resolve_single_remat`` and the dispatch chunk from the
+    runner's unconstrained default. tests/test_bench_configs.py pins
+    this equivalence.
+    """
+    from style_transfer_visualizer_tpu.engine.runner import (
+        DEFAULT_CHUNK,
+    )
+    from style_transfer_visualizer_tpu.main import resolve_single_remat
+
+    return dict(
+        h=h, w=w,
+        remat=resolve_single_remat(h, w, 0, requested=False),
+        k=DEFAULT_CHUNK,
+    )
+
+
 CONFIGS = {
-    "1080p": dict(h=1088, w=1920, remat=False, k=10),
+    "1080p": dict(h=1088, w=1920),
     # 3.77MP is below the 4.19MP auto-remat threshold: the production
     # path runs 1440p whole-image (remat measured 2.09 vs 3.02 steps/s
     # at mixed; it was only ever needed for r1's `highest` tier).
-    "1440p": dict(h=1472, w=2560, remat=False, k=5),
+    "1440p": dict(h=1472, w=2560),
 }
 
 
 def main() -> None:
+    from style_transfer_visualizer_tpu import config_defaults as d
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1080p,1440p")
-    ap.add_argument("--precision", default="high")
+    ap.add_argument("--precision", default=d.DEFAULT_PRECISION)
     ap.add_argument(
         "--remat", choices=["config", "on", "off"], default="config",
-        help="Override each size's configured remat setting",
+        help="Override the production-resolved remat setting",
     )
     args = ap.parse_args()
 
@@ -41,7 +65,8 @@ def main() -> None:
     sl, cl = (0, 5, 10, 19, 28), (21,)
 
     for name in args.sizes.split(","):
-        cfg = dict(CONFIGS[name])
+        size = CONFIGS[name]
+        cfg = production_config(size["h"], size["w"])
         if args.remat != "config":
             cfg["remat"] = args.remat == "on"
         shape = (1, cfg["h"], cfg["w"], 3)

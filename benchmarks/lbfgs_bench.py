@@ -35,19 +35,24 @@ from style_transfer_visualizer_tpu.utils.cache import (
 enable_persistent_compilation_cache()
 
 CONFIGS = {
-    "512": dict(h=512, w=512, remat=False, k=25),
-    "1080p": dict(h=1088, w=1920, remat=False, k=10),
+    "512": dict(h=512, w=512),
+    "1080p": dict(h=1088, w=1920),
 }
 
 
 def main() -> None:
+    from style_transfer_visualizer_tpu import config_defaults as d
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="512")
-    ap.add_argument("--precision", default="mixed")
-    ap.add_argument("--histories", default="100")
-    ap.add_argument("--history-dtype", default="float32",
+    ap.add_argument("--precision", default=d.DEFAULT_PRECISION)
+    ap.add_argument(
+        "--histories", default=str(d.DEFAULT_LBFGS_HISTORY_SIZE),
+    )
+    ap.add_argument("--history-dtype",
+                    default=d.DEFAULT_LBFGS_HISTORY_DTYPE,
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--direction", default="two-loop",
+    ap.add_argument("--direction", default=d.DEFAULT_LBFGS_DIRECTION,
                     choices=["two-loop", "compact"])
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
@@ -55,8 +60,23 @@ def main() -> None:
     params = vgg19.init_random_params(jax.random.key(0))
     sl, cl = (0, 5, 10, 19, 28), (21,)
 
+    # (remat, chunk k) resolve exactly as a default CLI run would —
+    # never hardcoded (tests/test_bench_configs.py pins this; the
+    # round-3 1440p staleness is why).
+    from style_transfer_visualizer_tpu.engine.runner import (
+        DEFAULT_CHUNK,
+    )
+    from style_transfer_visualizer_tpu.main import resolve_single_remat
+
     for name in args.sizes.split(","):
-        cfg = CONFIGS[name]
+        size = CONFIGS[name]
+        cfg = dict(
+            size,
+            remat=resolve_single_remat(
+                size["h"], size["w"], 0, requested=False,
+            ),
+            k=DEFAULT_CHUNK,
+        )
         shape = (1, cfg["h"], cfg["w"], 3)
         key = jax.random.key(1)
         content = jax.random.uniform(key, shape, jnp.float32)

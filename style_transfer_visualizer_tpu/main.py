@@ -921,6 +921,27 @@ def _append_batch_outros(
         )
 
 
+def resolve_single_remat(
+    height: int,
+    width: int,
+    tile_rows: int,
+    requested: bool,
+) -> bool:
+    """Production remat setting for a single whole-image run.
+
+    Banded evaluation owns its memory policy (each band recomputes by
+    construction), so tiling disables remat; otherwise an explicit
+    request or the 4MP auto threshold enables it. Public so benchmark
+    configs can resolve exactly what a CLI run would (the round-3
+    1440p staleness: a benchmark's hardcoded remat drifted from this
+    rule and under-reported for two rounds).
+    """
+    return not tile_rows and (
+        requested
+        or int(height) * int(width) >= AUTO_REMAT_PIXEL_THRESHOLD
+    )
+
+
 def _auto_remat_batched(pixels: int, styles_per_device: int) -> bool:
     """Whether a batch run's per-device activations need remat.
 
@@ -1458,10 +1479,7 @@ def _prepare_model_and_input(
         )
 
         lap_target = lap_response(content_img, opt_cfg.lap_pool)
-    remat = not tile_rows and (
-        opt_cfg.remat
-        or int(height) * int(width) >= AUTO_REMAT_PIXEL_THRESHOLD
-    )
+    remat = resolve_single_remat(height, width, tile_rows, opt_cfg.remat)
     if remat and not opt_cfg.remat:
         logger.info(
             "Auto-enabling feature rematerialization for %dx%d input.",
