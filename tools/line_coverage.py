@@ -24,6 +24,9 @@ Usage::
     # e.g. python tools/line_coverage.py tests/ -q
     # line-only (faster; partial branch sites keep their events live):
     python tools/line_coverage.py --no-branch tests/ -q
+    # enforce the repo bar (exit 2 when under it):
+    python tools/line_coverage.py tests/ -q \
+        --fail-under-lines 100 --fail-under-branch 100
 
 Caveats vs real coverage.py:
 
@@ -309,6 +312,18 @@ def main(argv: list[str]) -> int:
     if "--no-branch" in argv:
         argv = [a for a in argv if a != "--no-branch"]
         branch = False
+    fail_under_lines: float | None = None
+    fail_under_branch: float | None = None
+    kept: list[str] = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--fail-under-lines":
+            fail_under_lines = float(next(it))
+        elif arg == "--fail-under-branch":
+            fail_under_branch = float(next(it))
+        else:
+            kept.append(arg)
+    argv = kept
     sys.monitoring.use_tool_id(TOOL_ID, "line_coverage")
     sys.monitoring.register_callback(
         TOOL_ID, sys.monitoring.events.LINE, _on_line,
@@ -392,6 +407,20 @@ def main(argv: list[str]) -> int:
     out = REPO_ROOT / "line_coverage.json"
     out.write_text(json.dumps(report, indent=1))
     print(f"(report written to {out})")
+    if fail_under_lines is not None and overall < fail_under_lines:
+        print(
+            f"FAIL: line coverage {overall}% is under the "
+            f"{fail_under_lines}% bar",
+        )
+        rc = rc or 2
+    if branch and fail_under_branch is not None:
+        br = report["branch_pct"]
+        if br < fail_under_branch:
+            print(
+                f"FAIL: branch coverage {br}% is under the "
+                f"{fail_under_branch}% bar",
+            )
+            rc = rc or 2
     return int(rc)
 
 
