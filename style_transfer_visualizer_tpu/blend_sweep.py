@@ -274,7 +274,9 @@ def _sweep_on_device(
         )
 
     video_path: Path | None = None
-    if outputs:
+    # sweep_weights enforces n_frames >= 2, so the loop above always
+    # produced frames; the guard is belt-and-braces.
+    if outputs:  # pragma: no branch
         joined = "+".join(p.stem.replace(" ", "_") for p in style_paths)
         video_path = (
             output_dir

@@ -217,7 +217,8 @@ def _iter_ffmpeg_frames(path: Path, info: VideoInfo) -> Iterator[np.ndarray]:
                     .copy()
                 )
         finally:
-            if proc.stdout is not None:
+            # PIPE stdout is never None; the guard only narrows types.
+            if proc.stdout is not None:  # pragma: no branch
                 proc.stdout.close()
             returncode = proc.wait()
         if returncode:

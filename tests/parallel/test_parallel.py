@@ -355,6 +355,50 @@ class TestSpatialSharding:
             rtol=1e-5, atol=1e-7,
         )
 
+    def test_batch_lap_without_target_rejected(
+        self, tiny_params, images,
+    ) -> None:
+        """lap_w > 0 without a precomputed response is a build error."""
+        content, styles = images
+        mesh = create_mesh(n_style=4, n_space=1)
+        targets = multi_style_targets(
+            tiny_params, content, styles, STYLE_LAYERS, CONTENT_LAYERS,
+            precision=HIGH,
+        )
+        with pytest.raises(ValueError, match="lap_target"):
+            build_multi_style_update(
+                mesh, tiny_params, targets, tuple(content.shape), 4,
+                optimizer="adam", lr=0.1, style_w=10.0, content_w=1.0,
+                style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+                lap_w=1.0,
+            )
+
+    def test_sharded_tv_single_shard_is_whole_image(self) -> None:
+        """Axis size 1: no halo exchange, still the exact whole-image TV."""
+        from jax.sharding import PartitionSpec as P
+
+        from style_transfer_visualizer_tpu.ops.tv import tv_loss
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            sharded_tv,
+        )
+
+        mesh = create_mesh(n_style=1, n_space=1)
+        img = jax.random.normal(jax.random.key(5), (1, 8, 12, 3))
+        shape = tuple(img.shape)
+
+        def global_tv(x):
+            return jax.shard_map(
+                lambda xb: sharded_tv(xb, shape),
+                mesh=mesh,
+                in_specs=P(None, MESH_AXIS_SPACE, None, None),
+                out_specs=P(),
+            )(x)
+
+        np.testing.assert_allclose(
+            float(jax.jit(global_tv)(img)), float(tv_loss(img)),
+            rtol=1e-5,
+        )
+
     def test_sharded_loss_with_tv_matches_single_device(
         self, tiny_params, images,
     ) -> None:

@@ -87,6 +87,24 @@ class TestTableDerivation:
         ]
         assert table[5] == (CONV, 8, 16)
 
+    def test_leading_pool_defaults_to_input_channels(self) -> None:
+        """A table whose first layer is a pool carries 3 RGB channels."""
+        params = {1: {"w": jnp.zeros((3, 3, 3, 8))}}
+        table = layer_table_from_params(params)
+        assert table[0] == (POOL, 3, 3)
+        assert table[1] == (CONV, 3, 8)
+
+    @pytest.mark.parametrize("arch", [VGG19, VGG16], ids=lambda a: a.name)
+    def test_pools_before_method_matches_helper(self, arch) -> None:
+        for idx in (0, 5, arch.num_layers - 1):
+            assert arch.pools_before(idx) == pools_before_in(
+                arch.layer_table, idx,
+            )
+
+    def test_vgg19_module_pools_before_uses_its_table(self) -> None:
+        assert vgg19.pools_before(0) == 0
+        assert vgg19.pools_before(36) == 5
+
 
 class TestVgg16Weights:
     def test_random_params_shapes(self) -> None:

@@ -120,6 +120,62 @@ class TestStylizeBlendSweep:
         )
         assert all(p.exists() for p in result.frame_paths)
 
+    def test_coarse_warm_start_seeds_frame_zero(
+        self, tmp_path, content_image, style_image, make_image_file,
+        caplog,
+    ) -> None:
+        """--coarse-steps warm-starts the sweep's only cold frame."""
+        import logging
+
+        other = make_image_file("other.png", color=(180, 30, 30))
+        with caplog.at_level(logging.INFO):
+            result = stylize_blend_sweep(
+                content_image, [style_image, other],
+                _sweep_config(
+                    tmp_path, coarse_steps=2, init_method="content",
+                ),
+                n_frames=2, sweep_steps=1,
+            )
+        assert all(p.exists() for p in result.frame_paths)
+        assert "Coarse warm start" in caplog.text
+
+    def test_lap_term_rides_every_frame(
+        self, tmp_path, content_image, style_image, make_image_file,
+    ) -> None:
+        """--lap-w threads one shared content response into each frame."""
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_blend_sweep(
+            content_image, [style_image, other],
+            _sweep_config(
+                tmp_path, lap_w=5.0, lap_pool=4, init_method="content",
+            ),
+            n_frames=2, sweep_steps=1,
+        )
+        assert all(p.exists() for p in result.frame_paths)
+        assert all(np.isfinite(loss) for loss in result.frame_losses)
+
+    def test_output_fps_override_sets_gif_rate(
+        self, tmp_path, content_image, style_image, make_image_file,
+        monkeypatch,
+    ) -> None:
+        """An explicit output_fps outranks the configured video.fps."""
+        import style_transfer_visualizer_tpu.blend_sweep as bs
+
+        captured: dict[str, float] = {}
+
+        def fake_assemble(outputs, path, fps, config) -> None:
+            captured["fps"] = fps
+            path.write_bytes(b"")
+
+        monkeypatch.setattr(bs, "assemble_output_video", fake_assemble)
+        other = make_image_file("other.png", color=(180, 30, 30))
+        stylize_blend_sweep(
+            content_image, [style_image, other],
+            _sweep_config(tmp_path), n_frames=2, sweep_steps=1,
+            output_fps=7.5,
+        )
+        assert captured["fps"] == 7.5
+
     def test_single_style_rejected(
         self, tmp_path, content_image, style_image,
     ) -> None:

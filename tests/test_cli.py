@@ -227,6 +227,27 @@ class TestLogParameters:
         assert "Tile Rows: 2" in caplog.text
         assert "Steps per Dispatch: 5" in caplog.text
 
+    def test_lap_and_explicit_coarse_logged(
+        self, caplog, content_image, style_image,
+    ) -> None:
+        from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "lap_w": 2.5, "lap_pool": 8, "coarse_steps": 40,
+                "pyramid_levels": 3,
+            },
+        })
+        args = argparse.Namespace(config=None)
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)), cfg, args,
+        )
+        assert "Laplacian Weight: 2.5 (pool 8)" in caplog.text
+        assert (
+            "Coarse Warm Start: 40 steps across 2 pyramid level(s)"
+            in caplog.text
+        )
+
     def test_gif_details_logged_when_enabled(
         self, caplog, content_image, style_image,
     ) -> None:

@@ -143,6 +143,39 @@ class TestCoarseInit:
             params, content, style, cfg, jax.random.key(2),
         ) is None
 
+    def test_lap_term_active_at_coarse_level(
+        self, tiny_setup, caplog,
+    ) -> None:
+        """Each level matches the Laplacian of its own resized content."""
+        import logging
+
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.lap_w = 2.0
+        cfg.optimization.lap_pool = 4  # 32//4 = 8 pooled rows: active
+        with caplog.at_level(logging.INFO):
+            warm = coarse_init(
+                params, content, style, cfg, jax.random.key(2),
+            )
+        assert warm is not None
+        assert np.all(np.isfinite(np.asarray(warm)))
+        assert "too small for lap_pool" not in caplog.text
+
+    def test_lap_term_skipped_at_too_small_level(
+        self, tiny_setup, caplog,
+    ) -> None:
+        """Levels with a sub-3x3 pooled response drop the term loudly."""
+        import logging
+
+        params, content, style, cfg = tiny_setup
+        cfg.optimization.lap_w = 2.0
+        cfg.optimization.lap_pool = 16  # 32//16 = 2 pooled rows: skip
+        with caplog.at_level(logging.INFO):
+            warm = coarse_init(
+                params, content, style, cfg, jax.random.key(2),
+            )
+        assert warm is not None
+        assert "too small for lap_pool" in caplog.text
+
     def test_too_small_returns_none(self, tiny_setup, caplog) -> None:
         params, _, _, cfg = tiny_setup
         small_c = jnp.ones((1, 48, 48, 3), jnp.float32) * 0.4
@@ -552,6 +585,77 @@ class TestBatchCoarse:
             str(content), [str(s1), str(s2)], cfg,
         )
         assert all(p.exists() for p in saved)
+
+    def test_batch_lap_pyramid_and_match_compose(self, tmp_path) -> None:
+        """Batch mode composes lap term, 3-level pyramid, and match.
+
+        One run covers the vmapped path's Laplacian target (full-res
+        AND per coarse level), the multi-level ladder's resize
+        warm-start between batch coarse levels, and ``match`` color
+        preservation of every style before its targets.
+        """
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        Image.new("RGB", (128, 128), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        Image.new("RGB", (64, 64), (0, 0, 180)).save(s2)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "coarse_steps": 4, "pyramid_levels": 3,
+                "lap_w": 2.0, "lap_pool": 4,
+                "preserve_color": "match",
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        saved = multi_style_transfer(
+            str(content), [str(s1), str(s2)], cfg,
+        )
+        assert all(p.exists() for p in saved)
+
+    def test_batch_coarse_lap_skips_at_tiny_level(
+        self, tmp_path, caplog,
+    ) -> None:
+        """A coarse level too small for lap_pool drops the term loudly."""
+        import logging
+
+        from PIL import Image
+
+        from style_transfer_visualizer_tpu.config import (
+            StyleTransferConfig,
+        )
+        from style_transfer_visualizer_tpu.main import multi_style_transfer
+
+        content = tmp_path / "c.png"
+        s1 = tmp_path / "s1.png"
+        Image.new("RGB", (64, 64), (0, 180, 0)).save(content)
+        Image.new("RGB", (64, 64), (180, 0, 0)).save(s1)
+        cfg = StyleTransferConfig.model_validate({
+            "optimization": {
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "coarse_steps": 2, "lap_w": 2.0, "lap_pool": 16,
+            },
+            "hardware": {"device": "cpu"},
+            "output": {"output": str(tmp_path / "out")},
+            "video": {"create_video": False},
+        })
+        with caplog.at_level(logging.INFO):
+            multi_style_transfer(str(content), [str(s1)], cfg)
+        assert "too small for lap_pool" in caplog.text
 
     def test_batch_warm_start_logged(self, tmp_path, caplog) -> None:
         import logging

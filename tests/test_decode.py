@@ -154,6 +154,22 @@ class TestFfmpegProbe:
         info = decode.probe_video(clip)
         assert info == decode.VideoInfo(640, 360, 25.0, None)
 
+    def test_zero_fps_stream_falls_back_to_default(
+        self, tmp_path: Path, monkeypatch,
+    ) -> None:
+        """A '0 fps' stream line takes the default rate, not 0."""
+        clip = tmp_path / "clip.mp4"
+        clip.write_bytes(b"x")
+        monkeypatch.setattr(decode, "ffmpeg_available", lambda: True)
+        monkeypatch.setattr(
+            decode.subprocess, "run",
+            lambda *a, **k: _FakeCompleted(
+                "Stream #0:0: Video: h264, yuv420p, 640x360, 0 fps",
+            ),
+        )
+        info = decode.probe_video(clip)
+        assert info.fps == pytest.approx(10.0)
+
     def test_no_video_stream(self, tmp_path: Path, monkeypatch) -> None:
         clip = tmp_path / "clip.mp4"
         clip.write_bytes(b"x")

@@ -114,6 +114,31 @@ def problem(tiny_params):
     return content, targets
 
 
+class TestLapOrchestration:
+    def test_single_run_builds_lap_target(
+        self, make_style_transfer_config, make_input_paths, caplog,
+    ) -> None:
+        """--lap-w on a plain single run reaches the jitted objective.
+
+        Covers the orchestrator's target preparation
+        (main._prepare_model_and_input), not just the step builder.
+        """
+        from style_transfer_visualizer_tpu.main import style_transfer
+
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 2, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [2],
+                "allow_random_weights": True, "init_method": "content",
+                "lap_w": 5.0, "lap_pool": 4,
+            },
+            video={"final_only": True},
+        )
+        result = style_transfer(make_input_paths(), cfg)
+        assert result.shape[0] == 1
+        assert np.all(np.isfinite(np.asarray(result)))
+
+
 class TestStepBuilderLap:
     def test_total_includes_lap_term_exactly(
         self, tiny_params, problem,

@@ -229,6 +229,54 @@ class TestStylizeRegional:
                 _regional_config(tmp_path),
             )
 
+    def test_tv_and_lap_terms_compose(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        """--tv-w and --lap-w enter the regional objective.
+
+        The Laplacian target rides as ``(RegionalTargets, response)``
+        and both terms add to the total without touching the
+        style/content telemetry split — same contract as the single
+        path.
+        """
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks,
+            _regional_config(
+                tmp_path, steps=1, tv_w=10.0, lap_w=5.0,
+                lap_pool=4, init_method="content",
+            ),
+        )
+        assert result.output_path.exists()
+        assert np.isfinite(result.final_loss)
+
+    def test_empty_content_layers_zero_content_score(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        """Style-only regional runs take the zero content fallback."""
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks,
+            _regional_config(tmp_path, content_layers=[]),
+        )
+        assert result.output_path.exists()
+        assert np.isfinite(result.final_loss)
+
+    def test_match_preserve_color_composes(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        """``match`` remaps every style onto the content's palette."""
+        other = make_image_file("other.png", color=(180, 30, 30))
+        result = stylize_regional(
+            content_image, [style_image, other], half_masks,
+            _regional_config(tmp_path, preserve_color="match"),
+        )
+        assert result.output_path.exists()
+        assert np.isfinite(result.final_loss)
+
 
 class _MemoryWriter:
     """In-memory MP4-sink stand-in (no ffmpeg on the test host)."""
@@ -336,6 +384,41 @@ class TestRegionalArtifactContract:
             content_image, [style_image, other], half_masks, cfg,
         )
         assert (tmp_path / "out" / "loss_plot.png").exists()
+
+    def test_auto_video_mode_promotion_applies(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks, monkeypatch, caplog,
+    ) -> None:
+        """The auto heuristic mutates the mode and logs its reason.
+
+        Same contract as main._run_on_device: regional timelapses that
+        cross the postprocess thresholds switch modes before any sink
+        opens.
+        """
+        import logging
+
+        import style_transfer_visualizer_tpu.main as stv_main
+        import style_transfer_visualizer_tpu.media.modes as stv_modes
+
+        monkeypatch.setattr(
+            stv_modes, "select_video_mode",
+            lambda cfg, frame_size, total_steps: (
+                "postprocess", "forced-by-test", 42,
+            ),
+        )
+        writer = _MemoryWriter()
+        monkeypatch.setattr(
+            stv_main.stv_encode, "setup_video_writer",
+            lambda cfg, out, name: writer if cfg.create_video else None,
+        )
+        other = make_image_file("other.png", color=(180, 30, 30))
+        cfg = self._artifact_config(tmp_path)
+        with caplog.at_level(logging.INFO):
+            stylize_regional(
+                content_image, [style_image, other], half_masks, cfg,
+            )
+        assert cfg.video.mode == "postprocess"
+        assert "forced-by-test" in caplog.text
 
     def test_checkpoint_resume_roundtrip(
         self, tmp_path, content_image, style_image, make_image_file,

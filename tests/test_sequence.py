@@ -97,6 +97,67 @@ class TestStylizeSequence:
                 Image.open(smoothed.frame_paths[0]) as ib:
             assert not np.array_equal(np.asarray(ia), np.asarray(ib))
 
+    def test_lap_w_threads_through(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+    ) -> None:
+        """--lap-w pins each frame's edges to its OWN source frame:
+        same seed, different pixels vs the lap-free run."""
+        params = vgg19.init_random_params(jax.random.key(0))
+
+        def run(lap_w: float, name: str):
+            cfg = make_style_transfer_config(
+                optimization={
+                    "steps": 2, "optimizer": "adam", "lr": 0.05,
+                    "style_layers": [0], "content_layers": [2],
+                    "init_method": "content", "lap_w": lap_w,
+                    "lap_pool": 4,
+                },
+            )
+            return seq.stylize_sequence(
+                frames_dir, style_file, cfg, tmp_path / name, params=params,
+            )
+
+        plain = run(0.0, "plain")
+        pinned = run(50.0, "pinned")
+        assert len(pinned.frame_paths) == 3
+        with Image.open(plain.frame_paths[0]) as ia, \
+                Image.open(pinned.frame_paths[0]) as ib:
+            assert not np.array_equal(np.asarray(ia), np.asarray(ib))
+
+    def test_output_video_fps_override_wins(
+        self, frames_dir, style_file, make_style_transfer_config, tmp_path,
+        monkeypatch,
+    ) -> None:
+        """An explicit ``output_fps`` outranks source and config rates."""
+        captured: dict[str, float] = {}
+
+        def fake_assemble(outputs, path, fps, config) -> None:
+            captured["fps"] = fps
+            path.write_bytes(b"")
+
+        monkeypatch.setattr(seq, "assemble_output_video", fake_assemble)
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "optimizer": "adam", "lr": 0.05,
+                "style_layers": [0], "content_layers": [0],
+                "init_method": "content",
+            },
+            video={"fps": 5},
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "vidseq",
+            params=params, output_video="restyled.gif", output_fps=12.5,
+        )
+        assert captured["fps"] == 12.5
+        # Frame-directory input has no source rate; without an
+        # override the configured video.fps is the terminal fallback.
+        seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "vidseq2",
+            params=params, output_video="restyled.gif",
+        )
+        assert captured["fps"] == 5.0
+
     def test_mismatched_frame_shapes(
         self, frames_dir, style_file, make_style_transfer_config, tmp_path,
     ) -> None:
@@ -348,6 +409,28 @@ class TestSequenceBlendCli:
         assert rc == 0
         assert recorded["style"] == str(s2)  # highest weight fronts
         assert [w for _, w in recorded["blend"]] == [0.25, 0.75]
+
+    def test_trailing_comma_in_styles_ignored(
+        self, frames_dir, tmp_path, monkeypatch,
+    ) -> None:
+        """Empty entries from a trailing comma are dropped, not files."""
+        from style_transfer_visualizer_tpu import sequence_cli
+
+        s1 = tmp_path / "s1.png"
+        s2 = tmp_path / "s2.png"
+        for p in (s1, s2):
+            Image.new("RGB", (64, 64)).save(p)
+        recorded = {}
+        monkeypatch.setattr(
+            sequence_cli, "stylize_sequence", self._fake(recorded),
+        )
+        rc = sequence_cli.main([
+            "--frames", str(frames_dir),
+            "--styles", f"{s1},{s2},", "--style-blend", "1,1",
+            "--output", str(tmp_path / "o"), "--device", "cpu",
+        ])
+        assert rc == 0
+        assert len(recorded["blend"]) == 2
 
     def test_tv_w_threads_through(
         self, frames_dir, style_file, tmp_path, monkeypatch,
