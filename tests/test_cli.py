@@ -247,6 +247,13 @@ class TestLogParameters:
             "Coarse Warm Start: 40 steps across 2 pyramid level(s)"
             in caplog.text
         )
+        # coarse_steps=0 (explicitly disabled) logs no warm-start line.
+        caplog.clear()
+        cfg.optimization.coarse_steps = 0
+        stv_cli.log_parameters(
+            InputPaths(str(content_image), str(style_image)), cfg, args,
+        )
+        assert "Coarse Warm Start" not in caplog.text
 
     def test_gif_details_logged_when_enabled(
         self, caplog, content_image, style_image,
