@@ -779,10 +779,7 @@ def _run_blend_sweep(
     logger.info(
         "Blend sweep finished: %d frames, %d total steps%s",
         len(result.frame_paths), result.total_steps,
-        # A sweep always assembles its animation (n_frames >= 2), so
-        # video_path is never None here.
-        f", animation at {result.video_path}"  # pragma: no branch
-        if result.video_path else "",
+        f", animation at {result.video_path}" if result.video_path else "",
     )
 
 

@@ -241,3 +241,30 @@ class TestBlendSweepCli:
             "content": "c.png", "styles": ["a.png", "b.png"],
             "n_frames": 6, "sweep_steps": 3,
         }
+
+    def test_dispatch_logs_animation_path(
+        self, monkeypatch, tmp_path, caplog,
+    ) -> None:
+        """A sweep that assembled its animation names it in the log."""
+        import logging
+
+        def fake_sweep(content, styles, cfg, *, n_frames, sweep_steps):
+            from style_transfer_visualizer_tpu.blend_sweep import (
+                BlendSweepResult,
+            )
+
+            return BlendSweepResult(
+                [], tmp_path / "blend_sweep_c_x_a+b.gif", 12,
+            )
+
+        import style_transfer_visualizer_tpu.blend_sweep as sweep_mod
+
+        monkeypatch.setattr(sweep_mod, "stylize_blend_sweep", fake_sweep)
+        args = self._parse([
+            "--content", "c.png", "--styles", "a.png,b.png",
+            "--blend-sweep", "4",
+        ])
+        with caplog.at_level(logging.INFO):
+            stv_cli.run_from_args(args)
+        assert "animation at" in caplog.text
+        assert "blend_sweep_c_x_a+b.gif" in caplog.text
