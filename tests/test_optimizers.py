@@ -63,7 +63,7 @@ def _run_torch_lbfgs(
 
     for _ in range(steps):
         loss = opt.step(closure)
-        losses.append(float(loss))
+        losses.append(float(loss.detach()))
     return x.detach().numpy(), losses, closure_calls
 
 
