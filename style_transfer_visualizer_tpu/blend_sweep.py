@@ -40,6 +40,8 @@ from style_transfer_visualizer_tpu.sequence import (
     _SEQUENCE_MAX_CHUNK,
     assemble_output_video,
     build_targets_update,
+    maybe_spatial_context,
+    spatial_frame_targets,
 )
 from style_transfer_visualizer_tpu.utils.logging import logger
 
@@ -195,16 +197,32 @@ def _sweep_on_device(
 
     # One Targets per style, computed once; content features ride on the
     # first entry (blend_targets carries them through every mixture).
+    # Sharded runs (--spatial-shards) extract Grams whole-image too (C x
+    # C, size-independent) but take their content features from the
+    # shard-local extraction below instead of the first entry.
+    spatial = maybe_spatial_context(
+        config, params, tuple(content_img.shape),
+    )
     per_style = [
         compute_targets(
             params, s_img, content_img, style_layers,
-            content_layers if i == 0 else (), prec,
+            content_layers if i == 0 and spatial is None else (), prec,
         )
         for i, s_img in enumerate(style_imgs)
     ]
+    spatial_feats = None
+    if spatial is not None:
+        # The content is fixed across the sweep, so the sharded content
+        # features (and padded lap target, if any) are computed once and
+        # reused under every mixture frame's blended Grams.
+        spatial_feats = spatial_frame_targets(
+            spatial, params, content_img, {}, config,
+        ).content_feats
 
     _, update_many, init_state, run_params = build_targets_update(
         params, tuple(content_img.shape), config,
+        loss_fn=spatial.loss_fn if spatial is not None else None,
+        flip_kernels=spatial is None,
     )
 
     x: jax.Array | None = None
@@ -224,13 +242,17 @@ def _sweep_on_device(
         x = coarse_init(params, content_img, style_imgs[0], config, key)
     if x is None:
         x = initialize_input(content_img, opt_cfg.init_method, key)
+    if spatial is not None:
+        # Coarse (if any) ran unsharded at reduced resolution; the
+        # full-res sweep rides row-sharded from the first step on.
+        x = jax.device_put(x, spatial.row_sharding)
 
     outputs: list[Path] = []
     frame_seconds: list[float] = []
     frame_losses: list[float] = []
     total_steps = 0
     lap_t = None
-    if opt_cfg.lap_w:
+    if opt_cfg.lap_w and spatial is None:
         from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
             lap_response,
         )
@@ -241,7 +263,18 @@ def _sweep_on_device(
     for i, weights in enumerate(weights_rows):
         frame_start = time.perf_counter()
         targets = blend_targets(per_style, weights)
-        if opt_cfg.lap_w:
+        if spatial_feats is not None:
+            # Blended Grams over the once-computed sharded content
+            # features; the sharded loss owns the TV/lap terms.
+            from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
+                Targets,
+            )
+
+            targets = Targets(
+                style_grams=targets.style_grams,
+                content_feats=spatial_feats,
+            )
+        elif opt_cfg.lap_w:
             targets = (targets, lap_t)
         budget = opt_cfg.steps if i == 0 else per_frame_steps
         state = init_state()

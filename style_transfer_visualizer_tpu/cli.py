@@ -737,6 +737,18 @@ def _run_regional(
     style_paths: list[str],
 ) -> None:
     """Masked regional transfer: one style per masked region."""
+    if cfg.hardware.spatial_shards > 1:
+        # Reject loudly before any device work: regional mode has no
+        # sharded evaluation of its mask-weighted Grams, and silently
+        # ignoring the flag would change the memory envelope the user
+        # asked for (compose-or-reject rule; stylize_regional carries
+        # the same guard for direct API callers).
+        msg = (
+            "--spatial-shards is not supported with --style-masks "
+            "(regional mode evaluates mask-weighted Grams whole-image); "
+            "drop --spatial-shards for regional runs"
+        )
+        raise SystemExit(msg)
     from style_transfer_visualizer_tpu.regional import (  # noqa: PLC0415
         stylize_regional,
     )

