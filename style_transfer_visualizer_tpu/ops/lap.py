@@ -30,14 +30,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# The classic 4-neighbour Laplacian stencil (Li et al. 2017 eq. 5).
-_LAPLACIAN_3X3 = (
-    (0.0, 1.0, 0.0),
-    (1.0, -4.0, 1.0),
-    (0.0, 1.0, 0.0),
-)
-
-
 def _avg_pool(x: jax.Array, pool: int) -> jax.Array:
     """Non-overlapping ``pool x pool`` mean pooling of an NHWC array.
 
@@ -57,27 +49,28 @@ def _avg_pool(x: jax.Array, pool: int) -> jax.Array:
 
 
 def laplacian_filter(x: jax.Array) -> jax.Array:
-    """3x3 depthwise VALID Laplacian stencil of an NHWC float32 array.
+    """3x3 VALID 4-neighbour Laplacian stencil of an NHWC float32 array.
 
-    ``feature_group_count=C`` applies the same stencil to every channel
-    independently; VALID padding drops one row/column per edge so no
-    synthetic border response leaks into the loss. HIGHEST precision:
-    the stencil is a second difference of values already in [-3, 3]
-    model space, and bf16 rounding there is the size of the signal.
+    Computed as shifted slice adds (``up + down + left + right -
+    4*center``) rather than a depthwise convolution: the two are the
+    same second difference per channel, but the slice form carries no
+    captured kernel constant — inside ``shard_map`` a constant closed
+    over by nested control flow (the L-BFGS re-eval ``cond`` inside its
+    ``while_loop``) gets auto-pvaried to two different varying-axis
+    sets and collides — and pure VPU adds beat a 3x3
+    ``feature_group_count=C`` conv on TPU anyway (depthwise convs
+    cannot use the MXU). VALID semantics: one row/column dropped per
+    edge so no synthetic border response leaks into the loss. All math
+    in float32: the stencil is a second difference of values already in
+    [-3, 3] model space, and bf16 rounding there is the size of the
+    signal.
     """
-    c = int(x.shape[-1])
-    kernel = jnp.asarray(_LAPLACIAN_3X3, jnp.float32)
-    # HWIO depthwise kernel: I=1, O=C.
-    kernel = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    center = x[:, 1:-1, 1:-1, :]
+    up = x[:, :-2, 1:-1, :]
+    down = x[:, 2:, 1:-1, :]
+    left = x[:, 1:-1, :-2, :]
+    right = x[:, 1:-1, 2:, :]
+    return (up + down) + (left + right) - 4.0 * center
 
 
 def lap_response(img: jax.Array, pool: int = 4) -> jax.Array:

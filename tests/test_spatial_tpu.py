@@ -1,0 +1,108 @@
+"""Real-TPU execution of the mesh-sharded (shard_map) program.
+
+Round-4 verdict missing #2: every shard_map artifact to date ran on the
+virtual CPU mesh — Mosaic/XLA-TPU lowering of the ppermute/psum/
+shard_map graph was unproven. The main suite pins JAX to CPU
+(conftest), so this test spawns a subprocess on the real chip, builds a
+1-device ``space`` mesh there, and executes both halves of the sharded
+program:
+
+- ``make_spatial_loss`` (with the TV + Laplacian terms composed),
+  checked for parity against the whole-image objective, and
+- ``build_dp_sp_update`` (the full dp x sp training step, Adam), one
+  executed step with finite telemetry.
+
+A 1-device mesh degenerates the collectives (psum of one shard,
+zero-peer ppermute) but exercises exactly the lowering path a
+multi-chip rig would compile. Skipped when no TPU backend comes up.
+"""
+from __future__ import annotations
+
+import pytest
+
+from tests.tpu_subprocess import run_tpu_snippet
+
+_SNIPPET = r"""
+import jax, sys
+if jax.default_backend() != "tpu":
+    print("NO_TPU")
+    sys.exit(42)
+import jax.numpy as jnp
+import numpy as np
+from style_transfer_visualizer_tpu.models import vgg19
+from style_transfer_visualizer_tpu.models.features import (
+    Targets, total_loss,
+)
+from style_transfer_visualizer_tpu.ops.lap import lap_loss, lap_response
+from style_transfer_visualizer_tpu.ops.tv import tv_loss
+from style_transfer_visualizer_tpu.parallel.mesh import create_mesh
+from style_transfer_visualizer_tpu.parallel.spatial import (
+    LAP_RESPONSE_KEY, build_dp_sp_update, compute_sharded_targets,
+    make_spatial_loss, padded_lap_target,
+)
+
+params = vgg19.init_random_params(jax.random.key(0))
+style_layers = (0, 5)
+content_layers = (2,)
+TV_W, LAP_W, LAP_POOL = 1e-3, 5.0, 4
+
+mesh = create_mesh(n_style=1, n_space=1, devices=jax.devices("tpu")[:1])
+key = jax.random.key(1)
+shape = (1, 64, 64, 3)
+content = jax.random.uniform(key, shape, jnp.float32)
+style = jax.random.uniform(jax.random.fold_in(key, 1), shape, jnp.float32)
+
+# --- make_spatial_loss parity vs the whole-image objective ---
+sharded_t = compute_sharded_targets(
+    mesh, params, style, content, style_layers, content_layers,
+)
+feats = dict(sharded_t.content_feats)
+feats[LAP_RESPONSE_KEY] = padded_lap_target(content, LAP_POOL)
+targets = Targets(style_grams=sharded_t.style_grams, content_feats=feats)
+loss_fn = make_spatial_loss(
+    mesh, shape, style_w=100.0, content_w=1.0, tv_w=TV_W,
+    lap_w=LAP_W, lap_pool=LAP_POOL,
+    style_layers=style_layers, content_layers=content_layers,
+)
+total_s, (ss, cs) = jax.jit(loss_fn)(params, content, targets)
+
+plain_t = Targets(
+    style_grams=sharded_t.style_grams,
+    content_feats={k: feats[k] for k in content_layers},
+)
+def whole_loss(img):
+    total, (s, c) = total_loss(
+        params, img, plain_t, 100.0, 1.0, style_layers, content_layers,
+    )
+    total = total + TV_W * tv_loss(img)
+    total = total + LAP_W * lap_loss(img, lap_response(content, LAP_POOL), LAP_POOL)
+    return total, (s, c)
+total_w, (sw, cw) = jax.jit(whole_loss)(content)
+np.testing.assert_allclose(float(total_s), float(total_w), rtol=1e-4)
+np.testing.assert_allclose(float(ss), float(sw), rtol=1e-4)
+np.testing.assert_allclose(float(cs), float(cw), rtol=1e-4)
+
+# --- build_dp_sp_update executes one composed Adam step on-chip ---
+stacked = Targets(
+    style_grams={k: v[None] for k, v in targets.style_grams.items()},
+    content_feats={k: v[None] for k, v in targets.content_feats.items()},
+)
+update_fn, state, _ = build_dp_sp_update(
+    mesh, params, stacked, shape, 1,
+    lr=0.05, style_w=100.0, content_w=1.0,
+    style_layers=style_layers, content_layers=content_layers,
+    tv_w=TV_W, lap_w=LAP_W, lap_pool=LAP_POOL,
+)
+images = content[None]
+images, state, aux = update_fn(images, state)
+jax.block_until_ready(images)
+assert images.shape == (1, *shape)
+assert np.isfinite(float(aux.loss[0]))
+print("TPU_SPATIAL_OK")
+"""
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_sharded_program_on_real_tpu() -> None:
+    run_tpu_snippet(_SNIPPET, "TPU_SPATIAL_OK")
