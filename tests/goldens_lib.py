@@ -1,0 +1,215 @@
+"""Shared runners for the golden-regression corpus.
+
+Round-4 verdict weak #5: internal-consistency tests (path A == path B)
+structurally cannot catch a change that drifts BOTH paths — e.g. a
+target-computation change shifts every mode's output identically and
+every equality test stays green. The goldens pin each mode's actual
+pixels: one seeded 64px run per mode, compared against a committed
+reference image by SSIM + mean-absolute-difference bounds (loose enough
+to absorb cross-version XLA float drift, tight enough that an objective
+change fails loudly).
+
+``tools/refresh_goldens.py`` regenerates the corpus with exactly these
+runners; ``tests/test_goldens.py`` asserts against it. Every runner is
+fully seeded (deterministic inputs from a fixed rng, seeded random
+weights, content init) and runs on the CPU test backend.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, NamedTuple
+
+import numpy as np
+from PIL import Image
+
+SIZE = 64
+SEED = 0
+
+#: Comparison bounds. SSIM absorbs diffuse float drift; the mean
+#: absolute difference (uint8 counts) catches global shifts SSIM is
+#: insensitive to (e.g. a brightness offset from a changed weight).
+SSIM_MIN = 0.98
+MAD_MAX = 2.0
+
+
+class GoldenInputs(NamedTuple):
+    """Deterministic synthetic inputs shared by every mode runner."""
+
+    content: Path
+    style1: Path
+    style2: Path
+    mask1: Path
+    mask2: Path
+    frames_dir: Path
+
+
+def write_inputs(root: Path) -> GoldenInputs:
+    """Seeded 64px synthetic inputs (identical on every machine)."""
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(1234)
+
+    def _img(name: str) -> Path:
+        arr = rng.integers(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+        path = root / name
+        Image.fromarray(arr).save(path)
+        return path
+
+    content = _img("content.png")
+    style1 = _img("style1.png")
+    style2 = _img("style2.png")
+    half = np.zeros((SIZE, SIZE), np.uint8)
+    half[:, : SIZE // 2] = 255
+    mask1 = root / "mask1.png"
+    Image.fromarray(half).save(mask1)
+    mask2 = root / "mask2.png"
+    Image.fromarray(255 - half).save(mask2)
+    frames_dir = root / "frames"
+    frames_dir.mkdir(exist_ok=True)
+    for i in range(2):
+        arr = rng.integers(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(frames_dir / f"f{i:02d}.png")
+    return GoldenInputs(content, style1, style2, mask1, mask2, frames_dir)
+
+
+def _config(out_dir: Path, **opt_overrides):
+    from style_transfer_visualizer_tpu.config import StyleTransferConfig
+
+    return StyleTransferConfig.model_validate({
+        "optimization": {
+            "steps": 3, "optimizer": "adam", "lr": 0.1,
+            "style_layers": [0, 5], "content_layers": [2],
+            "init_method": "content", "seed": SEED,
+            "allow_random_weights": True, "coarse_steps": 0,
+            **opt_overrides,
+        },
+        "video": {"final_only": True},
+        "hardware": {"device": "cpu"},
+        "output": {"output": str(out_dir), "plot_losses": False},
+    })
+
+
+def _run_single(inputs: GoldenInputs, out_dir: Path, **opt) -> Path:
+    import style_transfer_visualizer_tpu.main as stv_main
+    from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+    cfg = _config(out_dir, **opt)
+    stv_main.style_transfer(
+        InputPaths(
+            content_path=str(inputs.content),
+            style_path=str(inputs.style1),
+        ),
+        cfg,
+    )
+    return out_dir / "stylized_content_x_style1.png"
+
+
+def run_single(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Plain single run, content init."""
+    return _run_single(inputs, out_dir)
+
+
+def run_coarse(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Coarse-to-fine warm start (one 32px level seeds the 64px run)."""
+    return _run_single(inputs, out_dir, coarse_steps=2)
+
+
+def run_banded(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Banded (scan-tiled) loss evaluation."""
+    return _run_single(inputs, out_dir, tile_rows=16)
+
+
+def run_sharded(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Row-sharded loss on the CPU mesh (2 shards)."""
+    import style_transfer_visualizer_tpu.main as stv_main
+    from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+    cfg = _config(out_dir)
+    cfg.hardware.spatial_shards = 2
+    stv_main.style_transfer(
+        InputPaths(
+            content_path=str(inputs.content),
+            style_path=str(inputs.style1),
+        ),
+        cfg,
+    )
+    return out_dir / "stylized_content_x_style1.png"
+
+
+def run_blend(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Weighted two-style Gram blend."""
+    import style_transfer_visualizer_tpu.main as stv_main
+    from style_transfer_visualizer_tpu.type_defs import InputPaths
+
+    cfg = _config(out_dir)
+    stv_main.style_transfer(
+        InputPaths(
+            content_path=str(inputs.content),
+            style_path=str(inputs.style1),
+        ),
+        cfg,
+        style_blend=[(str(inputs.style1), 0.7), (str(inputs.style2), 0.3)],
+    )
+    return out_dir / "stylized_content_x_style1+style2.png"
+
+
+def run_sweep_frame(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Last frame of a 2-frame blend-sweep morph."""
+    from style_transfer_visualizer_tpu.blend_sweep import (
+        stylize_blend_sweep,
+    )
+
+    cfg = _config(out_dir)
+    result = stylize_blend_sweep(
+        inputs.content, [inputs.style1, inputs.style2], cfg,
+        n_frames=2, sweep_steps=2,
+    )
+    return result.frame_paths[-1]
+
+
+def run_regional(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Masked regional transfer (one style per half)."""
+    from style_transfer_visualizer_tpu.regional import stylize_regional
+
+    cfg = _config(out_dir)
+    result = stylize_regional(
+        inputs.content, [inputs.style1, inputs.style2],
+        [inputs.mask1, inputs.mask2], cfg,
+    )
+    return result.output_path
+
+
+def run_sequence_frame(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Second (warm-started) frame of a 2-frame sequence."""
+    from style_transfer_visualizer_tpu.sequence import stylize_sequence
+
+    cfg = _config(out_dir)
+    result = stylize_sequence(
+        inputs.frames_dir, inputs.style1, cfg, out_dir,
+    )
+    return result.frame_paths[-1]
+
+
+#: mode name -> runner; tools/refresh_goldens.py and
+#: tests/test_goldens.py iterate this in lockstep.
+MODES: dict[str, Callable[[GoldenInputs, Path], Path]] = {
+    "single": run_single,
+    "coarse": run_coarse,
+    "banded": run_banded,
+    "sharded": run_sharded,
+    "blend": run_blend,
+    "sweep_frame": run_sweep_frame,
+    "regional": run_regional,
+    "sequence_frame": run_sequence_frame,
+}
+
+GOLDENS_DIR = Path(__file__).resolve().parent / "goldens"
+
+
+def compare(candidate: Path, golden: Path) -> tuple[float, float]:
+    """(ssim, mean-abs-diff) between a candidate image and its golden."""
+    from tests.test_pretrained_weights import _ssim
+
+    with Image.open(candidate) as a, Image.open(golden) as b:
+        arr_a = np.asarray(a.convert("RGB"), dtype=np.float64)
+        arr_b = np.asarray(b.convert("RGB"), dtype=np.float64)
+    return _ssim(arr_a, arr_b), float(np.abs(arr_a - arr_b).mean())
