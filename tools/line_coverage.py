@@ -8,21 +8,29 @@ it runs pytest in-process, records each executed line of the package
 exactly once (the callback disables itself per location, so steady-state
 overhead is near zero), and reports per-file missing-line ranges.
 
-It also records BRANCH events: every conditional-branch site that fires
-is tracked until both of its destinations have been taken. A *source
-line* counts as a fully covered branch line when either (a) each of its
-fired sites took two distinct destinations, or (b) its sites' taken
-destinations span two or more distinct lines — clause (b) absorbs the
-compiler's habit of emitting two jump instructions for one ``while``
-condition (entry check + loop-back check), where each site alone may
-only ever take one side even though both outcomes of the *condition*
-were exercised.
+Branch coverage is TRUE ARC-LEVEL accounting against a static model
+(round-4 verdict weak #4: the previous dynamic heuristic could credit a
+condition that only ever went one way). Statement-level branch units —
+``if``/``elif`` tests, ``while`` tests, ``for`` loops (including
+comprehension loops) — are enumerated from the AST; each unit's
+possible OUTCOMES (the bytecode destinations leaving the condition:
+body entered vs. skipped, loop taken vs. exhausted) are derived
+statically from the compiled bytecode; and a unit counts as covered
+only when every statically-possible outcome was observed at runtime.
+A condition whose line executed but that never went both ways is a
+partial branch, exactly as coverage.py would report it. Multi-clause
+conditions (``if a and b:``) are one unit: the short-circuit hop from
+clause to clause is condition-internal plumbing, and only the
+condition-level outcomes count — the same statement-level semantics
+coverage.py uses. Interpreter plumbing (``except`` matches, ``with``
+exits, ``assert``, bare boolean expressions, ternaries) belongs to no
+unit and is ignored, mirroring coverage.py.
 
 Usage::
 
     python tools/line_coverage.py [pytest args...]
     # e.g. python tools/line_coverage.py tests/ -q
-    # line-only (faster; partial branch sites keep their events live):
+    # line-only (faster):
     python tools/line_coverage.py --no-branch tests/ -q
     # enforce the repo bar (exit 2 when under it):
     python tools/line_coverage.py tests/ -q \
@@ -30,21 +38,20 @@ Usage::
 
 Caveats vs real coverage.py:
 
-- Branch sites are discovered dynamically: a conditional on a line that
-  never executes is reported as a missing *line*, not additionally as a
-  missing branch.
 - Code exercised only in subprocesses (the CLI integration tests, the
   real-TPU kernel tests) is NOT credited — treat per-file numbers as a
   lower bound and the missing-line ranges as leads, not verdicts.
 - ``# pragma: no cover`` excludes that line only, plus any ``def``/
   ``class`` statement it annotates (the body is then unreachable from
   the report's perspective and is excluded wholesale).
-- ``# pragma: no branch`` keeps a line in line coverage but exempts it
-  from the both-directions requirement (coverage.py's convention for
-  loops/conditions with a structurally one-way direction).
-- Single-line compound conditions (``while x: y()``) whose entry and
-  loop-back sites each see one side can read as partial; split the
-  line or annotate ``no branch``.
+- ``# pragma: no branch`` keeps a line in line coverage but exempts the
+  branch unit anchored there from the all-outcomes requirement
+  (coverage.py's convention for structurally one-way conditions).
+- A branch unit on a line that never executes is reported as a missing
+  line AND a partial branch (no outcome was ever observed).
+- One-line bodies (``if x: y``) and single-line comprehensions are
+  invisible at line level — both outcomes land on the same line — and
+  are not counted, exactly as in coverage.py's line-arc model.
 """
 
 from __future__ import annotations
@@ -62,12 +69,22 @@ PACKAGE_DIR = REPO_ROOT / PACKAGE
 
 TOOL_ID = sys.monitoring.COVERAGE_ID
 
+#: Opcodes at which CPython 3.12 fires BRANCH events (verified
+#: empirically; dst is either the jump target — for FOR_ITER, the
+#: instruction AFTER the END_FOR at the target — or the fall-through).
+_BRANCH_OPS = frozenset({
+    "FOR_ITER",
+    "POP_JUMP_IF_FALSE",
+    "POP_JUMP_IF_TRUE",
+    "POP_JUMP_IF_NONE",
+    "POP_JUMP_IF_NOT_NONE",
+})
+
 _executed: dict[str, set[int]] = {}
 
 # Branch bookkeeping. Keyed by id(code) with the code object kept alive
 # in _codes so ids are never recycled.
 _codes: dict[int, object] = {}
-_line_tables: dict[int, tuple[list[int], list[int]]] = {}
 _arcs: dict[tuple[int, int], set[int]] = {}
 
 
@@ -93,17 +110,16 @@ def _on_branch(code, src_offset: int, dst_offset: int):  # noqa: ANN001, ANN202
     return None
 
 
-def _offset_to_line(cid: int, offset: int) -> int | None:
-    """Resolve a bytecode offset to a source line via co_lines()."""
-    tables = _line_tables.get(cid)
-    if tables is None:
-        starts: list[int] = []
-        lines: list[int] = []
-        for start, _end, lineno in _codes[cid].co_lines():  # type: ignore[attr-defined]
-            starts.append(start)
-            lines.append(lineno if lineno else 0)
-        tables = (starts, lines)
-        _line_tables[cid] = tables
+def _line_table(code) -> tuple[list[int], list[int]]:  # noqa: ANN001
+    starts: list[int] = []
+    lines: list[int] = []
+    for start, _end, lineno in code.co_lines():
+        starts.append(start)
+        lines.append(lineno if lineno else 0)
+    return starts, lines
+
+
+def _line_at(tables: tuple[list[int], list[int]], offset: int) -> int | None:
     starts, lines = tables
     i = bisect.bisect_right(starts, offset) - 1
     if i < 0:
@@ -191,89 +207,249 @@ def _no_cover_lines(source: str, filename: str) -> set[int]:
     return excluded
 
 
-def _interpreter_branch_offsets(code) -> set[int]:  # noqa: ANN001
-    """Jump offsets that are interpreter plumbing, not source branches.
+class _Unit:
+    """One statement-level branch: an if/while test or a for loop.
 
-    ``except X:`` compiles to CHECK_EXC_MATCH + POP_JUMP_IF_FALSE and a
-    ``with`` exit to WITH_EXCEPT_START + POP_JUMP_IF_TRUE; both fire
-    BRANCH events only while an exception unwinds and are structurally
-    one-way in a healthy suite (the other side is a non-matching
-    exception class or a context manager that suppresses). coverage.py
-    likewise does not treat them as branches.
+    ``anchor`` is the line the unit reports at (the statement's test
+    line); ``span`` is the set of source lines the condition occupies —
+    bytecode branch sites on those lines belong to this unit, and
+    destinations landing back inside the span are condition-internal
+    (short-circuit clause hops), not outcomes.
     """
-    skip: set[int] = set()
-    instructions = list(dis.get_instructions(code))
-    assertion_offsets = {
-        ins.offset
-        for ins in instructions
-        if ins.opname == "LOAD_ASSERTION_ERROR"
-    }
-    prev = None
-    prev_offset = 0
-    for ins in instructions:
-        if prev in {"CHECK_EXC_MATCH", "WITH_EXCEPT_START"}:
-            skip.add(ins.offset)
-        # ``assert`` compiles to jumps whose failing side raises
-        # AssertionError — either as the fall-through of the final test
-        # or as the jump target of an earlier short-circuit clause
-        # (``assert a and b``). That side is never taken in a healthy
-        # suite (coverage.py setups exclude asserts the same way).
-        if ins.opname == "LOAD_ASSERTION_ERROR":
-            skip.add(prev_offset)
-        if (
-            ins.opcode in dis.hasjabs + dis.hasjrel
-            and ins.argval in assertion_offsets
+
+    __slots__ = ("anchor", "span", "outcomes", "observed", "sites")
+
+    def __init__(self, anchor: int, span: set[int]) -> None:
+        self.anchor = anchor
+        self.span = span
+        # Outcome markers: ("line", n) for a destination line outside
+        # the span, ("offset", qualname, off) for an in-span
+        # destination that is not another branch site (one-line bodies).
+        self.outcomes: set[tuple] = set()
+        self.observed: set[tuple] = set()
+        self.sites: int = 0
+
+
+def _branch_units(source: str, filename: str) -> list[_Unit]:
+    """Statement-level branch units of a file, from the AST."""
+    units: list[_Unit] = []
+    tree = ast.parse(source, filename)
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.If, ast.While)):
+            if _is_type_checking(node.test) or _is_main_guard(node.test):
+                continue
+            test = node.test
+            span = set(
+                range(test.lineno, (test.end_lineno or test.lineno) + 1),
+            )
+            # The `if`/`while` keyword line anchors the unit even when
+            # the test expression starts on a later line.
+            span.add(node.lineno)
+            units.append(_Unit(node.lineno, span))
+        elif isinstance(node, ast.For):
+            it = node.iter
+            span = set(range(it.lineno, (it.end_lineno or it.lineno) + 1))
+            span.add(node.lineno)
+            units.append(_Unit(node.lineno, span))
+        elif isinstance(node, ast.comprehension):
+            it = node.iter
+            span = set(range(it.lineno, (it.end_lineno or it.lineno) + 1))
+            units.append(_Unit(min(span), span))
+    return units
+
+
+def _claim(units: list[_Unit], line: int) -> _Unit | None:
+    """The unit owning ``line`` (smallest span wins for nesting)."""
+    best: _Unit | None = None
+    for unit in units:
+        if line in unit.span and (
+            best is None or len(unit.span) < len(best.span)
         ):
-            skip.add(ins.offset)
-        prev = ins.opname
-        prev_offset = ins.offset
-    return skip
+            best = unit
+    return best
 
 
-def _branch_status_by_file() -> dict[str, dict[int, bool]]:
-    """Per file: {source line of a fired branch site: fully covered?}.
+def _walk_codes(root):  # noqa: ANN001, ANN202
+    stack = [root]
+    while stack:
+        code = stack.pop()
+        yield code
+        for const in code.co_consts:
+            if hasattr(const, "co_code"):
+                stack.append(const)
 
-    A line is fully covered when every fired site on it took both
-    destinations, or when the union of taken destinations across its
-    sites spans >= 2 distinct lines (the two-jump ``while`` pattern).
+
+def _classify(
+    unit: _Unit,
+    qualname: str,
+    tables: tuple[list[int], list[int]],
+    instructions: list,
+    by_offset: dict[int, int],
+    site_offsets: set[int],
+    dst_offset: int,
+) -> tuple | None:
+    """Map a destination offset to an outcome marker (None = internal).
+
+    The destination is walked forward (following unconditional jumps):
+    reaching another branch site of the same unit without leaving the
+    span — a short-circuit clause hop (``if a and b:``) or a loop
+    back-edge re-evaluating the condition — is condition-internal
+    (None); leaving the span identifies the outcome by the line control
+    arrived at. A unit whose outcomes all collapse to one marker (a
+    one-line ``if x: y`` body, a single-line comprehension) is
+    structurally invisible at line level and gets dropped by the
+    caller — the same statements coverage.py's line-arc model cannot
+    see either.
     """
-    per_line: dict[tuple[str, int], list[tuple[int, set[int]]]] = {}
-    plumbing: dict[int, set[int]] = {}
+    visited: set[int] = set()
+    j = by_offset.get(dst_offset)
+    while j is not None and j < len(instructions) and j not in visited:
+        visited.add(j)
+        ins = instructions[j]
+        line = _line_at(tables, ins.offset)
+        if line is None or line not in unit.span:
+            # The walk left the condition region: the outcome is the
+            # line control arrived at (so a `while` bottom-test's
+            # continue-jump and the top-test's body entry identify the
+            # SAME outcome — coverage.py's line-arc equivalence).
+            return ("line", line)
+        if ins.offset in site_offsets:
+            return None
+        if ins.opname in (
+            "JUMP_BACKWARD",
+            "JUMP_BACKWARD_NO_INTERRUPT",
+            "JUMP_FORWARD",
+        ):
+            j = by_offset.get(ins.argval)
+            continue
+        if ins.opname in (
+            "RETURN_VALUE",
+            "RETURN_CONST",
+            "RAISE_VARARGS",
+            "RERAISE",
+        ):
+            # An in-span terminal (`while x: ... return` one-liners):
+            # a distinct outcome, identified by where it terminates.
+            return ("offset", qualname, ins.offset)
+        j += 1
+    return ("offset", qualname, dst_offset)
+
+
+def _static_branch_model(
+    path: Path,
+) -> tuple[list[_Unit], dict[tuple[str, int, int], _Unit]]:
+    """Branch units of a file plus a (qualname, firstlineno, offset) ->
+    unit index for matching runtime events.
+
+    Outcome sets are derived from the compiled bytecode: for every
+    BRANCH-firing instruction claimed by a unit, the fall-through and
+    jump-target destinations are classified against the unit's span.
+    Units that end up with fewer than two distinct outcomes are
+    structurally unobservable (e.g. optimized-away constant tests) and
+    are dropped.
+    """
+    source = path.read_text(encoding="utf-8")
+    units = _branch_units(source, str(path))
+    site_map: dict[tuple[str, int, int], _Unit] = {}
+    if not units:
+        return [], {}
+    root = compile(source, str(path), "exec")
+    for code in _walk_codes(root):
+        tables = _line_table(code)
+        instructions = list(dis.get_instructions(code))
+        by_offset = {ins.offset: i for i, ins in enumerate(instructions)}
+        # First pass: which offsets are unit-claimed branch sites.
+        claimed: dict[int, _Unit] = {}
+        for ins in instructions:
+            if ins.opname not in _BRANCH_OPS:
+                continue
+            src_line = _line_at(tables, ins.offset)
+            if src_line is None:
+                continue
+            unit = _claim(units, src_line)
+            if unit is not None:
+                claimed[ins.offset] = unit
+        # Second pass: classify each claimed site's two destinations.
+        for ins in instructions:
+            unit = claimed.get(ins.offset)
+            if unit is None:
+                continue
+            fall = instructions[by_offset[ins.offset] + 1].offset
+            target = ins.argval
+            if ins.opname == "FOR_ITER":
+                # The exhaustion event reports the instruction AFTER
+                # the END_FOR the jump formally targets.
+                t_idx = by_offset.get(target)
+                if (
+                    t_idx is not None
+                    and instructions[t_idx].opname == "END_FOR"
+                    and t_idx + 1 < len(instructions)
+                ):
+                    target = instructions[t_idx + 1].offset
+            unit_sites = {
+                off for off, u in claimed.items() if u is unit
+            }
+            unit.sites += 1
+            key_base = (code.co_qualname, code.co_firstlineno)
+            for dst in (fall, target):
+                marker = _classify(
+                    unit, code.co_qualname, tables, instructions,
+                    by_offset, unit_sites, dst,
+                )
+                if marker is not None:
+                    unit.outcomes.add(marker)
+            site_map[(*key_base, ins.offset)] = unit
+    live = [u for u in units if len(u.outcomes) >= 2]  # noqa: PLR2004
+    site_map = {k: u for k, u in site_map.items() if len(u.outcomes) >= 2}
+    return live, site_map
+
+
+def _apply_runtime_arcs(
+    models: dict[str, tuple[list[_Unit], dict]],
+) -> None:
+    """Fold the recorded runtime arcs into each file's branch units."""
+    # Per-unit site-offset sets and per-code line tables, built once —
+    # the arc map can hold tens of thousands of sites.
+    unit_sites: dict[int, dict[tuple[str, int], set[int]]] = {}
+    for model in models.values():
+        for (qual, first, off), unit in model[1].items():
+            unit_sites.setdefault(id(unit), {}).setdefault(
+                (qual, first), set(),
+            ).add(off)
+    tables_cache: dict[int, tuple[list[int], list[int]]] = {}
+    ins_cache: dict[int, tuple[list, dict[int, int]]] = {}
     for (cid, src_offset), dsts in _arcs.items():
         code = _codes[cid]
-        if cid not in plumbing:
-            plumbing[cid] = _interpreter_branch_offsets(code)
-        if src_offset in plumbing[cid]:
+        filename = code.co_filename  # type: ignore[attr-defined]
+        model = models.get(filename)
+        if model is None:
             continue
-        src_line = _offset_to_line(cid, src_offset)
-        if src_line is None:
+        _units, site_map = model
+        key_base = (
+            code.co_qualname,  # type: ignore[attr-defined]
+            code.co_firstlineno,  # type: ignore[attr-defined]
+        )
+        unit = site_map.get((*key_base, src_offset))
+        if unit is None:
             continue
-        dst_lines = {
-            ln
-            for d in dsts
-            if (ln := _offset_to_line(cid, d)) is not None
-        }
-        per_line.setdefault(
-            (code.co_filename, src_line), [],  # type: ignore[attr-defined]
-        ).append((len(dsts), dst_lines))
-
-    import os
-
-    debug = os.environ.get("STV_COV_DEBUG", "")
-    result: dict[str, dict[int, bool]] = {}
-    for (filename, line), sites in per_line.items():
-        all_two = all(n >= 2 for n, _ in sites)
-        union: set[int] = set()
-        for _, dst_lines in sites:
-            union |= dst_lines
-        covered = all_two or len(union) >= 2
-        if debug and debug in f"{filename}:{line}":
-            print(
-                f"[cov-debug] {filename}:{line} sites={sites} "
-                f"union={sorted(union)} covered={covered}",
+        if cid not in tables_cache:
+            tables_cache[cid] = _line_table(code)
+            instructions = list(dis.get_instructions(code))
+            ins_cache[cid] = (
+                instructions,
+                {ins.offset: i for i, ins in enumerate(instructions)},
             )
-        result.setdefault(filename, {})[line] = covered
-    return result
+        tables = tables_cache[cid]
+        instructions, by_offset = ins_cache[cid]
+        site_offsets = unit_sites[id(unit)].get(key_base, set())
+        for dst in dsts:
+            marker = _classify(
+                unit,
+                code.co_qualname,  # type: ignore[attr-defined]
+                tables, instructions, by_offset, site_offsets, dst,
+            )
+            if marker is not None:
+                unit.observed.add(marker)
 
 
 def _no_branch_lines(source: str) -> set[int]:
@@ -302,6 +478,36 @@ def _ranges(lines: list[int]) -> str:
     return ",".join(parts)
 
 
+def _parse_fail_under(argv: list[str]) -> tuple[float | None, float | None, list[str]]:
+    """Extract --fail-under-lines/--fail-under-branch with usage errors.
+
+    A flag without a value, or with a non-numeric value, exits with a
+    usage message (exit 2) instead of a bare traceback.
+    """
+    fail_lines: float | None = None
+    fail_branch: float | None = None
+    kept: list[str] = []
+    it = iter(argv)
+    for arg in it:
+        if arg in ("--fail-under-lines", "--fail-under-branch"):
+            try:
+                value = float(next(it))
+            except (StopIteration, ValueError):
+                print(
+                    f"usage: {arg} requires a numeric percentage "
+                    f"(e.g. {arg} 100)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2) from None
+            if arg == "--fail-under-lines":
+                fail_lines = value
+            else:
+                fail_branch = value
+        else:
+            kept.append(arg)
+    return fail_lines, fail_branch, kept
+
+
 def main(argv: list[str]) -> int:
     # `python -m pytest` puts the cwd on sys.path; running via this
     # script puts tools/ there instead, breaking `from tests...`
@@ -312,18 +518,14 @@ def main(argv: list[str]) -> int:
     if "--no-branch" in argv:
         argv = [a for a in argv if a != "--no-branch"]
         branch = False
-    fail_under_lines: float | None = None
-    fail_under_branch: float | None = None
-    kept: list[str] = []
-    it = iter(argv)
-    for arg in it:
-        if arg == "--fail-under-lines":
-            fail_under_lines = float(next(it))
-        elif arg == "--fail-under-branch":
-            fail_under_branch = float(next(it))
-        else:
-            kept.append(arg)
-    argv = kept
+    fail_under_lines, fail_under_branch, argv = _parse_fail_under(argv)
+    if fail_under_branch is not None and not branch:
+        print(
+            "usage: --fail-under-branch cannot be combined with "
+            "--no-branch (no branch data is collected)",
+            file=sys.stderr,
+        )
+        return 2
     sys.monitoring.use_tool_id(TOOL_ID, "line_coverage")
     sys.monitoring.register_callback(
         TOOL_ID, sys.monitoring.events.LINE, _on_line,
@@ -343,7 +545,11 @@ def main(argv: list[str]) -> int:
     sys.monitoring.set_events(TOOL_ID, 0)
     sys.monitoring.free_tool_id(TOOL_ID)
 
-    branch_status = _branch_status_by_file() if branch else {}
+    models: dict[str, tuple[list[_Unit], dict]] = {}
+    if branch:
+        for path in sorted(PACKAGE_DIR.rglob("*.py")):
+            models[str(path)] = _static_branch_model(path)
+        _apply_runtime_arcs(models)
 
     rows = []
     total_exec = total_hit = 0
@@ -366,15 +572,19 @@ def main(argv: list[str]) -> int:
         }
         if branch:
             exempt = _no_branch_lines(source)
-            sites = {
-                line: ok
-                for line, ok in branch_status.get(str(path), {}).items()
-                if line in executable and line not in exempt
-            }
-            partial = sorted(ln for ln, ok in sites.items() if not ok)
-            total_br += len(sites)
-            total_br_hit += len(sites) - len(partial)
-            row["branches"] = len(sites)
+            units = [
+                u
+                for u in models[str(path)][0]
+                if u.anchor in executable and u.anchor not in exempt
+            ]
+            partial = sorted(
+                u.anchor
+                for u in units
+                if not u.outcomes <= u.observed
+            )
+            total_br += len(units)
+            total_br_hit += len(units) - len(partial)
+            row["branches"] = len(units)
             row["partial"] = _ranges(partial)
         rows.append(row)
 
@@ -392,33 +602,34 @@ def main(argv: list[str]) -> int:
         if branch:
             line += f"  {r['partial']}"
         print(line)
-    overall = round(100 * total_hit / total_exec, 2) if total_exec else 0.0
-    print(f"\nTOTAL {total_hit}/{total_exec} lines = {overall}%")
-    report: dict = {"total_pct": overall, "files": rows}
+    overall = 100 * total_hit / total_exec if total_exec else 0.0
+    print(f"\nTOTAL {total_hit}/{total_exec} lines = {round(overall, 2)}%")
+    report: dict = {"total_pct": round(overall, 2), "files": rows}
     if branch:
-        br_overall = (
-            round(100 * total_br_hit / total_br, 2) if total_br else 0.0
-        )
+        br_overall = 100 * total_br_hit / total_br if total_br else 0.0
         print(
-            f"BRANCH {total_br_hit}/{total_br} fired "
-            f"branch lines fully covered = {br_overall}%",
+            f"BRANCH {total_br_hit}/{total_br} branch units fully "
+            f"covered = {round(br_overall, 2)}%",
         )
-        report["branch_pct"] = br_overall
+        report["branch_pct"] = round(br_overall, 2)
+        report["branch_units"] = total_br
+        report["branch_units_covered"] = total_br_hit
     out = REPO_ROOT / "line_coverage.json"
     out.write_text(json.dumps(report, indent=1))
     print(f"(report written to {out})")
+    # Compare unrounded ratios against the bar (coverage.py never
+    # rounds a just-under value up across the threshold).
     if fail_under_lines is not None and overall < fail_under_lines:
         print(
-            f"FAIL: line coverage {overall}% is under the "
+            f"FAIL: line coverage {round(overall, 2)}% is under the "
             f"{fail_under_lines}% bar",
         )
         rc = rc or 2
     if branch and fail_under_branch is not None:
-        br = report["branch_pct"]
-        if br < fail_under_branch:
+        if br_overall < fail_under_branch:
             print(
-                f"FAIL: branch coverage {br}% is under the "
-                f"{fail_under_branch}% bar",
+                f"FAIL: branch coverage {round(br_overall, 2)}% is under "
+                f"the {fail_under_branch}% bar",
             )
             rc = rc or 2
     return int(rc)
