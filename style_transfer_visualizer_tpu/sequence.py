@@ -194,9 +194,12 @@ def spatial_frame_targets(
 class SequenceResult(NamedTuple):
     """Outcome of a sequence run.
 
-    ``frame_seconds[i]`` is frame i's wall time (load -> targets ->
-    optimize -> save); frame 0 additionally pays the one-time compile,
-    so steady-state throughput is ``frame_seconds[1:]``.
+    ``frame_seconds[i]`` is frame i's critical-path wall time (decode
+    wait -> targets -> optimize -> PNG handoff); decodes of frame i+1
+    and PNG encodes of frame i overlap the device work on worker
+    threads, so they appear here only when they outrun the optimizer.
+    Frame 0 additionally pays the one-time compile, so steady-state
+    throughput is ``frame_seconds[1:]``.
     ``frame_losses[i]`` is frame i's final total loss — warm-started
     frames (1..) end lower than frame 0 at equal budgets.
     """
@@ -636,6 +639,8 @@ def _stylize_frames(
     extracted shard-locally and the working image rides row-sharded
     through the warm-start chain.
     """
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     opt_cfg = config.optimization
     keep_luminance = opt_cfg.preserve_color == "luminance"
     prec = resolve_precision(config.hardware.precision)
@@ -646,121 +651,153 @@ def _stylize_frames(
     frame_losses: list[float] = []
     total_steps = 0
     x = None
-    for i, frame_path in enumerate(frames):
-        frame_start = time.perf_counter()
-        if i == 0:
-            content_host = first_host
-            content = first_content
-        else:
-            content_host = (
-                stv_image_io.load_image_to_host_array(frame_path)
-                if keep_luminance
-                else None
-            )
-            content = (
-                stv_image_io.host_array_to_device(
+    # Host-work pipelining: while frame k optimizes on the device, a
+    # worker thread decodes frame k+1 (PIL) and another encodes frame
+    # k-1's PNG — the framework's own async-boundary rule (the
+    # media/stream.py pattern) applied to the per-frame loop, so the
+    # only serial host work between two frames' device dispatches is a
+    # cheap host->device transfer. Failed saves re-raise at the join
+    # below, before any caller consumes the output files.
+    pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="stv-seq")
+    next_decode = None
+    pending_saves: list = []
+    try:
+        for i, frame_path in enumerate(frames):
+            frame_start = time.perf_counter()
+            if i + 1 < len(frames):
+                prefetch = pool.submit(
+                    stv_image_io.load_image_to_host_array, frames[i + 1],
+                )
+            else:
+                prefetch = None
+            if i == 0:
+                content_host = first_host
+                content = first_content
+            else:
+                content_host = (
+                    next_decode.result()
+                    if next_decode is not None
+                    else stv_image_io.load_image_to_host_array(frame_path)
+                )
+                content = stv_image_io.host_array_to_device(
                     content_host, normalize=opt_cfg.normalize,
                 )
-                if content_host is not None
-                else stv_image_io.load_image_to_array(
-                    frame_path, normalize=opt_cfg.normalize,
+            next_decode = prefetch
+            if content.shape != first_content.shape:
+                msg = (
+                    f"Frame {frame_path.name} has shape {content.shape};"
+                    f" all frames must match the first "
+                    f"({first_content.shape})"
                 )
-            )
-        if content.shape != first_content.shape:
-            msg = (
-                f"Frame {frame_path.name} has shape {content.shape}; all "
-                f"frames must match the first ({first_content.shape})"
-            )
-            raise ValueError(msg)
-        if spatial is not None:
-            # Shard-local extraction for every frame (frame 0 included:
-            # base_targets carries Grams only on sharded runs); the
-            # sharded loss owns the TV/lap terms, so no tuple-wrapping.
-            targets = spatial_frame_targets(
-                spatial, params, content, base_targets.style_grams,
-                config,
-            )
-        else:
-            targets = (
-                base_targets
-                if i == 0
-                else Targets(
-                    style_grams=base_targets.style_grams,
-                    content_feats=compute_content_targets(
-                        params, content, content_layers, prec,
-                    ),
-                )
-            )
-            if opt_cfg.lap_w:
-                from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
-                    lap_response,
-                )
-
-                # Each frame pins edges to its OWN source frame.
-                targets = (
-                    targets, lap_response(content, opt_cfg.lap_pool),
-                )
-        if x is None:
-            # Frame 0 is the clip's only cold start; later frames warm
-            # from the previous result, which dominates any coarse
-            # phase. --coarse-steps therefore applies to frame 0 only.
-            from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
-                coarse_init,
-                resolve_coarse_steps,
-            )
-
-            opt_cfg.coarse_steps = resolve_coarse_steps(
-                opt_cfg.coarse_steps,
-                int(content.shape[1]), int(content.shape[2]),
-                opt_cfg.steps,
-            )
-            if opt_cfg.coarse_steps > 0:
-                x = coarse_init(
-                    params, content, style_img, config, key,
-                    blend_imgs=blend_imgs,
-                )
-            if x is None:
-                x = initialize_input(content, opt_cfg.init_method, key)
+                raise ValueError(msg)
             if spatial is not None:
-                # The coarse phase (if any) ran unsharded at reduced
-                # resolution; the full-res working image rows shard
-                # from the first step (the update's shard_map keeps
-                # the layout across the warm-start chain).
-                x = jax.device_put(x, spatial.row_sharding)
-        # else: warm start — keep x from the previous stylized frame.
+                # Shard-local extraction for every frame (frame 0
+                # included: base_targets carries Grams only on sharded
+                # runs); the sharded loss owns the TV/lap terms, so no
+                # tuple-wrapping.
+                targets = spatial_frame_targets(
+                    spatial, params, content, base_targets.style_grams,
+                    config,
+                )
+            else:
+                targets = (
+                    base_targets
+                    if i == 0
+                    else Targets(
+                        style_grams=base_targets.style_grams,
+                        content_feats=compute_content_targets(
+                            params, content, content_layers, prec,
+                        ),
+                    )
+                )
+                if opt_cfg.lap_w:
+                    from style_transfer_visualizer_tpu.ops.lap import (  # noqa: PLC0415
+                        lap_response,
+                    )
 
-        # No per-step host work happens inside a frame's budget, so the
-        # whole budget fuses into as few dispatches as possible (the
-        # chunk cap bounds executable compile time).
-        state = init_state()
-        x, state, auxes = drive_chunked(
-            lambda img, st, k: update_many(img, st, run_params, targets, k),
-            x, state, opt_cfg.steps,
-            min(opt_cfg.steps, _SEQUENCE_MAX_CHUNK),
-        )
-        aux = jax.tree.map(lambda a: a[-1], auxes)
-        total_steps += opt_cfg.steps
+                    # Each frame pins edges to its OWN source frame.
+                    targets = (
+                        targets, lap_response(content, opt_cfg.lap_pool),
+                    )
+            if x is None:
+                # Frame 0 is the clip's only cold start; later frames
+                # warm from the previous result, which dominates any
+                # coarse phase. --coarse-steps applies to frame 0 only.
+                from style_transfer_visualizer_tpu.engine.coarse import (  # noqa: PLC0415
+                    coarse_init,
+                    resolve_coarse_steps,
+                )
 
-        out_path = output_dir / f"stylized_{frame_path.stem}.png"
-        prepared = stv_image_io.prepare_image_for_output(
-            x, normalize=opt_cfg.normalize,
-        )
-        if keep_luminance and content_host is not None:
-            from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
-                luminance_transfer,
+                opt_cfg.coarse_steps = resolve_coarse_steps(
+                    opt_cfg.coarse_steps,
+                    int(content.shape[1]), int(content.shape[2]),
+                    opt_cfg.steps,
+                )
+                if opt_cfg.coarse_steps > 0:
+                    x = coarse_init(
+                        params, content, style_img, config, key,
+                        blend_imgs=blend_imgs,
+                    )
+                if x is None:
+                    x = initialize_input(
+                        content, opt_cfg.init_method, key,
+                    )
+                if spatial is not None:
+                    # The coarse phase (if any) ran unsharded at
+                    # reduced resolution; the full-res working image
+                    # rows shard from the first step (the update's
+                    # shard_map keeps the layout across the chain).
+                    x = jax.device_put(x, spatial.row_sharding)
+            # else: warm start — keep x from the previous frame.
+
+            # No per-step host work happens inside a frame's budget,
+            # so the whole budget fuses into as few dispatches as
+            # possible (the chunk cap bounds executable compile time).
+            state = init_state()
+            x, state, auxes = drive_chunked(
+                lambda img, st, k: update_many(
+                    img, st, run_params, targets, k,  # noqa: B023
+                ),
+                x, state, opt_cfg.steps,
+                min(opt_cfg.steps, _SEQUENCE_MAX_CHUNK),
             )
+            aux = jax.tree.map(lambda a: a[-1], auxes)
+            total_steps += opt_cfg.steps
 
-            prepared = luminance_transfer(
-                prepared, jnp.asarray(content_host),
+            out_path = output_dir / f"stylized_{frame_path.stem}.png"
+            prepared = stv_image_io.prepare_image_for_output(
+                x, normalize=opt_cfg.normalize,
             )
-        stv_image_io.save_array_as_image(prepared, out_path)
-        outputs.append(out_path)
-        frame_seconds.append(time.perf_counter() - frame_start)
-        frame_losses.append(float(aux.loss))
-        logger.info(
-            "Frame %d/%d stylized (loss %.4g, %.2fs): %s",
-            i + 1, len(frames), frame_losses[-1], frame_seconds[-1],
-            out_path,
-        )
+            if keep_luminance and content_host is not None:
+                from style_transfer_visualizer_tpu.ops.color import (  # noqa: PLC0415
+                    luminance_transfer,
+                )
+
+                prepared = luminance_transfer(
+                    prepared, jnp.asarray(content_host),
+                )
+            # PNG encode rides the worker thread; the device->host
+            # fetch happens there too (np.asarray inside the saver),
+            # off frame k+1's critical path.
+            pending_saves.append(
+                pool.submit(
+                    stv_image_io.save_array_as_image, prepared, out_path,
+                ),
+            )
+            outputs.append(out_path)
+            # The loss sync blocks on this frame's device work, so the
+            # recorded frame time is the honest critical path — without
+            # it the async dispatch queue would make frames look free.
+            frame_losses.append(float(aux.loss))
+            frame_seconds.append(time.perf_counter() - frame_start)
+            logger.info(
+                "Frame %d/%d stylized (loss %.4g, %.2fs): %s",
+                i + 1, len(frames), frame_losses[-1], frame_seconds[-1],
+                out_path,
+            )
+        for save in pending_saves:
+            save.result()  # surface encode errors before callers read
+    finally:
+        pool.shutdown(wait=True)
 
     return outputs, frame_seconds, frame_losses, total_steps
