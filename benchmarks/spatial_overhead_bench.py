@@ -113,9 +113,14 @@ def main() -> None:
             style_grams=sh_targets.style_grams,
             content_feats=sh_targets.content_feats,
         )
+        from style_transfer_visualizer_tpu.engine.step import (
+            resolve_precision,
+        )
+
         loss_fn = make_spatial_loss(
             mesh, shape, style_w=1e5, content_w=1.0,
             style_layers=STYLE_LAYERS, content_layers=CONTENT_LAYERS,
+            precision=resolve_precision(args.precision),
         )
         sharded = build_update_step(
             params, merged, shape,

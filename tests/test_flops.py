@@ -39,6 +39,14 @@ class TestConvFlops:
         assert pools_before_in(LAYER_TABLE, 5) == 1
         assert block2_only == 2 * 32 * 32 * 9 * 64 * 128
 
+    def test_max_tap_beyond_table_sweeps_everything(self) -> None:
+        """A max_tap past the last layer counts every conv (and the
+        sweep loop exhausts rather than breaking early)."""
+        last = len(LAYER_TABLE) - 1
+        assert conv_flops(LAYER_TABLE, 64, 64, last) > conv_flops(
+            LAYER_TABLE, 64, 64, 28,
+        )
+
     def test_independent_sweep_matches(self) -> None:
         """An independently written sweep reproduces the model."""
         expected = 0
