@@ -674,11 +674,9 @@ def _stylize_frames(
                 content_host = first_host
                 content = first_content
             else:
-                content_host = (
-                    next_decode.result()
-                    if next_decode is not None
-                    else stv_image_io.load_image_to_host_array(frame_path)
-                )
+                # Every frame past 0 was prefetched by the previous
+                # iteration (the submit above covers i+1 < len).
+                content_host = next_decode.result()
                 content = stv_image_io.host_array_to_device(
                     content_host, normalize=opt_cfg.normalize,
                 )

@@ -1200,3 +1200,50 @@ def test_dp_sp_lbfgs_bf16_history_ring(tiny_params) -> None:
             first = np.asarray(aux.loss)
     assert np.all(np.isfinite(np.asarray(aux.loss)))
     assert np.all(np.asarray(aux.loss) < first)
+
+
+class TestMultiStyleLoopWithoutIntroAssets:
+    def test_loop_runs_with_no_content_or_style_paths(
+        self, tmp_path, make_style_transfer_config,
+    ) -> None:
+        """_run_multi_style_loop's intro block is gated on the caller
+        providing intro assets; the None-default path (no gallery
+        intro possible) must run the loop cleanly."""
+        import jax
+
+        import style_transfer_visualizer_tpu.main as stv_main
+        from style_transfer_visualizer_tpu.models import vgg19
+        from style_transfer_visualizer_tpu.parallel.mesh import create_mesh
+        from style_transfer_visualizer_tpu.parallel.multistyle import (
+            build_multi_style_update,
+            initialize_multi_inputs,
+            multi_style_targets,
+        )
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        mesh = create_mesh(
+            n_style=2, n_space=1, devices=jax.devices()[:2],
+        )
+        content = jax.random.uniform(
+            jax.random.key(1), (1, 32, 32, 3),
+        )
+        targets = multi_style_targets(
+            params, content, [content, content * 0.5], (0,), (2,),
+        )
+        bundle = build_multi_style_update(
+            mesh, params, targets, (1, 32, 32, 3), 2,
+            optimizer="adam", lr=0.1,
+            style_layers=(0,), content_layers=(2,),
+        )
+        cfg = make_style_transfer_config(
+            optimization={"steps": 1},
+            video={"create_video": False, "create_gif": False},
+        )
+        images = initialize_multi_inputs(
+            content, "content", jax.random.key(2), 2,
+        )
+        out, _state, errors = stv_main._run_multi_style_loop(
+            bundle, images, bundle.opt_state, cfg, tmp_path, ["a", "b"],
+        )
+        assert errors == []
+        assert out.shape == (2, 1, 32, 32, 3)

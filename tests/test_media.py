@@ -833,3 +833,15 @@ class TestModeHeuristicSecondClauses:
             cfg, frame_size=(640, 480), total_steps=1000,
         )
         assert (mode, reason, frames) == ("realtime", None, 100)
+
+
+class TestResolveWriterDimensionsFallback:
+    def test_nonpositive_writer_size_falls_back_to_frame(self) -> None:
+        """A writer advertising degenerate dims (0x0) must not zero the
+        outro canvas; the last frame's own shape wins."""
+        sink = MemorySink()
+        sink._size = (0, 0)
+        last = np.full((80, 96, 3), 90, np.uint8)
+        last_rgb, w, h = segments.resolve_writer_dimensions(sink, last)
+        assert (w, h) == (96, 80)
+        np.testing.assert_array_equal(last_rgb, last)

@@ -322,15 +322,16 @@ def _classify(
         ):
             j = by_offset.get(ins.argval)
             continue
-        if ins.opname in (
-            "RETURN_VALUE",
-            "RETURN_CONST",
-            "RAISE_VARARGS",
-            "RERAISE",
-        ):
-            # An in-span terminal (`while x: ... return` one-liners):
-            # a distinct outcome, identified by where it terminates.
-            return ("offset", qualname, ins.offset)
+        if ins.opname in ("RETURN_VALUE", "RETURN_CONST", "RAISE_VARARGS"):
+            # In-span function exit (a trailing `if a and b:` emits one
+            # RETURN_CONST copy per short-circuit clause): ONE merged
+            # outcome per unit — coverage.py's single exit pseudo-arc.
+            return ("exit", qualname)
+        if ins.opname == "RERAISE":
+            # The compiler's duplicated finally/cleanup copy re-raising
+            # an in-flight exception: unwind plumbing, not an outcome
+            # (coverage.py does not track unwind arcs either).
+            return None
         j += 1
     return ("offset", qualname, dst_offset)
 
