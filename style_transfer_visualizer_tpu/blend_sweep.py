@@ -222,7 +222,6 @@ def _sweep_on_device(
     _, update_many, init_state, run_params = build_targets_update(
         params, tuple(content_img.shape), config,
         loss_fn=spatial.loss_fn if spatial is not None else None,
-        flip_kernels=spatial is None,
     )
 
     x: jax.Array | None = None

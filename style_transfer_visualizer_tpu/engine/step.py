@@ -217,11 +217,12 @@ def build_update_step(
         raise ValueError(msg)
     if not use_lap:
         lap_target = None
-    if conv_backend != "pallas" and loss_fn is None:
+    if conv_backend != "pallas":
         # Ship pre-flipped kernels so the conv backward runs as a plain
         # forward conv (ops/frozen_conv.py; ~4% off the step on TPU).
-        # Custom loss_fns (the mesh-sharded spatial loss) use their own
-        # conv path and would only replicate unused weight copies.
+        # Custom loss_fns benefit too: the mesh-sharded spatial loss
+        # routes its halo convs through the same frozen-backward form
+        # when the flipped copies are present (_halo_conv_frozen).
         params = vgg19_add_flipped(params)
     n = 1
     for dim in image_shape:

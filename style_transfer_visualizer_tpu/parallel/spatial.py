@@ -41,6 +41,7 @@ from style_transfer_visualizer_tpu.models.vgg19 import LAYER_TABLE
 from style_transfer_visualizer_tpu.ops.pool import maxpool_2x2, relu
 from style_transfer_visualizer_tpu.ops.precision import (
     PrecisionLike,
+    conv_bwd_precision,
     conv_precision,
     gram_precision,
 )
@@ -103,14 +104,13 @@ def _exchange_halos(x: jax.Array, axis_name: str) -> jax.Array:
     return jnp.concatenate([top_halo, x, bottom_halo], axis=1)
 
 
-def _sharded_conv(
+def _halo_conv(
     x: jax.Array,
     w: jax.Array,
-    b: jax.Array,
     axis_name: str,
     precision: PrecisionLike,
 ) -> jax.Array:
-    """3x3 stride-1 SAME conv over row-sharded activations."""
+    """Row-sharded global SAME conv: halo exchange + VALID-in-H conv."""
     padded = _exchange_halos(x, axis_name)
     return jax.lax.conv_general_dilated(
         padded,
@@ -119,7 +119,73 @@ def _sharded_conv(
         padding=((0, 0), (1, 1)),  # H handled by halos, W by zero pad
         dimension_numbers=_CONV_DIMS,
         precision=precision,
-    ) + b
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _halo_conv_frozen(
+    x: jax.Array,
+    w: jax.Array,
+    w_flip: jax.Array,
+    axis_name: str,
+    precision,
+    bwd_precision,
+) -> jax.Array:
+    """Sharded SAME conv whose backward is the SAME sharded conv.
+
+    The composite op (halo exchange + VALID conv) computes row shards
+    of the GLOBAL stride-1 SAME convolution, and the adjoint of a
+    global SAME conv is a global SAME conv with the rot180 +
+    I/O-transposed kernel — so the input gradient is one more
+    :func:`_halo_conv` with ``w_flip``, instead of XLA's transposed-
+    conv machinery plus the concat/ppermute transpose chain (the same
+    frozen-backbone trick as ``ops.frozen_conv``, measured ~45% slower
+    backward convs without it). Weight cotangents are zeros — the
+    backbone is frozen; only pixels are ever differentiated.
+    """
+    return _halo_conv(x, w, axis_name, precision)
+
+
+def _halo_frozen_fwd(x, w, w_flip, axis_name, precision, bwd_precision):
+    return _halo_conv(x, w, axis_name, precision), w_flip
+
+
+def _halo_frozen_bwd(axis_name, precision, bwd_precision, w_flip, g):
+    kh, kw, c_out, c_in = w_flip.shape
+    return (
+        _halo_conv(g, w_flip, axis_name, bwd_precision),
+        jnp.zeros((kh, kw, c_in, c_out), g.dtype),
+        jnp.zeros_like(w_flip),
+    )
+
+
+_halo_conv_frozen.defvjp(_halo_frozen_fwd, _halo_frozen_bwd)
+
+
+def _sharded_conv(
+    x: jax.Array,
+    layer: dict[str, jax.Array],
+    idx: int,
+    axis_name: str,
+    precision: PrecisionLike,
+) -> jax.Array:
+    """3x3 stride-1 SAME conv over row-sharded activations.
+
+    With a pre-flipped kernel in the layer (``models.vgg19.
+    add_flipped_kernels``) the backward runs as one more halo conv
+    (:func:`_halo_conv_frozen`); otherwise plain autodiff applies (the
+    target-computation paths never differentiate).
+    """
+    w_flip = layer.get("w_flip")
+    if w_flip is not None:
+        return _halo_conv_frozen(
+            x, layer["w"], w_flip, axis_name,
+            conv_precision(precision, idx),
+            conv_bwd_precision(precision, idx),
+        ) + layer["b"]
+    return _halo_conv(
+        x, layer["w"], axis_name, conv_precision(precision, idx),
+    ) + layer["b"]
 
 
 def sharded_extract_features(
@@ -140,10 +206,8 @@ def sharded_extract_features(
     # Breaks at max(taps), never exhausts the table:
     for idx, (kind, _, _) in enumerate(table):  # pragma: no branch
         if kind == CONV:
-            layer = params[idx]
             x = _sharded_conv(
-                x, layer["w"], layer["b"], axis_name,
-                conv_precision(precision, idx),
+                x, params[idx], idx, axis_name, precision,
             )
         elif kind == RELU:
             x = relu(x)
@@ -726,7 +790,13 @@ def build_dp_sp_update(
     from style_transfer_visualizer_tpu.models.features import (  # noqa: PLC0415
         Targets,
     )
+    from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
+        add_flipped_kernels,
+    )
 
+    # Pre-flipped kernels route every shard's conv backward through
+    # the forward-conv form (_halo_conv_frozen).
+    params = add_flipped_kernels(params)
     n_space = mesh.shape[MESH_AXIS_SPACE]
     validate_shard_divisibility(
         int(image_shape[1]),

@@ -250,8 +250,6 @@ def build_targets_update(
     image_shape: tuple[int, ...],
     cfg: StyleTransferConfig,
     loss_fn=None,
-    *,
-    flip_kernels: bool = True,
 ):
     """Jitted ``(x, opt_state, targets) -> (x, opt_state, aux)``.
 
@@ -272,16 +270,14 @@ def build_targets_update(
     source (ops/lap.py).
     """
     opt_cfg = cfg.optimization
-    if flip_kernels:
-        # Pre-flipped kernels make the conv backward a plain forward
-        # conv (ops/frozen_conv.py). The mesh-sharded spatial loss uses
-        # its own halo-exchange conv path and would only replicate
-        # unused weight copies — its callers pass flip_kernels=False.
-        from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
-            add_flipped_kernels,
-        )
+    # Pre-flipped kernels make the conv backward a plain forward conv —
+    # in the whole-image sweep (ops/frozen_conv.py) AND in the
+    # mesh-sharded loss's halo convs (_halo_conv_frozen).
+    from style_transfer_visualizer_tpu.models.vgg19 import (  # noqa: PLC0415
+        add_flipped_kernels,
+    )
 
-        params = add_flipped_kernels(params)
+    params = add_flipped_kernels(params)
     prec = resolve_precision(cfg.hardware.precision)
     style_layers = tuple(opt_cfg.style_layers)
     content_layers = tuple(opt_cfg.content_layers)
@@ -556,7 +552,6 @@ def stylize_sequence(
     update, update_many, init_state, run_params = build_targets_update(
         params, tuple(first_content.shape), config,
         loss_fn=spatial.loss_fn if spatial is not None else None,
-        flip_kernels=spatial is None,
     )
 
     # Style grams are constant for the whole clip: extract them once and
