@@ -1247,3 +1247,47 @@ class TestMultiStyleLoopWithoutIntroAssets:
         )
         assert errors == []
         assert out.shape == (2, 1, 32, 32, 3)
+
+
+class TestFrozenHaloConvForward:
+    def test_flipped_params_do_not_change_the_forward(self) -> None:
+        """sharded_extract_features with pre-flipped kernels routes
+        through the frozen-backward halo conv; outside differentiation
+        its primal must equal the plain halo-conv sweep exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from style_transfer_visualizer_tpu.models import vgg19
+        from style_transfer_visualizer_tpu.models.vgg19 import (
+            add_flipped_kernels,
+        )
+        from style_transfer_visualizer_tpu.parallel.mesh import create_mesh
+        from style_transfer_visualizer_tpu.parallel.spatial import (
+            sharded_extract_features,
+        )
+
+        params = vgg19.init_random_params(jax.random.key(0))
+        mesh = create_mesh(
+            n_style=1, n_space=2, devices=jax.devices()[:2],
+        )
+        x = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3))
+
+        def extract(p):
+            mapped = jax.shard_map(
+                lambda p_, x_: sharded_extract_features(p_, x_, (0, 5)),
+                mesh=mesh,
+                in_specs=(
+                    jax.sharding.PartitionSpec(),
+                    jax.sharding.PartitionSpec(None, "space", None, None),
+                ),
+                out_specs={
+                    0: jax.sharding.PartitionSpec(None, "space", None, None),
+                    5: jax.sharding.PartitionSpec(None, "space", None, None),
+                },
+            )
+            return mapped(p, x)
+
+        plain = extract(params)
+        frozen = extract(add_flipped_kernels(params))
+        for idx in (0, 5):
+            assert jnp.array_equal(plain[idx], frozen[idx])
