@@ -240,3 +240,30 @@ def test_conv_tap_blocks_fusion_and_matches_xla() -> None:
     )
     # Pre-ReLU conv output: negatives must survive.
     assert float(np.asarray(got[0]).min()) < 0
+
+
+def test_build_update_step_with_pallas_conv_backend() -> None:
+    """conv_backend='pallas' skips shipping the pre-flipped kernels
+    (the Pallas path runs its own conv and custom VJP); the step still
+    builds and executes."""
+    from style_transfer_visualizer_tpu.engine.step import (
+        build_update_step,
+    )
+    from style_transfer_visualizer_tpu.models import vgg19
+    from style_transfer_visualizer_tpu.models.features import (
+        compute_targets,
+    )
+
+    params = vgg19.init_random_params(jax.random.key(0))
+    content = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3))
+    style = jax.random.uniform(jax.random.key(2), (1, 16, 16, 3))
+    targets = compute_targets(params, style, content, (0,), (2,))
+    bundle = build_update_step(
+        params, targets, (1, 16, 16, 3),
+        optimizer="adam", lr=0.1, style_w=1.0, content_w=1.0,
+        style_layers=(0,), content_layers=(2,),
+        conv_backend="pallas",
+    )
+    x, _state, aux = bundle.update_fn(content, bundle.opt_state)
+    assert x.shape == (1, 16, 16, 3)
+    assert np.isfinite(float(aux.loss))
