@@ -98,6 +98,21 @@ images, state, aux = update_fn(images, state)
 jax.block_until_ready(images)
 assert images.shape == (1, *shape)
 assert np.isfinite(float(aux.loss[0]))
+
+# --- sharded L-BFGS on-chip: psum/pmax reductions inside the
+# --- line-search while_loop/cond nesting are the hardest lowering.
+lbfgs_fn, lbfgs_state, _ = build_dp_sp_update(
+    mesh, params, stacked, shape, 1,
+    optimizer="lbfgs", lr=1.0, style_w=100.0, content_w=1.0,
+    style_layers=style_layers, content_layers=content_layers,
+    tv_w=TV_W, lap_w=LAP_W, lap_pool=LAP_POOL,
+    lbfgs_history_size=4,
+)
+images = content[None]
+images, lbfgs_state, aux = lbfgs_fn(images, lbfgs_state)
+images, lbfgs_state, aux = lbfgs_fn(images, lbfgs_state)
+jax.block_until_ready(images)
+assert np.isfinite(float(aux.loss[0]))
 print("TPU_SPATIAL_OK")
 """
 
