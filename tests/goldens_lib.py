@@ -189,6 +189,33 @@ def run_sequence_frame(inputs: GoldenInputs, out_dir: Path) -> Path:
     return result.frame_paths[-1]
 
 
+def run_lbfgs(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """The reference's optimizer at the 0.6.0 default ring."""
+    return _run_single(
+        inputs, out_dir, optimizer="lbfgs", lr=0.5,
+        lbfgs_history_size=4,
+    )
+
+
+def run_vgg16(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """The alternative backbone family.
+
+    Taps reach into block 3, where the vgg16 and vgg19 layer layouts
+    (and their seeded random weights) actually diverge — at the
+    corpus-default taps 0/5/2 the two families' first six layers are
+    structurally identical and the golden would pin nothing.
+    """
+    return _run_single(
+        inputs, out_dir, model="vgg16",
+        style_layers=[0, 5, 10], content_layers=[12],
+    )
+
+
+def run_preserve_luminance(inputs: GoldenInputs, out_dir: Path) -> Path:
+    """Color preservation: output keeps the content's chrominance."""
+    return _run_single(inputs, out_dir, preserve_color="luminance")
+
+
 #: mode name -> runner; tools/refresh_goldens.py and
 #: tests/test_goldens.py iterate this in lockstep.
 MODES: dict[str, Callable[[GoldenInputs, Path], Path]] = {
@@ -200,6 +227,9 @@ MODES: dict[str, Callable[[GoldenInputs, Path], Path]] = {
     "sweep_frame": run_sweep_frame,
     "regional": run_regional,
     "sequence_frame": run_sequence_frame,
+    "lbfgs": run_lbfgs,
+    "vgg16": run_vgg16,
+    "preserve_luminance": run_preserve_luminance,
 }
 
 GOLDENS_DIR = Path(__file__).resolve().parent / "goldens"
