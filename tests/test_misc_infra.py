@@ -135,3 +135,31 @@ class TestBranchDirections:
         save_array_as_image(np.full((4, 4, 3), 0.5, np.float32), path)
         with Image.open(path) as img:
             assert img.size == (4, 4)
+
+
+class TestDryrunPlatformEscapeHatch:
+    """STV_DRYRUN_PLATFORM overrides the dry run's CPU pin (round-4
+    weak #6: the default ordering never exercises real chips)."""
+
+    def test_explicit_platform_is_honored(self, monkeypatch) -> None:
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as graft
+
+        monkeypatch.setenv("STV_DRYRUN_PLATFORM", "cpu")
+        devices = graft._mesh_devices(4)
+        assert len(devices) == 4
+        assert all(d.platform == "cpu" for d in devices)
+
+    def test_too_few_devices_on_platform_raises(self, monkeypatch) -> None:
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as graft
+
+        monkeypatch.setenv("STV_DRYRUN_PLATFORM", "cpu")
+        with pytest.raises(RuntimeError, match="needs 64"):
+            graft._mesh_devices(64)
