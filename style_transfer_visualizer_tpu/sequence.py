@@ -44,6 +44,11 @@ from style_transfer_visualizer_tpu.utils.logging import logger
 # steps (bounds the compiled executable size; matches the runner's cap).
 _SEQUENCE_MAX_CHUNK = 50
 
+# At most this many async PNG saves in flight: each pins its frame's
+# device buffer until encoded, so the window bounds HBM held by the
+# saver (the media stream applies the same bounded-queue rule).
+_MAX_PENDING_SAVES = 4
+
 if TYPE_CHECKING:
     from collections.abc import Callable
 
@@ -771,7 +776,12 @@ def _stylize_frames(
                 )
             # PNG encode rides the worker thread; the device->host
             # fetch happens there too (np.asarray inside the saver),
-            # off frame k+1's critical path.
+            # off frame k+1's critical path. The in-flight window is
+            # bounded: each queued save pins an H*W*3 device buffer
+            # (24 MB at 4K), so a hypothetically slow encoder must
+            # apply backpressure instead of accumulating HBM.
+            if len(pending_saves) >= _MAX_PENDING_SAVES:
+                pending_saves.pop(0).result()
             pending_saves.append(
                 pool.submit(
                     stv_image_io.save_array_as_image, prepared, out_path,

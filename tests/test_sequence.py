@@ -731,3 +731,28 @@ class TestSequenceSpatialShards:
         ])
         assert rc == 0
         assert seen["shards"] == 2
+
+
+class TestSaveBackpressure:
+    def test_bounded_save_window_still_saves_everything(
+        self, frames_dir, style_file, make_style_transfer_config,
+        tmp_path, monkeypatch,
+    ) -> None:
+        """With the in-flight save window forced to 1, the loop applies
+        backpressure (joins the oldest save before queuing the next)
+        and every frame still lands on disk."""
+        monkeypatch.setattr(seq, "_MAX_PENDING_SAVES", 1)
+        cfg = make_style_transfer_config(
+            optimization={
+                "steps": 1, "optimizer": "adam",
+                "style_layers": [0], "content_layers": [2],
+                "init_method": "content",
+            },
+        )
+        params = vgg19.init_random_params(jax.random.key(0))
+        result = seq.stylize_sequence(
+            frames_dir, style_file, cfg, tmp_path / "bp", params=params,
+        )
+        assert len(result.frame_paths) == 3
+        for p in result.frame_paths:
+            assert p.exists()
